@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init`` / ``ray.shutdown`` happens in here or in ``llama_ray``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the operator inventory of SURVEY.md §2 as
+link-graph / analytics pipelines over the testdata tables;
+``oracle_sql()`` mirrors each (minus the genuinely non-SQL ones,
+which tests check against numpy oracles instead).
 """
 
 from __future__ import annotations
@@ -20,25 +16,58 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: derive the link graph from the sf0.001
+    tables, run 10 PageRank supersteps, return per-vertex ranks."""
+    from llama_ray.pipelines import queries as q
+
+    return q.q_pagerank("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from llama_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_list": q.q_edge_list,
+        "edge_kind_counts": q.q_edge_kind_counts,
+        "out_degrees": q.q_out_degrees,
+        "degree_distribution": q.q_degree_distribution,
+        "edge_prop_stats": q.q_edge_prop_stats,
+        "pagerank": q.q_pagerank,
+        "pagerank_top10": q.q_pagerank_top10,
+        "wcc": q.q_wcc,
+        "label_propagation": q.q_label_propagation,
+        "triangle_count": q.q_triangle_count,
+        "bfs": q.q_bfs,
+        "sssp_weighted": q.q_sssp_weighted,
+        "avg_nbr_balance": q.q_avg_nbr_balance,
+        "doc_exact_dedup": q.q_doc_exact_dedup,
+        "doc_token_stats": q.q_doc_token_stats,
+        "lang_stats": q.q_lang_stats,
+        "events_hourly": q.q_events_hourly,
+        "knn_cosine": q.q_knn_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from llama_ray.pipelines import oracles as o
+
+    return {
+        "edge_list": o.edge_list_sql(),
+        "edge_kind_counts": o.edge_kind_counts_sql(),
+        "out_degrees": o.out_degrees_sql(),
+        "degree_distribution": o.degree_distribution_sql(),
+        "edge_prop_stats": o.edge_prop_stats_sql(),
+        "pagerank": o.pagerank_sql(),
+        "pagerank_top10": o.pagerank_top10_sql(),
+        "wcc": o.wcc_sql(),
+        "label_propagation": o.label_propagation_sql(),
+        "triangle_count": o.triangle_count_sql(),
+        "bfs": o.bfs_sql(),
+        # sssp_weighted: no SQL oracle (verified vs numpy Bellman-Ford in tests)
+        "avg_nbr_balance": o.avg_nbr_balance_sql(),
+        "doc_exact_dedup": o.doc_exact_dedup_sql(),
+        "doc_token_stats": o.doc_token_stats_sql(),
+        "lang_stats": o.lang_stats_sql(),
+        "events_hourly": o.events_hourly_sql(),
+        "knn_cosine": o.knn_cosine_sql(),
+    }

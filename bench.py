@@ -1,0 +1,143 @@
+"""Benchmark harness.
+
+Headline: 10 PageRank supersteps over the link graph derived from the
+$GRAFT_SF_DIR tables (default /root/testdata/sf0.1) — reported as
+seconds plus edges/sec (the BASELINE.json metric). Also times graph
+build, WCC, label propagation, triangle count and BFS.
+
+Prints ONE JSON line:
+  {"metric": "pagerank_10iter_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "edges": E, "vertices": V, "pagerank_edges_per_sec": ...}
+
+--scaling: runs the same benchmark in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both throughputs plus scaling
+efficiency (the in-sandbox evidence for the north rule's N→4N
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_benchmark() -> dict:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from llama_ray.algos.components import label_propagation, weakly_connected_components
+    from llama_ray.algos.pagerank import pagerank
+    from llama_ray.algos.traversal import bfs
+    from llama_ray.algos.triangles import triangle_count
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges, undirected_ordered
+    from llama_ray.pipelines.tpch_graph import build_tpch_graph
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache (untimed): one full read of the inputs
+    from llama_ray.pipelines.tpch_graph import raw_edges
+
+    raw_edges(sf_dir).count()
+
+    t0 = time.perf_counter()
+    g = build_tpch_graph(sf_dir)
+    timings["graph_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pr = pagerank(g, max_iters=10)
+    pagerank_sec = time.perf_counter() - t0
+    timings["pagerank_10iter"] = pagerank_sec
+
+    t0 = time.perf_counter()
+    wcc = weakly_connected_components(g)
+    timings["wcc"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tc = triangle_count(g)
+    timings["triangle_count"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    canonical = dedup_edges(undirected_ordered(g.edges, drop_self_loops=True))
+    lp_g = build_graph(canonical)
+    label_propagation(lp_g, iterations=4)
+    timings["label_propagation"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    root = int(g.ids[0])
+    bfs(g, root)
+    timings["bfs"] = time.perf_counter() - t0
+
+    edges_processed = g.num_edges * 10
+    result = {
+        "metric": "pagerank_10iter_sec",
+        "value": round(pagerank_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+        "pagerank_edges_per_sec": round(edges_processed / pagerank_sec),
+        "pagerank_iters": pr.iterations,
+        "wcc_iters": wcc.iterations,
+        "triangles": tc,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    lo = run_at(lo_cpu)
+    hi = run_at(hi_cpu)
+    tp_lo = lo["pagerank_edges_per_sec"]
+    tp_hi = hi["pagerank_edges_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus": [lo_cpu, hi_cpu],
+        "edges_per_sec": {str(lo_cpu): tp_lo, str(hi_cpu): tp_hi},
+        "sec": {str(lo_cpu): lo["value"], str(hi_cpu): hi["value"]},
+        "queries": {"lo": lo["queries"], "hi": hi["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmark()))

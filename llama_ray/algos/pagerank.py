@@ -1,0 +1,114 @@
+"""PageRank — gather-scatter over the edge Dataset.
+
+Semantics match the reference exactly
+(`/root/reference/benchmark/benchmarks/pagerank.h:117-178`, pull):
+
+    pr_0(v)   = 1/N
+    pr_k+1(v) = (1-d)/N + d * Σ_{(w,v)∈E} pr_k(w) / out_degree(w)
+
+- d = 0.85 by default (``pagerank.h:73``);
+- **no dangling-mass redistribution** (vertices with out-degree 0
+  simply leak mass, as in the reference);
+- fixed-iteration mode (reference ``-n``, default 10,
+  ``benchmark.cc:1463``) or threshold convergence on the L1 diff
+  (``examples/llama-pagerank.cc:71-103``: tol=1e-6, max 10);
+- float64 accumulation throughout (the reference's
+  ``pagerank_double`` variant, ``pagerank.h:404-433``) so results are
+  reduction-order-stable to ~1e-15.
+
+``mode="pull"`` and ``mode="push"`` (reference ``pagerank.h:217-360``)
+produce the same sums — in a shuffle formulation both are "scatter
+contributions along out-edges, sum by dst"; the distinction between
+random-reads-over-in-edges and atomic-writes-over-out-edges is an
+artifact of shared memory that the hash shuffle removes. Both modes
+are accepted; they run the same plan.
+
+Per-batch duplicate edges each contribute (matching the reference,
+which iterates every stored edge) — dedup beforehand if desired.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..common import PAGERANK_D, batch_to_numpy, sparse_partial_sum
+from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages
+from ..graph import Graph
+
+
+def _make_scatter(w_ref):
+    def scatter(batch: pa.Table):
+        w = ray.get(w_ref)  # zero-copy plasma read of the broadcast state
+        src = batch_to_numpy(batch, "src")
+        dst = batch_to_numpy(batch, "dst")
+        u, sums = sparse_partial_sum(dst, w[src])
+        return {"dst": u, "v": sums}
+
+    return scatter
+
+
+def pagerank(
+    graph: Graph,
+    *,
+    damping: float = PAGERANK_D,
+    max_iters: int = 10,
+    tol: Optional[float] = None,
+    mode: str = "pull",
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """Returns SuperstepResult with ``state['rank']`` (float64, dense
+    vertex order — ``graph.ids[i]`` ↔ ``rank[i]``)."""
+    if mode not in ("pull", "push"):
+        raise ValueError(f"unknown mode {mode}")
+    n = graph.num_vertices
+    if n == 0:
+        return SuperstepResult({"rank": np.empty(0)}, 0, True, [])
+    inv_deg = np.zeros(n, dtype=np.float64)
+    nz = graph.out_degrees > 0
+    inv_deg[nz] = 1.0 / graph.out_degrees[nz]
+    base = (1.0 - damping) / n
+
+    edges = graph.edges
+    num_edges = graph.num_edges
+
+    def init_state():
+        return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}
+
+    def step(state, k):
+        rank = state["rank"]
+        w_ref = ray.put(rank * inv_deg)
+        msgs = edges.map_batches(_make_scatter(w_ref), batch_format="pyarrow")
+        dsts, sums = aggregate_messages(msgs, "sum")
+        acc = np.zeros(n, dtype=np.float64)
+        acc[dsts] = sums
+        new_rank = base + damping * acc
+        diff = float(np.abs(new_rank - rank).sum())
+        return {"rank": new_rank}, diff, num_edges
+
+    loop = SuperstepLoop(
+        graph,
+        algorithm=f"pagerank_{mode}",
+        max_iters=max_iters,
+        tol=tol,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    return loop.run(init_state, step)
+
+
+def pagerank_top_k(graph: Graph, result: SuperstepResult, k: int = 10):
+    """Top-k vertices by rank, descending (the reference example's
+    output, ``examples/llama-pagerank.cc:253-270``). Returns a list of
+    (original_vertex_id, rank)."""
+    rank = result.state["rank"]
+    if len(rank) == 0:
+        return []
+    kk = min(k, len(rank))
+    part = np.argpartition(-rank, kk - 1)[:kk]
+    order = part[np.lexsort((graph.ids[part], -rank[part]))]
+    return [(int(graph.ids[i]), float(rank[i])) for i in order]

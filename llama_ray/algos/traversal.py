@@ -1,0 +1,110 @@
+"""BFS / SSSP — frontier supersteps.
+
+Reference: level-synchronous BFS template
+(`/root/reference/llama/include/llama/ll_bfs_template.h:81-763`) and
+the SSSP variants (`/root/reference/benchmark/benchmarks/sssp.h`):
+``sssp_unweighted`` (dist = BFS level), ``sssp_unweighted_iter`` /
+``sssp_weighted`` (Bellman-Ford-style relax-until-no-update with a
+per-dst spinlocked min, ``sssp.h:144-158``).
+
+Distributed form: per superstep, scatter over out-edges of *active*
+vertices (frontier mask broadcast; inactive srcs filtered inside the
+batch — a vectorized predicate, no per-row Python), per-batch min
+combiner, ``groupby('dst').min`` replaces the spinlocked relax, and
+vertices whose distance improved form the next frontier. For
+unweighted graphs this is exactly level-synchronous BFS (each vertex
+finalizes at its hop count); with weights it is distributed
+Bellman-Ford.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..common import batch_to_numpy, sparse_partial_min
+from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages
+from ..graph import Graph
+
+UNREACHED = np.float64(np.inf)
+
+
+def sssp(
+    graph: Graph,
+    root_id: int,
+    *,
+    weighted: bool = False,
+    weight_col: str = "weight",
+    max_iters: int = 10_000,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+) -> SuperstepResult:
+    """``state['dist']``: float64 distances (np.inf = unreached) in
+    dense vertex order. Directed, over out-edges."""
+    n = graph.num_vertices
+    root = int(np.searchsorted(graph.ids, root_id))
+    if root >= n or graph.ids[root] != root_id:
+        raise KeyError(f"root vertex {root_id} not in graph")
+
+    edges = graph.edges
+    num_edges = graph.num_edges
+
+    def init_state():
+        dist = np.full(n, UNREACHED, dtype=np.float64)
+        dist[root] = 0.0
+        active = np.zeros(n, dtype=bool)
+        active[root] = True
+        return {"dist": dist, "active": active}
+
+    def step(state, k):
+        dist_ref = ray.put(state["dist"])
+        active_ref = ray.put(state["active"])
+
+        def scatter(batch: pa.Table):
+            dist = ray.get(dist_ref)
+            act = ray.get(active_ref)
+            src = batch_to_numpy(batch, "src")
+            dst = batch_to_numpy(batch, "dst")
+            mask = act[src]
+            src, dst = src[mask], dst[mask]
+            if weighted:
+                w = batch_to_numpy(batch, weight_col).astype(np.float64)[mask]
+            else:
+                w = 1.0
+            cand = dist[src] + w
+            u, mins = sparse_partial_min(dst, cand)
+            return {"dst": u, "v": mins}
+
+        msgs = edges.map_batches(scatter, batch_format="pyarrow")
+        ks, vs = aggregate_messages(msgs, "min")
+        dist = state["dist"].copy()
+        improved_keys = ks[vs < dist[ks]]
+        improved_vals = vs[vs < dist[ks]]
+        np.minimum.at(dist, ks, vs)
+        active = np.zeros(n, dtype=bool)
+        active[improved_keys] = True
+        changed = int(active.sum())
+        return {"dist": dist, "active": active}, float(changed), num_edges
+
+    loop = SuperstepLoop(
+        graph,
+        algorithm="sssp_weighted" if weighted else "sssp_unweighted",
+        max_iters=max_iters,
+        tol=0.0,  # run until no distance improves
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    res = loop.run(init_state, step)
+    res.state.pop("active", None)
+    return res
+
+
+def bfs(graph: Graph, root_id: int, **kwargs) -> SuperstepResult:
+    """BFS levels from root (reference ``bfs_count``,
+    ``benchmark/benchmarks/bfs.h:55-128``). ``state['dist']`` holds hop
+    counts; the visited-vertex count (the reference's return value) is
+    ``np.isfinite(state['dist']).sum()``."""
+    return sssp(graph, root_id, weighted=False, **kwargs)

@@ -1,0 +1,73 @@
+"""Shared constants and small utilities.
+
+Reference analogues: ``ll_common.h`` defines ``node_t``/``edge_t``
+(int64) and the packed edge-ID helpers
+(`/root/reference/llama/include/llama/ll_common.h:109-116`,
+``ll_mlcsr_helpers.h:61-83``). Here a vertex id is a plain int64
+column value (possibly a 64-bit name hash); an edge is a row — no
+packed IDs are needed because both endpoints travel with the row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# Canonical edge-table column names (analogue of the reference's
+# node_pair_t {tail, head}, ll_common.h:113-116).
+SRC = "src"
+DST = "dst"
+WEIGHT = "weight"
+
+PAGERANK_D = 0.85  # reference default damping (benchmark/benchmarks/pagerank.h:73)
+
+
+def hash64(text: str) -> int:
+    """Stable signed 64-bit hash of a string (vertex id for named nodes).
+
+    Uses blake2b so ids are reproducible across processes/machines
+    (Python's builtin ``hash`` is salted). Returned value fits int64.
+    """
+    h = hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little", signed=True)
+
+
+def hash64_batch(arr: "pa.Array | list[str]") -> np.ndarray:
+    """Vectorized-ish hash64 over a string column (per-batch helper)."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_pylist()
+    out = np.empty(len(arr), dtype=np.int64)
+    for i, s in enumerate(arr):
+        out[i] = hash64(s)
+    return out
+
+
+def sparse_partial_sum(keys: np.ndarray, values: np.ndarray):
+    """Per-batch partial aggregation: sum ``values`` grouped by ``keys``.
+
+    Returns (unique_keys, sums). This is the combiner half of the
+    scatter→groupby pattern: pre-aggregating inside ``map_batches``
+    shrinks the hash shuffle to one row per distinct key per batch
+    (reference analogue: per-thread degree histograms merged after the
+    parallel-for, ll_load_utils.h:357-366).
+    """
+    u, inv = np.unique(keys, return_inverse=True)
+    sums = np.bincount(inv, weights=values, minlength=len(u))
+    return u, sums
+
+
+def sparse_partial_min(keys: np.ndarray, values: np.ndarray):
+    """Per-batch partial min grouped by keys → (unique_keys, mins)."""
+    order = np.lexsort((values, keys))
+    k = keys[order]
+    v = values[order]
+    first = np.ones(len(k), dtype=bool)
+    first[1:] = k[1:] != k[:-1]
+    return k[first], v[first]
+
+
+def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
+    """Zero-copy-when-possible extraction of a column as numpy."""
+    return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)

@@ -1,0 +1,156 @@
+"""Text-analysis stages for training-data pipelines.
+
+All actor-pool ``map_batches`` stages: models/regexes/tables built
+once per actor in ``__init__``, vectorized-ish per batch.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..common import batch_to_numpy, hash64
+
+# character-trigram profiles per language (tiny heuristic n-gram
+# language ID — built from common function words; deterministic)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "zh": [],  # CJK detected by codepoint range
+}
+
+
+class LanguageId:
+    """Heuristic language ID: CJK codepoint ratio → zh; else argmax of
+    per-language stopword hit-rate; 'unknown' when nothing matches."""
+
+    def __init__(self):
+        self.markers = {k: set(v) for k, v in _LANG_MARKERS.items() if v}
+        self.word = re.compile(r"[a-zA-Zäöüßéèêàùâçñ]+")
+
+    def predict(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        cjk = sum(1 for c in text[:400] if "一" <= c <= "鿿")
+        if cjk > len(text[:400]) * 0.2:
+            return "zh"
+        toks = [t.lower() for t in self.word.findall(text[:2000])]
+        if not toks:
+            return "unknown"
+        best, best_score = "unknown", 0.0
+        for lang, marks in self.markers.items():
+            score = sum(1 for t in toks if t in marks) / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        return best if best_score > 0 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def language_id(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
+    return docs.map_batches(LanguageId, batch_format="pyarrow", concurrency=concurrency)
+
+
+class QualityScore:
+    """Length / punctuation / stopword-ratio quality features + a
+    composite score in [0, 1] (C4/Gopher-style cheap filters)."""
+
+    def __init__(self):
+        self.stop = set(_LANG_MARKERS["en"])
+        self.word = re.compile(r"\w+", re.U)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        length = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        mean_word_len = np.zeros(n)
+        for i, t in enumerate(texts):
+            length[i] = len(t)
+            if not t:
+                continue
+            punct_ratio[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
+            ws = self.word.findall(t.lower())
+            if ws:
+                stop_ratio[i] = sum(1 for w in ws if w in self.stop) / len(ws)
+                mean_word_len[i] = sum(map(len, ws)) / len(ws)
+        score = (
+            np.clip(length / 500.0, 0, 1) * 0.3
+            + np.clip(1 - punct_ratio * 4, 0, 1) * 0.3
+            + np.clip(stop_ratio * 5, 0, 1) * 0.2
+            + np.clip(1 - np.abs(mean_word_len - 5) / 5, 0, 1) * 0.2
+        )
+        out = batch
+        for name, arr in [
+            ("q_length", length),
+            ("q_punct_ratio", punct_ratio),
+            ("q_stop_ratio", stop_ratio),
+            ("q_mean_word_len", mean_word_len),
+            ("quality", score),
+        ]:
+            out = out.append_column(name, pa.array(arr, pa.float64()))
+        return out
+
+
+def quality_score(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
+    return docs.map_batches(QualityScore, batch_format="pyarrow", concurrency=concurrency)
+
+
+class TokenCounts:
+    """Whitespace tokens + a BPE-ish sub-token estimate (regex split
+    on word/number/punct boundaries, ~GPT-2 pre-tokenizer shape)."""
+
+    def __init__(self):
+        self.bpe = re.compile(r"\w+|[^\w\s]", re.U)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = np.array([len(t.split()) for t in texts], np.int64)
+        bpe = np.array([len(self.bpe.findall(t)) for t in texts], np.int64)
+        return batch.append_column("n_tokens_ws", pa.array(ws)).append_column(
+            "n_tokens_bpe", pa.array(bpe)
+        )
+
+
+def token_counts(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
+    return docs.map_batches(TokenCounts, batch_format="pyarrow", concurrency=concurrency)
+
+
+class Fingerprint:
+    """Rolling-hash document fingerprint: winnowed min-hash of k-char
+    rolling windows (content-defined sampling → robust to small edits)."""
+
+    def __init__(self, k: int = 16, keep: int = 8):
+        self.k = k
+        self.keep = keep
+
+    def fingerprint(self, text: str) -> str:
+        t = " ".join(text.split())
+        if len(t) <= self.k:
+            return format(hash64(t) & ((1 << 64) - 1), "016x")
+        hs = sorted(
+            hash64(t[i : i + self.k]) & ((1 << 64) - 1)
+            for i in range(0, len(t) - self.k + 1)
+        )[: self.keep]
+        acc = 0
+        for h in hs:
+            acc = (acc * 1000003 + h) & ((1 << 64) - 1)
+        return format(acc, "016x")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def fingerprint(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
+    return docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=concurrency)

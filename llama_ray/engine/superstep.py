@@ -1,0 +1,155 @@
+"""Gather-scatter superstep harness.
+
+One superstep of every iterative algorithm here is the same physical
+plan (the Ray-Data-native replacement for the reference's OpenMP
+``parallel for`` over vertices with shared-memory random access,
+e.g. PageRank pull `/root/reference/benchmark/benchmarks/pagerank.h:117-178`):
+
+1. **broadcast** the per-vertex state (dense numpy, ``ray.put`` once
+   per superstep — zero-copy plasma reads in every task);
+2. **scatter**: ``edges.map_batches(...)`` over zero-copy Arrow edge
+   blocks emits (dst, contribution) *partials* — each batch
+   pre-aggregates its messages by dst (combiner), so the shuffle
+   carries at most one row per distinct dst per batch;
+3. **gather**: hash-shuffle ``groupby('dst').aggregate(...)`` — the
+   distributed replacement for the reference's atomics/spinlocks
+   (``pagerank.h:297``, ``ll_lock.h``);
+4. **apply**: stream the (small, ≤ num_vertices rows) aggregate back
+   and update the dense state.
+
+Skew note: the per-batch combiner in (2) already caps a hub vertex's
+shuffle fan-in at (#blocks) rows, which is the two-stage "salted"
+aggregate — partial sums per block, final sum in the groupby.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+from ..common import batch_to_numpy
+from ..graph import Graph
+from .checkpoint import CheckpointManager
+
+
+def aggregate_messages(msgs: rd.Dataset, how: str = "sum", key: str = "dst", value: str = "v"):
+    """groupby(key) aggregate → (keys, values) numpy on the driver.
+
+    The result is at most one row per distinct dst (≤ num_vertices),
+    which is O(vertex state) — safe to stream to the driver.
+    """
+    agg = {"sum": Sum, "min": Min}[how]
+    out = msgs.groupby(key).aggregate(agg(value, alias_name=value))
+    ks, vs = [], []
+    for b in out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ks.append(batch_to_numpy(b, key))
+        vs.append(batch_to_numpy(b, value))
+    if not ks:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    return np.concatenate(ks), np.concatenate(vs)
+
+
+@dataclass
+class SuperstepResult:
+    state: dict[str, np.ndarray]
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+    @property
+    def total_seconds(self) -> float:
+        return sum(m["seconds"] for m in self.metrics)
+
+    @property
+    def edges_per_sec(self) -> float:
+        total_edges = sum(m.get("edges_processed", 0) for m in self.metrics)
+        secs = self.total_seconds
+        return total_edges / secs if secs > 0 else 0.0
+
+
+class SuperstepLoop:
+    """Drives an algorithm's superstep function with checkpoint/resume.
+
+    ``step(state, k) -> (new_state, diff, edges_processed)`` — diff is
+    the algorithm's convergence measure (L1 for PageRank, #changed for
+    label algorithms); the loop stops at ``max_iters`` or when
+    ``diff <= tol`` (tol=None → fixed-iteration mode, the reference's
+    default ``-n`` behavior, ``benchmark.cc:1463``).
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        *,
+        algorithm: str,
+        max_iters: int,
+        tol: Optional[float] = None,
+        checkpoint_dir: Optional[str] = None,
+        resume: bool = False,
+    ):
+        self.graph = graph
+        self.algorithm = algorithm
+        self.max_iters = max_iters
+        self.tol = tol
+        self.ckpt = (
+            CheckpointManager(
+                checkpoint_dir,
+                algorithm=algorithm,
+                ids=graph.ids,
+                num_edges=graph.num_edges,
+            )
+            if checkpoint_dir
+            else None
+        )
+        self.resume = resume
+
+    def run(
+        self,
+        init_state: Callable[[], dict[str, np.ndarray]],
+        step: Callable[[dict[str, np.ndarray], int], tuple[dict[str, np.ndarray], float, int]],
+    ) -> SuperstepResult:
+        start_k = 0
+        metrics: list[dict] = []
+        if self.ckpt and self.resume:
+            latest = self.ckpt.latest()
+            if latest is not None:
+                state, manifest = self.ckpt.load(latest)
+                start_k = latest + 1
+                metrics = list(manifest.get("metrics", {}).get("history", []))
+                if manifest["metrics"].get("converged"):
+                    return SuperstepResult(state, latest + 1, True, metrics)
+            else:
+                state = init_state()
+        else:
+            state = init_state()
+
+        converged = False
+        k = start_k
+        while k < self.max_iters:
+            t0 = time.perf_counter()
+            state, diff, edges_processed = step(state, k)
+            dt = time.perf_counter() - t0
+            m = {
+                "iteration": k,
+                "diff": float(diff),
+                "edges_processed": int(edges_processed),
+                "seconds": dt,
+                "edges_per_sec": edges_processed / dt if dt > 0 else 0.0,
+            }
+            metrics.append(m)
+            converged = self.tol is not None and diff <= self.tol
+            if self.ckpt:
+                self.ckpt.save(
+                    k, state, {"converged": converged, "last": m, "history": metrics}
+                )
+            k += 1
+            if converged:
+                break
+        return SuperstepResult(state, k, converged, metrics)

@@ -1,0 +1,194 @@
+"""DuckDB oracle SQL for every driver-checked query.
+
+Column names and rounding match ``llama_ray.pipelines.queries``
+one-for-one. Iterative algorithms are expressed as *unrolled* CTE
+chains (PageRank: exactly 10 synchronous iterations; WCC: enough
+min-label rounds to pass the graph's diameter; LP: exactly 4 rounds)
+— DuckDB executes these exactly, giving a genuinely independent
+implementation to hash-compare against.
+"""
+
+from __future__ import annotations
+
+from .tpch_graph import GRAPH_CTES, O_NATION, O_REGION, O_SUPP, RAW_EDGES_SQL
+
+DAMPING = 0.85
+BFS_ROOT = 1
+WCC_ROUNDS = 24  # ≥ graph diameter (≈12); fixpoint verified in tests
+LP_ROUNDS = 4
+
+
+def edge_list_sql() -> str:
+    return f"WITH {GRAPH_CTES} SELECT src, dst FROM e"
+
+
+def edge_kind_counts_sql() -> str:
+    return f"WITH raw_edges AS ({RAW_EDGES_SQL}) SELECT kind, CAST(COUNT(*) AS BIGINT) AS n FROM raw_edges GROUP BY kind"
+
+
+def out_degrees_sql() -> str:
+    return f"WITH {GRAPH_CTES} SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src"
+
+
+def degree_distribution_sql() -> str:
+    return f"""WITH {GRAPH_CTES}
+SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS num_vertices,
+       CAST(SUM(d) AS BIGINT) AS num_edges
+FROM deg GROUP BY 1"""
+
+
+def edge_prop_stats_sql() -> str:
+    return f"""WITH raw_edges AS ({RAW_EDGES_SQL})
+SELECT MIN(weight) AS min, MAX(weight) AS max, SUM(weight) AS sum,
+       CAST(COUNT(*) AS BIGINT) AS count, ROUND(AVG(weight), 6) AS mean
+FROM raw_edges"""
+
+
+def _pagerank_ctes(iters: int) -> str:
+    steps = [f"r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)"]
+    for k in range(iters):
+        steps.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         (1 - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * COALESCE(s.contrib, 0) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{k}.rank / deg.d) AS contrib
+    FROM e JOIN r{k} ON r{k}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = v.id)"""
+        )
+    return ",\n".join(steps)
+
+
+def pagerank_sql(iters: int = 10) -> str:
+    return f"""WITH {GRAPH_CTES},
+{_pagerank_ctes(iters)}
+SELECT id AS vertex, ROUND(rank, 8) AS rank FROM r{iters}"""
+
+
+def pagerank_top10_sql(iters: int = 10) -> str:
+    return f"""WITH {GRAPH_CTES},
+{_pagerank_ctes(iters)}
+SELECT id AS vertex, ROUND(rank, 8) AS rank FROM r{iters}
+ORDER BY rank DESC, vertex ASC LIMIT 10"""
+
+
+def wcc_sql(rounds: int = WCC_ROUNDS) -> str:
+    steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM v)"]
+    for k in range(rounds):
+        steps.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT l{k}.id, LEAST(l{k}.label, COALESCE(m.minlab, l{k}.label)) AS label
+  FROM l{k} LEFT JOIN (
+    SELECT ue.b AS id, MIN(l.label) AS minlab
+    FROM ue JOIN l{k} l ON l.id = ue.a GROUP BY ue.b
+  ) m ON m.id = l{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+{body}
+SELECT id AS vertex, label AS component FROM l{rounds}"""
+
+
+def label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
+    steps = ["p0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
+    for k in range(rounds):
+        steps.append(
+            f"""p{k + 1} AS MATERIALIZED (
+  SELECT p{k}.id, COALESCE(m.label, p{k}.label) AS label
+  FROM p{k} LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT ue.b AS id, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY ue.b
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM ue JOIN p{k} l ON l.id = ue.a GROUP BY ue.b, l.label
+    ) WHERE rn = 1
+  ) m ON m.id = p{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+{body}
+SELECT id AS vertex, label FROM p{rounds}"""
+
+
+def triangle_count_sql() -> str:
+    return f"""WITH {GRAPH_CTES},
+ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM ce x JOIN ce y ON y.a = x.b JOIN ce z ON z.a = x.a AND z.b = y.b"""
+
+
+def bfs_sql(root: int = BFS_ROOT, max_depth: int = 40) -> str:
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+r(node, dist) AS (
+  SELECT CAST({root} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node WHERE r.dist < {max_depth}
+)
+SELECT node AS vertex, MIN(dist) AS dist FROM r GROUP BY node"""
+
+
+def avg_nbr_balance_sql() -> str:
+    return f"""WITH {GRAPH_CTES},
+props AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer
+          UNION ALL SELECT {O_SUPP} + s_suppkey, s_acctbal FROM supplier),
+qual AS (
+  SELECT e.dst AS id, COUNT(*) AS cnt
+  FROM e JOIN props p ON p.id = e.src
+  WHERE p.bal >= 1000 AND p.bal < 5000
+    AND e.dst >= {O_NATION} AND e.dst < {O_REGION}
+  GROUP BY e.dst)
+SELECT ROUND(CAST(COALESCE((SELECT SUM(cnt) FROM qual), 0) AS DOUBLE)
+             / (SELECT COUNT(*) FROM nation), 6) AS avg_cnt"""
+
+
+def doc_exact_dedup_sql() -> str:
+    return """SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS copies
+FROM documents GROUP BY text"""
+
+
+def doc_token_stats_sql() -> str:
+    return r"""SELECT doc_id,
+       CAST(CASE WHEN TRIM(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS n_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents"""
+
+
+def lang_stats_sql() -> str:
+    return r"""WITH s AS (
+  SELECT lang,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM s GROUP BY lang"""
+
+
+def events_hourly_sql() -> str:
+    return """SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def knn_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT q.qid, c.vec_id, list_cosine_similarity(q.qv, c.v) AS sim
+      FROM q CROSS JOIN c WHERE c.vec_id <> q.qid),
+r AS (SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+      FROM s)
+SELECT qid, vec_id AS neighbor_id, ROUND(sim, 5) AS sim FROM r WHERE rn <= {k}"""

@@ -1,0 +1,309 @@
+"""Driver-facing query implementations.
+
+Each function takes ``sf_dir`` and returns a pyarrow Table / pandas
+DataFrame whose column names match the paired oracle SQL in
+``llama_ray.pipelines.oracles`` exactly (the driver hashes values
+after sorting columns by name). Floating-point outputs are rounded
+(documented per query) so reduction-order differences between the Ray
+shuffle and DuckDB cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..algos.components import label_propagation, weakly_connected_components
+from ..algos.pagerank import pagerank, pagerank_top_k
+from ..algos.stats import degree_distribution as _degree_distribution
+from ..algos.traversal import bfs as _bfs
+from ..algos.triangles import triangle_count as _triangle_count
+from ..common import batch_to_numpy, hash64
+from ..graph import build_graph
+from ..ingest.canonicalize import dedup_edges, undirected_ordered
+from .tpch_graph import O_NATION, O_REGION, O_SUPP, build_tpch_graph, dedup_edge_list, raw_edges
+
+BFS_ROOT = 1  # customer #1 — custkeys are dense from 1 in every sf
+
+
+# ------------------------------------------------------------- graph basics
+
+
+def q_edge_list(sf_dir: str):
+    return dedup_edge_list(sf_dir)
+
+
+def q_edge_kind_counts(sf_dir: str):
+    out = raw_edges(sf_dir).groupby("kind").aggregate(Count(alias_name="n"))
+    return out
+
+
+def q_out_degrees(sf_dir: str):
+    return dedup_edge_list(sf_dir).groupby("src").aggregate(Count(alias_name="degree"))
+
+
+def q_degree_distribution(sf_dir: str):
+    return _degree_distribution(dedup_edge_list(sf_dir), direction="out")
+
+
+def q_edge_prop_stats(sf_dir: str):
+    row = raw_edges(sf_dir).select_columns(["weight"]).aggregate(
+        Min("weight", alias_name="min"),
+        Max("weight", alias_name="max"),
+        Sum("weight", alias_name="sum"),
+        Count(alias_name="count"),
+        Mean("weight", alias_name="mean"),
+    )
+    row["mean"] = round(row["mean"], 6)
+    return pd.DataFrame([row])
+
+
+# ---------------------------------------------------------------- analytics
+
+
+def q_pagerank(sf_dir: str):
+    g = build_tpch_graph(sf_dir)
+    res = pagerank(g, max_iters=10)
+    return pa.table(
+        {"vertex": g.ids, "rank": np.round(res.state["rank"], 8)}
+    )
+
+
+def q_pagerank_top10(sf_dir: str):
+    g = build_tpch_graph(sf_dir)
+    res = pagerank(g, max_iters=10)
+    top = pagerank_top_k(g, res, 10)
+    return pa.table(
+        {
+            "vertex": pa.array([v for v, _ in top], pa.int64()),
+            "rank": pa.array([round(r, 8) for _, r in top], pa.float64()),
+        }
+    )
+
+
+def q_wcc(sf_dir: str):
+    g = build_tpch_graph(sf_dir)
+    res = weakly_connected_components(g)
+    return pa.table({"vertex": g.ids, "component": res.state["label"]})
+
+
+def q_label_propagation(sf_dir: str):
+    canonical = dedup_edges(undirected_ordered(dedup_edge_list(sf_dir), drop_self_loops=True))
+    g = build_graph(canonical)
+    res = label_propagation(g, iterations=4)
+    return pa.table({"vertex": g.ids, "label": res.state["label"]})
+
+
+def q_triangle_count(sf_dir: str):
+    g = build_tpch_graph(sf_dir)
+    t = _triangle_count(g)
+    return pa.table({"triangles": pa.array([t], pa.int64())})
+
+
+def q_bfs(sf_dir: str):
+    g = build_tpch_graph(sf_dir)
+    res = _bfs(g, BFS_ROOT)
+    dist = res.state["dist"]
+    reached = np.isfinite(dist)
+    return pa.table(
+        {"vertex": g.ids[reached], "dist": dist[reached].astype(np.int64)}
+    )
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted SSSP over summed duplicate weights (no SQL oracle —
+    verified against a numpy Bellman-Ford oracle in tests)."""
+    from ..algos.traversal import sssp
+
+    weighted = dedup_edges(raw_edges(sf_dir), weights="sum")
+    g = build_graph(weighted)
+    res = sssp(g, BFS_ROOT, weighted=True)
+    dist = res.state["dist"]
+    reached = np.isfinite(dist)
+    return pa.table({"vertex": g.ids[reached], "dist": np.round(dist[reached], 6)})
+
+
+def q_avg_nbr_balance(sf_dir: str):
+    """avg_teen_cnt analogue (`/root/reference/benchmark/benchmarks/avg_teen_cnt.h:55-141`):
+    per nation vertex, count in-neighbors (customers/suppliers) with
+    balance in [1000, 5000); return the average count over all nation
+    vertices. Small property side broadcast via ray.put; the count is
+    the usual scatter → groupby(dst)."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_acctbal"]
+    )
+    ids = np.concatenate(
+        [cust.column("c_custkey").to_numpy(), O_SUPP + supp.column("s_suppkey").to_numpy()]
+    )
+    bal = np.concatenate(
+        [cust.column("c_acctbal").to_numpy(), supp.column("s_acctbal").to_numpy()]
+    )
+    order = np.argsort(ids)
+    ids, bal = ids[order], bal[order]
+    props_ref = ray.put((ids, bal))
+
+    def qualifying(batch: pa.Table):
+        pids, pbal = ray.get(props_ref)
+        src = batch_to_numpy(batch, "src")
+        dst = batch_to_numpy(batch, "dst")
+        m = (dst >= O_NATION) & (dst < O_REGION)
+        src, dst = src[m], dst[m]
+        pos = np.searchsorted(pids, src)
+        pos = np.clip(pos, 0, len(pids) - 1)
+        ok = (pids[pos] == src) & (pbal[pos] >= 1000) & (pbal[pos] < 5000)
+        return {"dst": dst[ok]}
+
+    counts = (
+        dedup_edge_list(sf_dir)
+        .map_batches(qualifying, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"])
+    n_nations = nation.num_rows
+    total = counts["cnt"].sum() if len(counts) else 0
+    return pa.table({"avg_cnt": pa.array([round(float(total) / n_nations, 6)], pa.float64())})
+
+
+# ------------------------------------------------------------ documents ops
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash: survivor = min doc_id per distinct
+    text (groupby on a 64-bit blake2b of the text — the content-hash +
+    hash-partition + per-group-first pattern)."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def hash_col(batch: pa.Table):
+        h = np.array([hash64(t) for t in batch.column("text").to_pylist()], np.int64)
+        return {"h": h, "doc_id": batch_to_numpy(batch, "doc_id")}
+
+    out = (
+        docs.map_batches(hash_col, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="copies"))
+    )
+    return out.select_columns(["doc_id", "copies"])
+
+
+class _TokenStats:
+    """Actor-pool text stage: per-doc token/char counts (whitespace
+    tokenization; compiled once per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens = np.array([len(t.split()) for t in texts], np.int64)
+        n_chars = np.array([len(t) for t in texts], np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": pa.array(n_tokens),
+                "n_chars": pa.array(n_chars),
+            }
+        )
+
+
+def q_doc_token_stats(sf_dir: str):
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    return docs.map_batches(_TokenStats, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
+        ["doc_id", "n_tokens", "n_chars"]
+    )
+
+
+def q_lang_stats(sf_dir: str):
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    stats = docs.map_batches(_TokenStats, batch_format="pyarrow", concurrency=(1, 4))
+    agg = stats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="_sum_tokens")
+    ).to_pandas()
+    agg["avg_tokens"] = (agg["_sum_tokens"] / agg["n_docs"]).round(6)
+    return agg[["lang", "n_docs", "avg_tokens"]]
+
+
+# ----------------------------------------------------------------- events
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped
+    aggregate; window_start = epoch seconds of the hour)."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return df[["event_type", "window_start", "value"]]
+
+    agg = (
+        ev.map_batches(window, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    agg["sum_value"] = agg["sum_value"].round(4)
+    return agg
+
+
+# ------------------------------------------------------------- embeddings
+
+
+def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: broadcast the query matrix, per-batch
+    float64 matmul + per-batch top-k partials, final top-k on the
+    driver (rows driver-side = n_queries × k × num_batches)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qmask = pc.less(qt.column("vec_id"), n_queries)
+    qt = qt.filter(qmask)
+    qids = qt.column("vec_id").to_numpy()
+    dim = len(qt.column("embedding")[0])
+    Q = np.asarray(qt.column("embedding").combine_chunks().flatten().to_numpy(), np.float64).reshape(-1, dim)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, Qn))
+
+    def partial_topk(batch: pa.Table):
+        ids_, Qn_ = ray.get(q_ref)
+        vids = batch_to_numpy(batch, "vec_id")
+        emb = batch.column("embedding").combine_chunks()
+        V = np.asarray(emb.flatten().to_numpy(), np.float64).reshape(len(vids), -1)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Qn_.T  # (batch, nq)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(ids_):
+            s = sims[:, j].copy()
+            s[vids == qid] = -np.inf  # exclude self
+            kk = min(k, len(s))
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qid, np.int64))
+            out_n.append(vids[top])
+            out_s.append(s[top])
+        return {
+            "qid": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "sim": np.concatenate(out_s),
+        }
+
+    emb_ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    parts = emb_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["qid", "sim", "neighbor_id"], ascending=[True, False, True])
+    final = parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+    final["sim"] = final["sim"].round(5)
+    return final[["qid", "neighbor_id", "sim"]]

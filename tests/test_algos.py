@@ -1,0 +1,163 @@
+"""Algorithm correctness vs numpy oracles on tiny fixtures + seeded
+generator graphs (FIXTURES.md §3-4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from llama_ray.algos.components import label_propagation, weakly_connected_components
+from llama_ray.algos.pagerank import pagerank, pagerank_top_k
+from llama_ray.algos.traversal import bfs, sssp
+from llama_ray.algos.triangles import triangle_count
+from llama_ray.graph import build_graph
+from llama_ray.ingest.canonicalize import dedup_edges, undirected_ordered
+from llama_ray.sources.generators import rmat
+
+from np_oracles import bellman_ford_np, bfs_np, lp_np, pagerank_np, triangles_np, wcc_np
+
+FIXTURES = {
+    "chain5": ([0, 1, 2, 3], [1, 2, 3, 4]),
+    "cycle4": ([0, 1, 2, 3], [1, 2, 3, 0]),
+    "k4": ([0, 0, 0, 1, 1, 2], [1, 2, 3, 2, 3, 3]),
+    "two_triangles": ([0, 1, 2, 3, 4, 5], [1, 2, 0, 4, 5, 3]),
+    "star_hub": (list(range(1, 100)), [0] * 99),
+    "dup_selfloop": ([0, 0, 0, 1, 2, 2], [1, 1, 0, 2, 2, 0]),
+}
+TRIANGLES = {"chain5": 0, "cycle4": 0, "k4": 4, "two_triangles": 2, "star_hub": 0, "dup_selfloop": 1}
+
+
+def edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def dense(src, dst):
+    """(dense_src, dense_dst, ids) for the oracle side."""
+    ids = np.unique(np.concatenate([src, dst]))
+    return np.searchsorted(ids, src), np.searchsorted(ids, dst), ids
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_pagerank_matches_oracle(name):
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    res = pagerank(g, max_iters=10)
+    ds_, dd_, ids = dense(src, dst)
+    expect = pagerank_np(ds_, dd_, len(ids))
+    assert np.allclose(res.state["rank"], expect, atol=1e-6)
+
+
+def test_pagerank_uniform_on_cycle():
+    src, dst = map(np.array, FIXTURES["cycle4"])
+    g = build_graph(edges_ds(src, dst))
+    res = pagerank(g, max_iters=30, tol=1e-12)
+    assert np.allclose(res.state["rank"], 0.25, atol=1e-9)
+    assert res.converged
+
+
+def test_pagerank_convergence_mode():
+    src, dst = map(np.array, FIXTURES["star_hub"])
+    g = build_graph(edges_ds(src, dst))
+    res = pagerank(g, max_iters=50, tol=1e-6)
+    assert res.converged
+    assert res.iterations < 50
+    top = pagerank_top_k(g, res, 3)
+    assert top[0][0] == 0  # hub
+
+
+def test_pagerank_push_equals_pull():
+    src, dst = map(np.array, FIXTURES["k4"])
+    g = build_graph(edges_ds(src, dst))
+    a = pagerank(g, max_iters=10, mode="pull")
+    b = pagerank(g, max_iters=10, mode="push")
+    assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-12)
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_wcc_matches_oracle(name):
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    res = weakly_connected_components(g)
+    ds_, dd_, ids = dense(src, dst)
+    expect = wcc_np(ds_, dd_, ids)
+    assert np.array_equal(res.state["label"], expect)
+
+
+def test_wcc_two_components():
+    src, dst = map(np.array, FIXTURES["two_triangles"])
+    g = build_graph(edges_ds(src, dst))
+    res = weakly_connected_components(g)
+    assert set(res.state["label"]) == {0, 3}
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_triangle_count_matches_oracle(name):
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    ds_, dd_, ids = dense(src, dst)
+    assert triangle_count(g) == TRIANGLES[name] == triangles_np(ds_, dd_, len(ids))
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_label_propagation_matches_oracle(name):
+    src, dst = map(np.array, FIXTURES[name])
+    canonical = dedup_edges(undirected_ordered(edges_ds(src, dst), drop_self_loops=True))
+    g = build_graph(canonical)
+    res = label_propagation(g, iterations=4)
+    cs = canonical.to_pandas()
+    ids = np.unique(np.concatenate([cs["src"], cs["dst"]]))
+    s = np.searchsorted(ids, cs["src"].to_numpy())
+    d = np.searchsorted(ids, cs["dst"].to_numpy())
+    expect = ids[lp_np(s, d, len(ids), iterations=4)]
+    assert np.array_equal(res.state["label"], expect)
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_bfs_matches_oracle(name):
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    root = int(g.ids[0])
+    res = bfs(g, root)
+    ds_, dd_, ids = dense(src, dst)
+    expect = bfs_np(ds_, dd_, len(ids), 0)
+    assert np.array_equal(res.state["dist"], expect)
+
+
+def test_sssp_weighted_matches_bellman_ford():
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 30, 120)
+    dst = rng.integers(0, 30, 120)
+    w = rng.integers(1, 10, 120).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)})
+    )
+    g = build_graph(ds)
+    root = int(g.ids[0])
+    res = sssp(g, root, weighted=True)
+    di, dj, ids = dense(src, dst)
+    expect = bellman_ford_np(di, dj, w, len(ids), int(np.searchsorted(ids, root)))
+    assert np.allclose(res.state["dist"], expect, equal_nan=True)
+
+
+def test_rmat_graph_against_oracles():
+    edges = rmat(7, 4, seed=11).materialize()
+    df = edges.to_pandas()
+    g = build_graph(edges)
+    di, dj, ids = dense(df["src"].to_numpy(), df["dst"].to_numpy())
+    n = len(ids)
+
+    pr = pagerank(g, max_iters=10)
+    assert np.allclose(pr.state["rank"], pagerank_np(di, dj, n), atol=1e-6)
+
+    wcc = weakly_connected_components(g)
+    assert np.array_equal(wcc.state["label"], wcc_np(di, dj, ids))
+
+    assert triangle_count(g) == triangles_np(di, dj, n)
+
+
+def test_rmat_deterministic():
+    a = rmat(6, 4, seed=3).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = rmat(6, 4, seed=3).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)

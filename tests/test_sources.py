@@ -1,0 +1,65 @@
+"""Source readers / generators (SURVEY §2.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from llama_ray.sources.generators import erdos_renyi, rmat
+from llama_ray.sources.registry import load_edges
+from llama_ray.sources.text import read_net
+from llama_ray.sources.xs1 import read_xs1, write_xs1
+
+
+def test_net_loader(tmp_path):
+    p = tmp_path / "g.net"
+    p.write_text("# comment\n1 2\n2 3\n\nbad line here\n3 1\n")
+    df = read_net(str(p)).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert df.values.tolist() == [[1, 2], [2, 3], [3, 1]]
+
+
+def test_xs1_roundtrip(tmp_path):
+    t = pa.table(
+        {
+            "src": pa.array([1, 2, 3], pa.int64()),
+            "dst": pa.array([4, 5, 6], pa.int64()),
+            "weight": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+    p = tmp_path / "g.xs1"
+    write_xs1(t, str(p))
+    df = read_xs1(str(p)).to_pandas().sort_values("src").reset_index(drop=True)
+    assert df["src"].tolist() == [1, 2, 3]
+    assert df["dst"].tolist() == [4, 5, 6]
+    assert df["weight"].tolist() == [1.5, 2.5, 3.5]
+
+
+def test_erdos_renyi_bounds_and_determinism():
+    a = erdos_renyi(100, 500, seed=5).to_pandas()
+    b = erdos_renyi(100, 500, seed=5, override_num_blocks=7).to_pandas()
+    assert len(a) == 500
+    assert a["src"].between(0, 99).all() and a["dst"].between(0, 99).all()
+    sa = a.sort_values(["src", "dst"]).reset_index(drop=True)
+    sb = b.sort_values(["src", "dst"]).reset_index(drop=True)
+    # NOTE: per-block seeding means determinism holds per block start; with
+    # different block layouts the streams differ — same layout must match.
+    c = erdos_renyi(100, 500, seed=5).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert sa.equals(c)
+
+
+def test_rmat_power_law():
+    df = rmat(8, 8, seed=42).to_pandas()
+    assert len(df) == 8 * 256
+    assert df["src"].between(0, 255).all()
+    deg = df.groupby("src").size()
+    # power-law-ish: max degree far above mean
+    assert deg.max() > 4 * deg.mean()
+
+
+def test_registry_dispatch(tmp_path):
+    assert load_edges("rmat(6, 4)").count() == 4 * 64
+    assert load_edges("er(50, 200)").count() == 200
+    p = tmp_path / "x.net"
+    p.write_text("0 1\n")
+    assert load_edges(str(p)).count() == 1
+    with pytest.raises(ValueError):
+        load_edges("nope.xyz")
