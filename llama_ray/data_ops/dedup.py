@@ -133,7 +133,8 @@ def minhash_lsh_dedup(
     (distributed groupby rounds; no driver union-find).
     """
     banded = docs.map_batches(
-        _MinHashBands(num_hashes, bands, shingle_k, id_col, text_col),
+        _MinHashBands,
+        fn_constructor_args=(num_hashes, bands, shingle_k, id_col, text_col),
         batch_format="pyarrow",
         concurrency=(2, 8),
     )
@@ -216,7 +217,12 @@ class _SimHash:
 
 def simhash_buckets(docs: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """(doc_id, simhash) — bucketing/Hamming search composes on top."""
-    return docs.map_batches(_SimHash(id_col, text_col), batch_format="pyarrow", concurrency=(2, 8))
+    return docs.map_batches(
+        _SimHash,
+        fn_constructor_args=(id_col, text_col),
+        batch_format="pyarrow",
+        concurrency=(2, 8),
+    )
 
 
 # ----------------------------------------------------- n-gram Jaccard

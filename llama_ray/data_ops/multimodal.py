@@ -101,9 +101,8 @@ def sample_frames(
 ) -> rd.Dataset:
     """Frame-sampling for video tables: keep every Nth frame row
     (vectorized filter; a table of (video_id, frame_index, payload))."""
-    import pyarrow.compute as pc
+    def keep(t: pa.Table) -> pa.Table:
+        idx = t.column(frame_col).combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(idx % every_nth == 0))
 
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(pc.mod(t.column(frame_col), every_nth), 0)),
-        batch_format="pyarrow",
-    )
+    return ds.map_batches(keep, batch_format="pyarrow")

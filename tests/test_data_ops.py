@@ -1,0 +1,174 @@
+"""Training-data operators: dedup family, text analysis, ANN,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from llama_ray.data_ops.ann import knn_brute_force, knn_lsh
+from llama_ray.data_ops.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_buckets,
+)
+from llama_ray.data_ops.multimodal import decode_and_featurize_images, sample_frames
+from llama_ray.data_ops.text import fingerprint, language_id, quality_score, token_counts
+
+
+def docs_ds(texts):
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_exact_dedup():
+    ds = docs_ds(["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert out["copies"].tolist() == [3, 2, 1]
+
+
+def test_minhash_lsh_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different content about graph engines and arrow batches flowing through shuffles"
+    ds = docs_ds([base, near, other])
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.5)
+    lab = dict(zip(out["doc_id"], out["cluster"]))
+    assert lab[0] == lab[1]  # near-dups clustered
+    assert lab[2] != lab[0]  # distinct text alone
+
+
+def test_simhash_close_for_similar():
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    far = "one two three four five six seven eight"
+    out = simhash_buckets(docs_ds([base, near, far])).to_pandas().sort_values("doc_id")
+    h = out["simhash"].tolist()
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+
+
+def test_embedding_near_dup():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16)
+    vecs = [v, v + 0.001 * rng.standard_normal(16), rng.standard_normal(16)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array([x.astype(np.float32).tolist() for x in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = embedding_near_dup(ds, threshold=0.99)
+    assert set(zip(out["a"], out["b"])) == {(0, 1)}
+
+
+def test_language_id():
+    ds = docs_ds(
+        [
+            "the cat and the dog sat in the house with the mouse",
+            "der Hund und die Katze sind nicht in der Stadt",
+            "el perro y el gato de la casa con los amigos",
+            "这是一个中文文本的例子 它包含很多汉字 用来测试语言识别",
+        ]
+    )
+    out = language_id(ds).to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "es", "zh"]
+
+
+def test_quality_and_tokens_and_fingerprint():
+    ds = docs_ds(["the quick brown fox, it jumps!", ""])
+    q = quality_score(ds).to_pandas().sort_values("doc_id")
+    assert 0 <= q["quality"].iloc[0] <= 1
+    assert q["quality"].iloc[1] < q["quality"].iloc[0]
+    t = token_counts(ds).to_pandas().sort_values("doc_id")
+    assert t["n_tokens_ws"].tolist() == [6, 0]
+    assert t["n_tokens_bpe"].iloc[0] == 8  # 6 words + comma + bang
+    f = fingerprint(ds).to_pandas()
+    assert f["fingerprint"].str.len().eq(16).all()
+
+
+def test_fingerprint_robust_to_small_edit():
+    a = "word " * 50
+    b = "word " * 49 + "différent"
+    f = fingerprint(docs_ds([a, a, b])).to_pandas().sort_values("doc_id")
+    fps = f["fingerprint"].tolist()
+    assert fps[0] == fps[1]
+
+
+def emb_ds(n=60, dim=8, seed=1):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+                }
+            )
+        ),
+        V,
+    )
+
+
+def test_knn_brute_force_matches_numpy():
+    ds, V = emb_ds()
+    Q = V[:3].astype(np.float64)
+    out = knn_brute_force(ds, Q, np.arange(3), k=5)
+    Vn = V.astype(np.float64)
+    Vn = Vn / np.linalg.norm(Vn, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Vn @ Qn.T
+    for q in range(3):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        expect = set(np.argsort(-s)[:5].tolist())
+        got = set(out[out["qid"] == q]["neighbor_id"].tolist())
+        assert got == expect
+
+
+def test_knn_lsh_reasonable_recall():
+    ds, V = emb_ds(n=200, dim=16, seed=2)
+    Q = V[:5].astype(np.float64)
+    exact = knn_brute_force(ds, Q, np.arange(5), k=10)
+    approx = knn_lsh(ds, Q, np.arange(5), k=10, num_planes=8, num_probes=4)
+    recall = 0.0
+    for q in range(5):
+        e = set(exact[exact["qid"] == q]["neighbor_id"])
+        a = set(approx[approx["qid"] == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.5  # probes cover most near buckets
+
+
+def test_multimodal_plumbing():
+    payloads = [bytes(range(64)), b"\x10" * 64, b"abc"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "item_id": pa.array([0, 1, 2], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    out = decode_and_featurize_images(ds, batch_size=2, concurrency=2).to_pandas()
+    assert set(out.columns) >= {"item_id", "pixels", "height", "width", "features"}
+    assert all(len(f) == 10 for f in out["features"])  # mean/std + 8-bin hist
+
+
+def test_frame_sampling():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "video_id": pa.array([1] * 25, pa.int64()),
+                "frame_index": pa.array(range(25), pa.int64()),
+            }
+        )
+    )
+    out = sample_frames(ds, every_nth=10).to_pandas()
+    assert sorted(out["frame_index"].tolist()) == [0, 10, 20]

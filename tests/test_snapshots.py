@@ -1,0 +1,73 @@
+"""Snapshot store: levels, tombstones, window, flatten, streaming
+micro-batches (FIXTURES.md §5; reference sliding-window semantics
+benchmark.cc:1115-1124)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from llama_ray.snapshots.store import SnapshotStore, stream_ingest
+
+
+def ds_of(pairs, weight=None):
+    src = pa.array([p[0] for p in pairs], pa.int64())
+    dst = pa.array([p[1] for p in pairs], pa.int64())
+    cols = {"src": src, "dst": dst}
+    if weight is not None:
+        cols["weight"] = pa.array(weight, pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def edge_set(ds):
+    df = ds.to_pandas()
+    return set(zip(df["src"].tolist(), df["dst"].tolist()))
+
+
+def test_levels_accumulate(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(ds_of([(0, 1), (1, 2)]))
+    st.ingest_batch(ds_of([(2, 3)]))
+    assert st.levels() == [0, 1]
+    assert edge_set(st.edges()) == {(0, 1), (1, 2), (2, 3)}
+    # snapshot isolation: older level view unchanged
+    assert edge_set(st.edges(at_level=0)) == {(0, 1), (1, 2)}
+
+
+def test_tombstones(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(ds_of([(0, 1), (1, 2), (2, 3)]))
+    st.delete_edges(ds_of([(1, 2)]))
+    assert edge_set(st.edges()) == {(0, 1), (2, 3)}
+    # the pre-delete snapshot still sees the edge
+    assert (1, 2) in edge_set(st.edges(at_level=0))
+
+
+def test_sliding_window(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    for k in range(4):
+        st.ingest_batch(ds_of([(k, k + 1)]))
+    st.set_window(2)
+    assert len(st.levels()) == 2
+    assert edge_set(st.edges()) == {(2, 3), (3, 4)}
+
+
+def test_flatten_dedup_and_weights(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(ds_of([(0, 1), (0, 1), (1, 2)]))
+    st.ingest_batch(ds_of([(0, 1)]))
+    lvl = st.flatten(weights="count")
+    assert st.levels() == [lvl]
+    df = st.edges().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert df[["src", "dst"]].values.tolist() == [[0, 1], [1, 2]]
+    # duplicate multiplicity became weight (streaming semantics)
+    assert df["weight"].tolist() == [3, 1]
+
+
+def test_stream_ingest_runs_per_batch(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    batches = [ds_of([(k, k + 1)]) for k in range(3)]
+    counts = stream_ingest(
+        st, batches, window=2, on_snapshot=lambda s, lvl: s.edges().count()
+    )
+    assert counts == [1, 2, 2]
