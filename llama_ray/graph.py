@@ -110,6 +110,21 @@ class Graph:
         return deg
 
 
+def target_num_blocks(num_edges_hint: int | None = None) -> int:
+    """Block count for the materialized edge table: ~1 block per CPU
+    (supersteps scan the whole table every iteration, so fewer, larger
+    blocks amortize per-task overhead), growing with data so a block
+    stays ≤ ~8M edges (~128 MB of (src,dst) int64 pairs)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(cpus, 2)
+    if num_edges_hint:
+        blocks = max(blocks, num_edges_hint // 8_000_000)
+    return blocks
+
+
 def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
     """Densify an int64-id edge Dataset into a :class:`Graph`.
 
@@ -142,6 +157,13 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
     dense = edges.map_batches(remap, batch_format="pyarrow")
     if materialize:
         dense = dense.materialize()
+        # coalesce into ~1 block/CPU before iterating: supersteps rescan
+        # this table every iteration, and per-block task overhead
+        # dominates when an upstream shuffle (dedup groupby) left many
+        # small blocks
+        tgt = target_num_blocks(dense.count())
+        if dense.num_blocks() > 2 * tgt or dense.num_blocks() < max(1, tgt // 2):
+            dense = dense.repartition(tgt).materialize()
 
     deg = np.zeros(len(ids), dtype=np.int64)
     num_edges = 0
