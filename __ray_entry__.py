@@ -40,7 +40,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs": q.q_bfs,
         "sssp_weighted": q.q_sssp_weighted,
         "avg_nbr_balance": q.q_avg_nbr_balance,
+        "wcc_sizes": q.q_wcc_sizes,
+        "top_referenced": q.q_top_referenced,
+        "bc_random": q.q_bc_random,
+        "events_sessions": q.q_events_sessions,
         "doc_exact_dedup": q.q_doc_exact_dedup,
+        "doc_minhash_clusters": q.q_doc_minhash_clusters,
+        "doc_simhash": q.q_doc_simhash,
+        "doc_language_id": q.q_doc_language_id,
+        "doc_quality": q.q_doc_quality,
+        "embedding_near_dup": q.q_embedding_near_dup,
         "doc_token_stats": q.q_doc_token_stats,
         "lang_stats": q.q_lang_stats,
         "events_hourly": q.q_events_hourly,
@@ -64,7 +73,14 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),
         # sssp_weighted: no SQL oracle (verified vs numpy Bellman-Ford in tests)
+        # bc_random / doc_minhash_clusters / doc_simhash / doc_language_id /
+        # doc_quality / embedding_near_dup: sketch/heuristic ops, no SQL
+        # oracle — rows-only driver check; verified vs numpy oracles or
+        # constructed fixtures in tests/
         "avg_nbr_balance": o.avg_nbr_balance_sql(),
+        "wcc_sizes": o.wcc_sizes_sql(),
+        "top_referenced": o.top_referenced_sql(),
+        "events_sessions": o.events_sessions_sql(),
         "doc_exact_dedup": o.doc_exact_dedup_sql(),
         "doc_token_stats": o.doc_token_stats_sql(),
         "lang_stats": o.lang_stats_sql(),

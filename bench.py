@@ -78,7 +78,7 @@ def run_benchmark() -> dict:
     timings["triangle_count"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    canonical = dedup_edges(undirected_ordered(g.edges, drop_self_loops=True))
+    canonical = dedup_edges(undirected_ordered(raw_edges(sf_dir), drop_self_loops=True))
     lp_g = build_graph(canonical)
     label_propagation(lp_g, iterations=4)
     timings["label_propagation"] = time.perf_counter() - t0

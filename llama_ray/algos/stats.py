@@ -41,6 +41,31 @@ def degree_distribution(edges: rd.Dataset, *, direction: str = "out") -> "pa.Tab
     return hist.sort("bucket").to_pandas()
 
 
+def level_spread(edges: rd.Dataset, *, level_col: str = "snapshot"):
+    """Per-vertex count of distinct snapshot levels its adjacency
+    spans (reference ``level_spread``,
+    `/root/reference/benchmark/tools/level_spread.h:50-157`):
+    histogram rows (num_levels, num_vertices). Two-stage: per-batch
+    distinct (src, level) pairs → groupby(src) distinct-count →
+    bucket histogram."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        lv = batch_to_numpy(batch, level_col)
+        u = np.unique(np.stack([s, lv]), axis=1)
+        return {"src": u[0], "level": u[1]}
+
+    distinct = (
+        edges.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["src", "level"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    per_vertex = distinct.groupby("src").aggregate(Count(alias_name="num_levels"))
+    hist = per_vertex.groupby("num_levels").aggregate(Count(alias_name="num_vertices"))
+    return hist.sort("num_levels").to_pandas()
+
+
 def edge_prop_stats(edges: rd.Dataset, prop: str = "weight"):
     """Global min/max/sum/count/mean of one edge column (the
     reference's default property is ``stream-weight``)."""

