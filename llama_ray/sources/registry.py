@@ -19,9 +19,22 @@ from .xs1 import read_xs1
 
 _GEN_RE = re.compile(r"^(rmat|r-mat|er)\(([^)]*)\)$", re.I)
 
+# user-extension surface (reference loader plugin API,
+# ``ll_load_utils.h:63-135``): register (predicate, loader) pairs
+_CUSTOM_LOADERS: list = []
+
+
+def register_loader(accepts, load) -> None:
+    """Plug in a custom source: ``accepts(path) -> bool`` and
+    ``load(path) -> Dataset``. Checked before the built-ins."""
+    _CUSTOM_LOADERS.append((accepts, load))
+
 
 def load_edges(path: str) -> rd.Dataset:
     """Edge Dataset from a path or generator pseudo-file."""
+    for accepts, load in _CUSTOM_LOADERS:
+        if accepts(path):
+            return load(path)
     m = _GEN_RE.match(path.strip())
     if m:
         kind = m.group(1).lower().replace("-", "")

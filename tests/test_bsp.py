@@ -1,0 +1,50 @@
+"""BSP gather engine ≡ dataset engine (both must produce identical
+per-vertex results; BSP is the partition-pinned-actor scaling path)."""
+
+import numpy as np
+import pytest
+
+from llama_ray.algos.pagerank import pagerank
+from llama_ray.algos.traversal import sssp
+from llama_ray.engine.bsp import BSPGather
+from llama_ray.graph import build_graph
+from llama_ray.sources.generators import rmat
+
+
+@pytest.fixture(scope="module")
+def g():
+    return build_graph(rmat(9, 8, seed=13))
+
+
+def test_pagerank_engines_agree(g):
+    a = pagerank(g, max_iters=10, engine="dataset")
+    b = pagerank(g, max_iters=10, engine="bsp")
+    assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-14)
+
+
+def test_sssp_engines_agree(g):
+    root = int(g.ids[3])
+    a = sssp(g, root, engine="dataset")
+    b = sssp(g, root, engine="bsp")
+    assert np.array_equal(a.state["dist"], b.state["dist"])
+
+
+def test_gather_sum_matches_numpy(g):
+    gat = BSPGather(g, num_partitions=3)
+    rng = np.random.default_rng(0)
+    v = rng.random(g.num_vertices)
+    got = gat.gather_sum(v)
+    df = g.edges.to_pandas()
+    expect = np.zeros(g.num_vertices)
+    np.add.at(expect, df["dst"].to_numpy(), v[df["src"].to_numpy()])
+    assert np.allclose(got, expect, atol=1e-12)
+    gat.shutdown()
+
+
+def test_sort_build_mode_matches(g):
+    a = BSPGather(g, num_partitions=3, build="scan")
+    b = BSPGather(g, num_partitions=3, build="sort")
+    v = np.random.default_rng(1).random(g.num_vertices)
+    assert np.allclose(a.gather_sum(v), b.gather_sum(v), atol=1e-12)
+    a.shutdown()
+    b.shutdown()
