@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs": q.q_bfs,
         "sssp_weighted": q.q_sssp_weighted,
         "avg_nbr_balance": q.q_avg_nbr_balance,
+        "ppr": q.q_ppr,
         "wcc_sizes": q.q_wcc_sizes,
         "top_referenced": q.q_top_referenced,
         "bc_random": q.q_bc_random,
@@ -78,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle — rows-only driver check; verified vs numpy oracles or
         # constructed fixtures in tests/
         "avg_nbr_balance": o.avg_nbr_balance_sql(),
+        "ppr": o.ppr_sql(),
         "wcc_sizes": o.wcc_sizes_sql(),
         "top_referenced": o.top_referenced_sql(),
         "events_sessions": o.events_sessions_sql(),

@@ -94,6 +94,31 @@ class _GatherPartition:
             out[self.local_dst] = np.add.reduceat(contrib, self.run_starts)
         return out
 
+    def gather_sum_multi(self, value, chunk: int = 1 << 21):
+        """(V, K) batched gather: Σ value[src, :] per dst for this
+        actor's slice. One row gather per edge feeds K accumulations —
+        K-fold arithmetic intensity over the scalar gather. Processed
+        in run-aligned chunks so the (chunk, K) gather intermediate
+        stays cache/page friendly instead of materializing E_p×K."""
+        K = value.shape[1]
+        out = np.zeros((self.hi - self.lo, K))
+        m = len(self.src)
+        if m == 0:
+            return out
+        R = len(self.run_starts)
+        # chunk boundaries in run index space, aligned to run starts
+        r = 0
+        while r < R:
+            r_end = np.searchsorted(self.run_starts, self.run_starts[r] + chunk)
+            r_end = max(r_end, r + 1)
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            contrib = value[self.src[e0:e1]]
+            sums = np.add.reduceat(contrib, self.run_starts[r:r_end] - e0, axis=0)
+            out[self.local_dst[r:r_end]] = sums
+            r = r_end
+        return out
+
     def gather_min_plus(self, dist, active):
         """min over active src of dist[src] + weight (or +1) for this
         actor's dst slice; inf where no message."""
@@ -125,7 +150,22 @@ class BSPGather:
         n = graph.num_vertices
         self.num_vertices = n
         P = max(1, min(num_partitions, n))
-        bounds = [(p * n) // P for p in range(P)] + [n]
+        # dst-range bounds balanced by EDGE count, not vertex count:
+        # power-law graphs concentrate in-edges on few vertices (R-MAT
+        # hot ids), and an equal-width split can hand one actor half
+        # the edges — the hottest partition then serializes every
+        # superstep (measured: zero 8→32 speedup before this fix).
+        # This is the degree-based skew split of SURVEY §4.
+        indeg = graph.in_degrees()
+        cum = np.cumsum(indeg)
+        total = int(cum[-1]) if len(cum) else 0
+        if total > 0 and P > 1:
+            targets = np.linspace(0, total, P + 1)[1:-1]
+            cuts = np.searchsorted(cum, targets) + 1
+            bounds = np.unique(np.concatenate([[0], cuts, [n]])).tolist()
+        else:
+            bounds = [(p * n) // P for p in range(P)] + [n]
+        P = len(bounds) - 1
         cols = ["src", "dst"] + (["weight"] if weighted else [])
         # num_cpus=0: the actors compute only inside synchronous gather
         # RPCs (at most P at once, P = CPUs-1 by default), so reserving
@@ -154,6 +194,16 @@ class BSPGather:
         v_ref = ray.put(value)
         parts = ray.get([a.gather_sum.remote(v_ref) for a in self.actors])
         return np.concatenate(parts) if parts else np.zeros(self.num_vertices)
+
+    def gather_sum_multi(self, value: np.ndarray) -> np.ndarray:
+        """Dense (V, K) batched Σ value[src, :] per dst."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_sum_multi.remote(v_ref) for a in self.actors])
+        return (
+            np.concatenate(parts, axis=0)
+            if parts
+            else np.zeros((self.num_vertices, value.shape[1]))
+        )
 
     def gather_min_plus(self, dist: np.ndarray, active: np.ndarray) -> np.ndarray:
         """Dense min-relax vector (inf = no message)."""

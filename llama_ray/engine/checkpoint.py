@@ -63,9 +63,12 @@ class CheckpointManager:
 
     def save(self, k: int, arrays: dict[str, np.ndarray], metrics: dict) -> None:
         """Atomic write: temp file + rename, manifest written last so a
-        manifest's existence implies a complete state file."""
+        manifest's existence implies a complete state file. 2-D state
+        (batched algorithms: PPR, multi-source BC) is stored flattened
+        with its shape recorded in the manifest."""
         state_path, manifest_path = self._paths(k)
-        table = pa.table({name: pa.array(arr) for name, arr in arrays.items()})
+        shapes = {name: list(arr.shape) for name, arr in arrays.items()}
+        table = pa.table({name: pa.array(np.ravel(arr)) for name, arr in arrays.items()})
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".parquet.tmp")
         os.close(fd)
         pq.write_table(table, tmp, row_group_size=1 << 20)
@@ -79,6 +82,7 @@ class CheckpointManager:
                 "ids_fingerprint": self.fingerprint,
             },
             "state_hash": _state_hash(arrays),
+            "state_shapes": shapes,
             "metrics": metrics,
         }
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".json.tmp")
@@ -111,7 +115,13 @@ class CheckpointManager:
         with open(manifest_path) as f:
             manifest = json.load(f)
         table = pq.read_table(state_path)
-        arrays = {name: table.column(name).to_numpy() for name in table.schema.names}
+        shapes = manifest.get("state_shapes", {})
+        arrays = {}
+        for name in table.schema.names:
+            arr = table.column(name).to_numpy()
+            if name in shapes and len(shapes[name]) > 1:
+                arr = arr.reshape(shapes[name])
+            arrays[name] = arr
         if _state_hash(arrays) != manifest["state_hash"]:
             raise ValueError(f"checkpoint {k} state hash mismatch — corrupt checkpoint")
         return arrays, manifest

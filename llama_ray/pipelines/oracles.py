@@ -75,6 +75,33 @@ SELECT id AS vertex, ROUND(rank, 8) AS rank FROM r{iters}
 ORDER BY rank DESC, vertex ASC LIMIT 10"""
 
 
+def ppr_sql(iters: int = 10, seeds=(1, 2, 3)) -> str:
+    seed_cte = " UNION ALL ".join(f"SELECT CAST({s} AS BIGINT) AS seed" for s in seeds)
+    steps = [
+        "q0 AS MATERIALIZED (SELECT v.id, s.seed, "
+        "CASE WHEN v.id = s.seed THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank "
+        "FROM v CROSS JOIN seeds s)"
+    ]
+    for k in range(iters):
+        steps.append(
+            f"""q{k + 1} AS MATERIALIZED (
+  SELECT b.id, b.seed,
+         (CASE WHEN b.id = b.seed THEN 1 - {DAMPING} ELSE 0 END)
+         + {DAMPING} * COALESCE(c.contrib, 0) AS rank
+  FROM (SELECT v.id, s.seed FROM v CROSS JOIN seeds s) b
+  LEFT JOIN (
+    SELECT e.dst AS id, p.seed, SUM(p.rank / deg.d) AS contrib
+    FROM e JOIN q{k} p ON p.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst, p.seed
+  ) c ON c.id = b.id AND c.seed = b.seed)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+seeds AS ({seed_cte}),
+{body}
+SELECT id AS vertex, seed, ROUND(rank, 8) AS rank FROM q{iters}"""
+
+
 def wcc_sql(rounds: int = WCC_ROUNDS) -> str:
     steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM v)"]
     for k in range(rounds):

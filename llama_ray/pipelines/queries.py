@@ -177,6 +177,28 @@ def q_avg_nbr_balance(sf_dir: str):
     return pa.table({"avg_cnt": pa.array([round(float(total) / n_nations, 6)], pa.float64())})
 
 
+PPR_SEEDS = [1, 2, 3]  # customer vertices; mirrored in oracles.ppr_sql
+
+
+def q_ppr(sf_dir: str):
+    """Batched personalized PageRank (10 iterations, d=0.85) from 3
+    seed customers; output one row per (vertex, seed)."""
+    from ..algos.ppr import personalized_pagerank
+
+    g = build_tpch_graph(sf_dir)
+    seeds = np.array(PPR_SEEDS, np.int64)
+    res = personalized_pagerank(g, seeds, max_iters=10, engine="bsp")
+    r = res.state["rank"]
+    K = len(seeds)
+    return pa.table(
+        {
+            "vertex": np.repeat(g.ids, K),
+            "seed": np.tile(seeds, g.num_vertices),
+            "rank": np.round(r.ravel(), 8),
+        }
+    )
+
+
 def q_wcc_sizes(sf_dir: str):
     """Component → member count (exact partition sizes)."""
     g = build_tpch_graph(sf_dir)
