@@ -51,7 +51,7 @@ def _pagerank_ctes(iters: int) -> str:
         steps.append(
             f"""r{k + 1} AS MATERIALIZED (
   SELECT v.id,
-         (1 - {DAMPING}) / (SELECT n FROM nn)
+         (CAST(1 AS DOUBLE) - {DAMPING}) / (SELECT n FROM nn)
          + {DAMPING} * COALESCE(s.contrib, 0) AS rank
   FROM v LEFT JOIN (
     SELECT e.dst AS id, SUM(r{k}.rank / deg.d) AS contrib
@@ -86,7 +86,7 @@ def ppr_sql(iters: int = 10, seeds=(1, 2, 3)) -> str:
         steps.append(
             f"""q{k + 1} AS MATERIALIZED (
   SELECT b.id, b.seed,
-         (CASE WHEN b.id = b.seed THEN 1 - {DAMPING} ELSE 0 END)
+         (CASE WHEN b.id = b.seed THEN CAST(1 AS DOUBLE) - {DAMPING} ELSE 0 END)
          + {DAMPING} * COALESCE(c.contrib, 0) AS rank
   FROM (SELECT v.id, s.seed FROM v CROSS JOIN seeds s) b
   LEFT JOIN (
