@@ -73,7 +73,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": o.label_propagation_sql(),
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),
-        # sssp_weighted: no SQL oracle (verified vs numpy Bellman-Ford in tests)
+        "sssp_weighted": o.sssp_weighted_sql(),
         # bc_random / doc_minhash_clusters / doc_simhash / doc_language_id /
         # doc_quality / embedding_near_dup: sketch/heuristic ops, no SQL
         # oracle — rows-only driver check; verified vs numpy oracles or

@@ -187,6 +187,31 @@ r(node, dist) AS (
 SELECT node AS vertex, MIN(dist) AS dist FROM r GROUP BY node"""
 
 
+def sssp_weighted_sql(root: int = BFS_ROOT, rounds: int = 12) -> str:
+    """Unrolled Bellman-Ford over duplicate-summed weights (the
+    engine's ``dedup_edges(weights='sum')`` graph). 12 rounds ≫ the
+    graph's ≤8-hop shortest paths; unreached = sentinel, filtered."""
+    INF = "1e18"
+    steps = [
+        f"d0 AS MATERIALIZED (SELECT id, CASE WHEN id = {root} THEN CAST(0 AS DOUBLE) ELSE {INF} END AS dist FROM wv)"
+    ]
+    for k in range(rounds):
+        steps.append(
+            f"""d{k + 1} AS MATERIALIZED (
+  SELECT d{k}.id, LEAST(d{k}.dist, COALESCE(m.best, {INF})) AS dist
+  FROM d{k} LEFT JOIN (
+    SELECT we.dst AS id, MIN(d.dist + we.w) AS best
+    FROM we JOIN d{k} d ON d.id = we.src GROUP BY we.dst
+  ) m ON m.id = d{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH raw_edges AS MATERIALIZED ({RAW_EDGES_SQL}),
+we AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM raw_edges GROUP BY src, dst),
+wv AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we),
+{body}
+SELECT id AS vertex, ROUND(dist, 6) AS dist FROM d{rounds} WHERE dist < {INF}"""
+
+
 def avg_nbr_balance_sql() -> str:
     return f"""WITH {GRAPH_CTES},
 props AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer

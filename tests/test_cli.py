@@ -1,0 +1,42 @@
+"""CLI entry (`python -m llama_ray.cli`) — the ray-job-submit surface.
+
+Runs in a subprocess (the CLI owns its Ray session; the test session
+must not be inherited)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def run_cli(*args):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "llama_ray.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_cli_pagerank_run_and_resume(tmp_path):
+    ck = str(tmp_path / "ck")
+    first = run_cli(
+        "pagerank", "--input", "rmat(8,4)", "--checkpoint-dir", ck, "--max-iters", "3", "--top-k", "2"
+    )
+    assert first["iterations"] == 3
+    assert len(first["top_k"]) == 2
+    resumed = run_cli(
+        "pagerank", "--input", "rmat(8,4)", "--checkpoint-dir", ck, "--max-iters", "6", "--resume"
+    )
+    assert resumed["iterations"] == 6
+    full = run_cli("pagerank", "--input", "rmat(8,4)", "--max-iters", "6")
+    assert abs(full["sum_rank"] - resumed["sum_rank"]) < 1e-12
