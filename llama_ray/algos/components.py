@@ -38,6 +38,7 @@ def weakly_connected_components(
     graph: Graph,
     *,
     max_iters: int = 100,
+    engine: str = "dataset",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -45,6 +46,12 @@ def weakly_connected_components(
     as undirected (each directed edge passes messages both ways, so no
     doubled edge copy is materialized). ``state['label'][i]`` is the
     minimum original vertex id in the component of ``graph.ids[i]``.
+
+    ``engine='bsp'`` uses two partition-pinned gather pools (forward
+    edges and a reversed view) and takes the elementwise min — the
+    scaling path. Labels travel as float64 through the min-gather
+    (original int64 ids are exactly representable below 2^53; for
+    full-range hash ids the dataset engine keeps exact int64 math).
     """
     n = graph.num_vertices
     if n == 0:
@@ -53,10 +60,27 @@ def weakly_connected_components(
     edges = graph.edges
     num_edges = graph.num_edges
 
+    gat_fwd = gat_bwd = None
+    if engine == "bsp":
+        if np.abs(graph.ids).max(initial=0) >= (1 << 53):
+            raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
+        from ..engine.bsp import BSPGather, reversed_view
+
+        gat_fwd = BSPGather(graph)
+        gat_bwd = BSPGather(reversed_view(graph))
+
     def init_state():
         return {"label": graph.ids.copy()}
 
     def step(state, k):
+        if gat_fwd is not None:
+            lab = state["label"].astype(np.float64)
+            m1 = gat_fwd.gather_min(lab)
+            m2 = gat_bwd.gather_min(lab)
+            new_f = np.minimum(lab, np.minimum(m1, m2))
+            new = new_f.astype(np.int64)
+            changed = int((new != state["label"]).sum())
+            return {"label": new}, float(changed), num_edges
         lab_ref = ray.put(state["label"])
 
         def scatter(batch: pa.Table):
@@ -83,7 +107,12 @@ def weakly_connected_components(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
-    return loop.run(init_state, step)
+    try:
+        return loop.run(init_state, step)
+    finally:
+        if gat_fwd is not None:
+            gat_fwd.shutdown()
+            gat_bwd.shutdown()
 
 
 def label_propagation(

@@ -118,6 +118,24 @@ class _GatherPartition:
             )
         return out
 
+    def gather_min(self, value, chunk: int = 1 << 16):
+        """Dense min of value[src] per dst for this actor's slice
+        (+inf where no in-edge) — the WCC/label min-combine."""
+        out = np.full(self.hi - self.lo, np.inf)
+        m = len(self.src)
+        if m == 0:
+            return out
+        bounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(bounds[:-1], bounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            contrib = value[self.src[e0:e1]]
+            out[self.local_dst[r:r_end]] = np.minimum.reduceat(
+                contrib, self.run_starts[r:r_end] - e0
+            )
+        return out
+
     def gather_sum_multi(self, value, chunk: int = 1 << 14):
         """(V, K) batched gather: Σ value[src, :] per dst for this
         actor's slice. One row gather per edge feeds K accumulations.
@@ -150,6 +168,32 @@ class _GatherPartition:
             cand = np.where(mask, cand, np.inf)
             out[self.local_dst] = np.minimum.reduceat(cand, self.run_starts)
         return out
+
+
+class _ReversedGraph:
+    """Shim exposing a graph's edges with src/dst swapped — lets a
+    second BSPGather aggregate along OUT-edges (needed by symmetric
+    algorithms like WCC, whose min-label flows both ways). Bounds
+    balance by the reversed in-degree = original out-degree."""
+
+    def __init__(self, graph: Graph):
+        import pyarrow as _pa
+
+        def swap(batch: _pa.Table) -> _pa.Table:
+            return _pa.table({"src": batch.column("dst"), "dst": batch.column("src")})
+
+        self.edges = graph.edges.select_columns(["src", "dst"]).map_batches(
+            swap, batch_format="pyarrow"
+        )
+        self.num_vertices = graph.num_vertices
+        self._out_deg = graph.out_degrees
+
+    def in_degrees(self):
+        return self._out_deg
+
+
+def reversed_view(graph: Graph) -> "_ReversedGraph":
+    return _ReversedGraph(graph)
 
 
 class BSPGather:
@@ -215,6 +259,12 @@ class BSPGather:
         v_ref = ray.put(value)
         parts = ray.get([a.gather_sum.remote(v_ref) for a in self.actors])
         return np.concatenate(parts) if parts else np.zeros(self.num_vertices)
+
+    def gather_min(self, value: np.ndarray) -> np.ndarray:
+        """Dense min value[src] per dst (+inf = no in-edge)."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_min.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.full(self.num_vertices, np.inf)
 
     def gather_sum_multi(self, value: np.ndarray) -> np.ndarray:
         """Dense (V, K) batched Σ value[src, :] per dst."""

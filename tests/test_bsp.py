@@ -29,6 +29,14 @@ def test_sssp_engines_agree(g):
     assert np.array_equal(a.state["dist"], b.state["dist"])
 
 
+def test_wcc_engines_agree(g):
+    from llama_ray.algos.components import weakly_connected_components
+
+    a = weakly_connected_components(g, engine="dataset")
+    b = weakly_connected_components(g, engine="bsp")
+    assert np.array_equal(a.state["label"], b.state["label"])
+
+
 def test_gather_sum_matches_numpy(g):
     gat = BSPGather(g, num_partitions=3)
     rng = np.random.default_rng(0)
