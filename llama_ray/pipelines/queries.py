@@ -33,6 +33,28 @@ from .tpch_graph import O_NATION, O_REGION, O_SUPP, build_tpch_graph, dedup_edge
 
 BFS_ROOT = 1  # customer #1 — custkeys are dense from 1 in every sf
 
+# Graphs are immutable once built (materialized dense edge Dataset +
+# numpy vertex index), so queries in one session share them instead of
+# re-running the derive+dedup+densify pipeline per query.
+_GRAPH_CACHE: dict = {}
+
+
+def _cached_tpch_graph(sf_dir: str):
+    g = _GRAPH_CACHE.get(("g", sf_dir))
+    if g is None:
+        g = build_tpch_graph(sf_dir)
+        _GRAPH_CACHE[("g", sf_dir)] = g
+    return g
+
+
+def _cached_canonical_graph(sf_dir: str):
+    g = _GRAPH_CACHE.get(("canon", sf_dir))
+    if g is None:
+        canonical = dedup_edges(undirected_ordered(raw_edges(sf_dir), drop_self_loops=True))
+        g = build_graph(canonical)
+        _GRAPH_CACHE[("canon", sf_dir)] = g
+    return g
+
 
 # ------------------------------------------------------------- graph basics
 
@@ -70,7 +92,7 @@ def q_edge_prop_stats(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     res = pagerank(g, max_iters=10)
     return pa.table(
         {"vertex": g.ids, "rank": np.round(res.state["rank"], 8)}
@@ -78,7 +100,7 @@ def q_pagerank(sf_dir: str):
 
 
 def q_pagerank_top10(sf_dir: str):
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     res = pagerank(g, max_iters=10)
     top = pagerank_top_k(g, res, 10)
     return pa.table(
@@ -90,26 +112,25 @@ def q_pagerank_top10(sf_dir: str):
 
 
 def q_wcc(sf_dir: str):
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     res = weakly_connected_components(g)
     return pa.table({"vertex": g.ids, "component": res.state["label"]})
 
 
 def q_label_propagation(sf_dir: str):
-    canonical = dedup_edges(undirected_ordered(raw_edges(sf_dir), drop_self_loops=True))
-    g = build_graph(canonical)
+    g = _cached_canonical_graph(sf_dir)
     res = label_propagation(g, iterations=4)
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
 
 
 def q_triangle_count(sf_dir: str):
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     t = _triangle_count(g)
     return pa.table({"triangles": pa.array([t], pa.int64())})
 
 
 def q_bfs(sf_dir: str):
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     res = _bfs(g, BFS_ROOT)
     dist = res.state["dist"]
     reached = np.isfinite(dist)
@@ -185,7 +206,7 @@ def q_ppr(sf_dir: str):
     seed customers; output one row per (vertex, seed)."""
     from ..algos.ppr import personalized_pagerank
 
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     seeds = np.array(PPR_SEEDS, np.int64)
     res = personalized_pagerank(g, seeds, max_iters=10, engine="bsp")
     r = res.state["rank"]
@@ -201,7 +222,7 @@ def q_ppr(sf_dir: str):
 
 def q_wcc_sizes(sf_dir: str):
     """Component → member count (exact partition sizes)."""
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     res = weakly_connected_components(g)
     comp, cnt = np.unique(res.state["label"], return_counts=True)
     return pa.table({"component": comp, "size": cnt.astype(np.int64)})
@@ -228,7 +249,7 @@ def q_bc_random(sf_dir: str):
     numpy oracle in tests)."""
     from ..algos.bc import betweenness_centrality
 
-    g = build_tpch_graph(sf_dir)
+    g = _cached_tpch_graph(sf_dir)
     bc = betweenness_centrality(g, num_sources=16, seed=42)
     return pa.table({"vertex": g.ids, "bc": np.round(bc, 6)})
 
