@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_referenced": q.q_top_referenced,
         "bc_random": q.q_bc_random,
         "events_sessions": q.q_events_sessions,
+        "events_props_sum": q.q_events_props_sum,
+        "doc_fingerprints": q.q_doc_fingerprints,
+        "knn_lsh": q.q_knn_lsh,
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "doc_minhash_clusters": q.q_doc_minhash_clusters,
         "doc_simhash": q.q_doc_simhash,
@@ -83,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_sizes": o.wcc_sizes_sql(),
         "top_referenced": o.top_referenced_sql(),
         "events_sessions": o.events_sessions_sql(),
+        "events_props_sum": o.events_props_sum_sql(),
         "doc_exact_dedup": o.doc_exact_dedup_sql(),
         "doc_token_stats": o.doc_token_stats_sql(),
         "lang_stats": o.lang_stats_sql(),

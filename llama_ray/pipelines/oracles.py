@@ -258,6 +258,13 @@ def events_hourly_sql() -> str:
 FROM events GROUP BY 1, 2"""
 
 
+def events_props_sum_sql() -> str:
+    return """SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type"""
+
+
 def knn_cosine_sql(n_queries: int = 5, k: int = 10) -> str:
     return f"""WITH q AS (
   SELECT vec_id AS qid,

@@ -412,6 +412,59 @@ def q_embedding_near_dup(sf_dir: str):
     return out
 
 
+def q_events_props_sum(sf_dir: str):
+    """Semi-structured extraction: pull the integer out of the JSON-ish
+    ``props`` column and aggregate per event type (vectorized regex in
+    map_batches; mirrors the SQL regexp_extract oracle)."""
+    import re
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"])
+    pat = re.compile(r"[0-9]+")
+
+    def extract(batch: pa.Table):
+        ks = np.array(
+            [int(pat.search(p).group()) if pat.search(p) else 0 for p in batch.column("props").to_pylist()],
+            np.int64,
+        )
+        return pa.table({"event_type": batch.column("event_type"), "k": pa.array(ks)})
+
+    out = (
+        ev.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+    return out
+
+
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowed rolling-hash fingerprints (rows-only; robustness tested
+    in tests/test_data_ops.py)."""
+    from ..data_ops.text import fingerprint
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def q_knn_lsh(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """Approximate ANN via random-hyperplane LSH (rows-only; recall
+    vs brute force tested in tests/test_data_ops.py)."""
+    from ..data_ops.ann import knn_lsh
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
+    dim = len(qt.column("embedding")[0])
+    Q = np.asarray(qt.column("embedding").combine_chunks().flatten().to_numpy(), np.float64).reshape(-1, dim)
+    out = knn_lsh(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]),
+        Q,
+        qt.column("vec_id").to_numpy(),
+        k=k,
+    )
+    out["sim"] = out["sim"].round(5)
+    return out
+
+
 # ------------------------------------------------------------- embeddings
 
 
