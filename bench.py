@@ -101,6 +101,21 @@ def run_benchmark() -> dict:
     bfs(g, root)
     timings["bfs"] = time.perf_counter() - t0
 
+    # flagship ingest: repo_files → link edges + sha256 manifest
+    from llama_ray.ingest.extract import ingest_repo_files
+    from llama_ray.sources.repo_files import generate_repo_files
+
+    repo_rows = int(os.environ.get("GRAFT_INGEST_ROWS", "100000"))
+    repo_files = generate_repo_files(
+        n_repos=max(1, repo_rows // 400), files_per_repo=400, touches_per_file=1
+    ).materialize()
+    t0 = time.perf_counter()
+    link_edges, manifest = ingest_repo_files(repo_files)
+    n_link_edges = link_edges.count()
+    manifest.count()
+    ingest_sec = time.perf_counter() - t0
+    timings["repo_ingest"] = ingest_sec
+
     edges_processed = g.num_edges * 10
     result = {
         "metric": "pagerank_10iter_sec",
@@ -115,6 +130,9 @@ def run_benchmark() -> dict:
         "pagerank_iters": pr.iterations,
         "wcc_iters": wcc.iterations,
         "triangles": tc,
+        "ingest_rows": repo_rows,
+        "ingest_link_edges": n_link_edges,
+        "ingest_rows_per_sec": round(repo_rows / ingest_sec),
     }
     ray.shutdown()
     return result

@@ -31,6 +31,7 @@ def main(argv=None) -> int:
     p.add_argument("--max-iters", type=int, default=10)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--root", type=int, default=None, help="root vertex for bfs/sssp")
+    p.add_argument("--engine", choices=["dataset", "bsp"], default="dataset")
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--dedup", action="store_true", help="dedup edges before building")
     p.add_argument("--output", default=None, help="write per-vertex results parquet here")
@@ -67,6 +68,7 @@ def main(argv=None) -> int:
             g,
             max_iters=args.max_iters,
             tol=args.tol,
+            engine=args.engine,
             checkpoint_dir=args.checkpoint_dir,
             resume=args.resume,
         )
@@ -81,7 +83,7 @@ def main(argv=None) -> int:
             summary["top_k"] = pagerank_top_k(g, res, args.top_k)
     elif args.algorithm == "wcc":
         res = weakly_connected_components(
-            g, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+            g, engine=args.engine, checkpoint_dir=args.checkpoint_dir, resume=args.resume
         )
         arrays["component"] = res.state["label"]
         summary.update(iterations=res.iterations, components=int(len(set(res.state["label"]))))
@@ -97,6 +99,7 @@ def main(argv=None) -> int:
             g,
             root,
             weighted=(args.weighted and args.algorithm == "sssp"),
+            engine=args.engine,
             checkpoint_dir=args.checkpoint_dir,
             resume=args.resume,
         )

@@ -61,6 +61,19 @@ class ExtractLinkEdges:
 
     def __init__(self):
         self._compiled = {k: re.compile(v, re.M) for k, v in _IMPORT_PATTERNS.items()}
+        # per-actor memo: repo/commit/path names repeat across rows
+        # (hub modules especially), and blake2b-per-name dominates the
+        # row loop otherwise
+        self._memo: dict[str, int] = {}
+
+    def _vid(self, kind: str, name: str) -> int:
+        key = f"{kind}:{name}"
+        v = self._memo.get(key)
+        if v is None:
+            v = hash64(key)
+            if len(self._memo) < 2_000_000:  # bound actor memory
+                self._memo[key] = v
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         repos = batch.column("repo").to_pylist()
@@ -73,18 +86,18 @@ class ExtractLinkEdges:
         for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
             # module key = extensionless path, target key space for imports
             mod_key = path.rsplit(".", 1)[0]
-            file_v = vertex_id("path", f"{repo}:{mod_key}")
-            src.append(vertex_id("repo", repo))
+            file_v = self._vid("path", f"{repo}:{mod_key}")
+            src.append(self._vid("repo", repo))
             dst.append(file_v)
             kind.append("repo_contains_path")
-            src.append(vertex_id("commit", f"{repo}:{commit}"))
+            src.append(self._vid("commit", f"{repo}:{commit}"))
             dst.append(file_v)
             kind.append("commit_touches_path")
             pat = self._compiled.get(lang)
             if pat is not None:
                 for m in pat.finditer(content):
                     pkg, mod = m.group(1), m.group(2)
-                    tgt = vertex_id("path", f"{repo}:src/pkg{pkg}/mod{mod}")
+                    tgt = self._vid("path", f"{repo}:src/pkg{pkg}/mod{mod}")
                     src.append(file_v)
                     dst.append(tgt)
                     kind.append("path_imports_path")
@@ -105,7 +118,7 @@ def add_sha256(batch: pa.Table) -> pa.Table:
 
 
 def ingest_repo_files(
-    repo_files: rd.Dataset, *, concurrency: int | tuple[int, int] = (2, 8)
+    repo_files: rd.Dataset, *, concurrency: int | tuple[int, int] = (2, 32)
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """The flagship ingest pipeline: returns ``(edges, manifest)``.
 

@@ -109,6 +109,16 @@ def test_sinks_and_lookups():
     assert probes[(0, 1)] and not probes[(0, 2)]
 
 
+def test_find_edges_hash_id_fallback():
+    """Probe path for ids beyond the packable range (hash64 vertex
+    ids) — exercises the set-based fallback in lookups.find_edges."""
+    big = 1 << 40
+    pairs = [(big + 1, big + 2), (big + 2, big + 3)]
+    ds = ds_of(pairs)
+    probes = find_edges(ds, [(big + 1, big + 2), (big + 1, big + 3)])
+    assert probes[(big + 1, big + 2)] and not probes[(big + 1, big + 3)]
+
+
 def test_level_spread():
     from llama_ray.algos.stats import level_spread
 
