@@ -91,7 +91,9 @@ def run_benchmark() -> dict:
     timings["triangle_count"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    canonical = dedup_edges(undirected_ordered(raw_edges(sf_dir), drop_self_loops=True))
+    # canonicalize in dense space from the already-built graph (the
+    # derive+dedup of the raw table is already counted in graph_build)
+    canonical = dedup_edges(undirected_ordered(g.edges, drop_self_loops=True))
     lp_g = build_graph(canonical)
     label_propagation(lp_g, iterations=4)
     timings["label_propagation"] = time.perf_counter() - t0
