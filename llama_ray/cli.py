@@ -24,8 +24,15 @@ import sys
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llama_ray")
-    p.add_argument("algorithm", choices=["pagerank", "wcc", "label_propagation", "sssp", "bfs", "tc", "bc"])
-    p.add_argument("--input", required=True, help="edge source: parquet path, .net/.xs1 file, or rmat(...)/er(...)")
+    p.add_argument(
+        "algorithm",
+        choices=["pagerank", "wcc", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
+        help="analytics task, or 'load': build a snapshot level from the input "
+        "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
+    )
+    p.add_argument("--db", default=None, help="snapshot store dir (for 'load', or as input with --from-db)")
+    p.add_argument("--from-db", action="store_true", help="read edges from the --db snapshot store")
+    p.add_argument("--input", default=None, help="edge source: parquet path, .net/.xs1 file, or rmat(...)/er(...)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-iters", type=int, default=10)
@@ -56,9 +63,44 @@ def main(argv=None) -> int:
     from .sinks import write_results_parquet
     from .sources.registry import load_edges
 
-    edges = load_edges(args.input)
-    if args.dedup:
-        edges = dedup_edges(edges)
+    from .snapshots.store import SnapshotStore
+
+    if args.algorithm == "load":
+        if not args.db:
+            p.error("'load' requires --db")
+        store = SnapshotStore(args.db)
+        edges = load_edges(args.input)
+        if args.dedup:
+            edges = dedup_edges(edges)
+        import time as _t
+
+        t0 = _t.perf_counter()
+        level = store.ingest_batch(edges)
+        dt = _t.perf_counter() - t0
+        n = store.edges(at_level=level).count()
+        print(
+            json.dumps(
+                {
+                    "algorithm": "load",
+                    "db": args.db,
+                    "level": level,
+                    "edges_total": n,
+                    "kedges_per_sec": round(n / dt / 1000, 1),
+                }
+            )
+        )
+        return 0
+
+    if args.from_db:
+        if not args.db:
+            p.error("--from-db requires --db")
+        edges = SnapshotStore(args.db).edges()
+    else:
+        if not args.input:
+            p.error("--input required (or use --from-db with --db)")
+        edges = load_edges(args.input)
+        if args.dedup:
+            edges = dedup_edges(edges)
     g = build_graph(edges)
 
     summary = {"algorithm": args.algorithm, "vertices": g.num_vertices, "edges": g.num_edges}
