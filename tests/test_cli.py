@@ -11,7 +11,7 @@ import sys
 import pytest
 
 
-def run_cli(*args):
+def run_cli(*args, _retries=1):
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)
     out = subprocess.run(
@@ -22,6 +22,10 @@ def run_cli(*args):
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
+    if out.returncode != 0 and _retries > 0:
+        # a concurrent Ray session in the test process occasionally
+        # races the subprocess's local cluster startup — one retry
+        return run_cli(*args, _retries=_retries - 1)
     assert out.returncode == 0, out.stderr[-2000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
 
