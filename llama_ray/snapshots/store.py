@@ -77,7 +77,7 @@ class SnapshotStore:
             del_dir = os.path.join(d, "deletes")
             os.makedirs(del_dir, exist_ok=True)
             deletes.select_columns(["src", "dst"]).write_parquet(del_dir)
-            n_deletes = sum(1 for _ in deletes.iter_rows())
+            n_deletes = deletes.count()
         manifest = {
             "level": level,
             "num_edges": edges.count(),
