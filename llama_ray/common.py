@@ -71,3 +71,36 @@ def sparse_partial_min(keys: np.ndarray, values: np.ndarray):
 def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     """Zero-copy-when-possible extraction of a column as numpy."""
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+# ---------------------------------------------------------------- pair keys
+#
+# (src, dst) pairs as a structured array — lexicographic sort/searchsorted
+# without bit-packing, so the full signed-int64 id range is safe (packing
+# src<<32|dst aliases dst >= 2^32 and overflows on negative hash64 ids).
+
+_PAIR_DTYPE = np.dtype([("s", "<i8"), ("d", "<i8")])
+
+
+def pair_struct(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """View two int64 columns as one lexicographically-comparable array."""
+    out = np.empty(len(src), dtype=_PAIR_DTYPE)
+    out["s"] = src
+    out["d"] = dst
+    return out
+
+
+def sorted_pair_struct(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Sorted (src, dst) struct array for membership probes."""
+    return np.sort(pair_struct(src, dst))
+
+
+def pairs_member_mask(src: np.ndarray, dst: np.ndarray, sorted_pairs: np.ndarray) -> np.ndarray:
+    """Bool mask: which (src[i], dst[i]) occur in ``sorted_pairs``
+    (a sorted struct array from :func:`sorted_pair_struct`)."""
+    if len(sorted_pairs) == 0 or len(src) == 0:
+        return np.zeros(len(src), dtype=bool)
+    q = pair_struct(src, dst)
+    pos = np.searchsorted(sorted_pairs, q)
+    pos = np.clip(pos, 0, len(sorted_pairs) - 1)
+    return sorted_pairs[pos] == q

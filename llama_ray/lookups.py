@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .common import batch_to_numpy
+from .common import batch_to_numpy, pair_struct, pairs_member_mask, sorted_pair_struct
 from .graph import Graph
 
 
@@ -25,22 +25,21 @@ def find_edges(edges: rd.Dataset, pairs: list[tuple[int, int]]) -> dict[tuple[in
     if not pairs:
         return {}
     probe = np.array(sorted({(int(a), int(b)) for a, b in pairs}), np.int64)
-    probe_ref = ray.put(probe)
+    probe_struct = sorted_pair_struct(probe[:, 0], probe[:, 1])
+    probe_ref = ray.put(probe_struct)
 
     def check(batch: pa.Table):
+        # probe pairs sorted lexicographically as a struct array — full
+        # int64 id range safe (no bit-packing); which probes appear in
+        # this batch, reported by probe index
         p = ray.get(probe_ref)
         s = batch_to_numpy(batch, "src")
         d = batch_to_numpy(batch, "dst")
-        # match rows against probe pairs via lexicographic searchsorted
-        keys = s * (1 << 32) + d if (s < (1 << 31)).all() and (d < (1 << 31)).all() else None
-        found = np.zeros(len(p), bool)
-        if keys is not None and (p < (1 << 31)).all():
-            pk = p[:, 0] * (1 << 32) + p[:, 1]
-            found = np.isin(pk, keys)
-        else:
-            rows = set(zip(s.tolist(), d.tolist()))
-            found = np.array([(a, b) in rows for a, b in p.tolist()], bool)
-        return {"idx": np.flatnonzero(found).astype(np.int64)}
+        hit_rows = pairs_member_mask(s, d, p)
+        if not hit_rows.any():
+            return {"idx": np.empty(0, np.int64)}
+        q = np.searchsorted(p, pair_struct(s[hit_rows], d[hit_rows]))
+        return {"idx": np.unique(q).astype(np.int64)}
 
     hit = np.zeros(len(probe), bool)
     for b in edges.map_batches(check, batch_format="pyarrow").iter_batches(

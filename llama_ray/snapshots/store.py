@@ -8,7 +8,8 @@ Reference mapping (SURVEY §1.4, §2.10):
   →  ``ingest_batch(edges)`` writes the delta as the next level;
 - deletion vector (``ll_mlcsr_helpers.h:90-107``: edge hidden when
   ``max_visible_level <= L``)  →  per-level ``deletes-*.parquet``
-  tombstone pairs, filtered out of every read at level ≥ their own;
+  tombstone pairs; a tombstone at level L hides only edge records
+  from levels *before* L, so re-insertion after deletion works;
 - sliding window ``-W`` (``benchmark.cc:1115-1124``: keep newest W
   levels)  →  ``set_window(w)`` deletes older level dirs;
 - flatten / full merge (``tools/flatten.h:55-205``)  →  ``flatten()``
@@ -35,7 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..common import batch_to_numpy
+from ..common import batch_to_numpy, pairs_member_mask, sorted_pair_struct
 from ..ingest.canonicalize import dedup_edges
 
 
@@ -90,49 +91,63 @@ class SnapshotStore:
 
     # -------------------------------------------------------------- read
 
-    def _tombstones_upto(self, level: int) -> set[tuple[int, int]]:
-        """All (src, dst) deleted at or before ``level``. Collected to
-        the driver and broadcast — tombstone sets are deltas, small
-        relative to the edge set; at extreme scale the same filter
-        runs as a sort-merge anti-join instead."""
-        pairs: set[tuple[int, int]] = set()
+    def _tombstones_by_level(self, level: int) -> list[tuple[int, np.ndarray, np.ndarray]]:
+        """(del_level, src, dst) arrays for every deletion vector at or
+        before ``level``. Collected to the driver and broadcast —
+        tombstone sets are deltas, small relative to the edge set; at
+        extreme scale the same filter runs as a sort-merge anti-join."""
+        out = []
         for lv in self.levels():
             if lv > level:
                 break
             del_dir = os.path.join(self._level_dir(lv), "deletes")
             if os.path.isdir(del_dir):
                 t = rd.read_parquet(del_dir).to_pandas()
-                pairs.update(zip(t["src"].tolist(), t["dst"].tolist()))
-        return pairs
+                out.append(
+                    (lv, t["src"].to_numpy(np.int64), t["dst"].to_numpy(np.int64))
+                )
+        return out
 
     def edges(self, *, at_level: int | None = None, min_level: int | None = None) -> rd.Dataset:
         """Union of level deltas visible at ``at_level`` (default:
         newest), minus tombstones — the reference's cross-level
-        iteration with deletion vectors."""
+        iteration with deletion vectors.
+
+        Deletion semantics follow the reference's ``max_visible_level``
+        (``ll_mlcsr_helpers.h:96``): a tombstone written at level L
+        hides only edge records from levels *before* L, so an edge
+        deleted and later re-added is visible again (and adds in the
+        same checkpoint batch as their delete survive). Matching is on
+        the full (src, dst) pair — no bit packing, so arbitrary int64
+        ids are safe."""
         levels = self.levels()
         if not levels:
             raise ValueError("empty snapshot store")
         if at_level is None:
             at_level = levels[-1]
         use = [lv for lv in levels if lv <= at_level and (min_level is None or lv >= min_level)]
-        parts = [rd.read_parquet(os.path.join(self._level_dir(lv), "edges")) for lv in use]
-        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-        tombs = self._tombstones_upto(at_level)
-        if not tombs:
-            return ds
-        tomb_ref = ray.put(np.array(sorted(t[0] << 32 | t[1] for t in tombs), dtype=np.uint64))
+        tombs = self._tombstones_by_level(at_level)
 
-        def filt(batch: pa.Table) -> pa.Table:
-            ts = ray.get(tomb_ref)
-            src = batch_to_numpy(batch, "src")
-            dst = batch_to_numpy(batch, "dst")
-            key = (src.astype(np.uint64) << np.uint64(32)) | dst.astype(np.uint64)
-            pos = np.searchsorted(ts, key)
-            pos = np.clip(pos, 0, len(ts) - 1)
-            keep = ts[pos] != key
-            return batch.filter(pa.array(keep))
+        parts = []
+        for lv in use:
+            ds = rd.read_parquet(os.path.join(self._level_dir(lv), "edges"))
+            # only tombstones from strictly later levels hide this delta
+            applicable = [(s, d) for dl, s, d in tombs if dl > lv]
+            if applicable:
+                s = np.concatenate([a[0] for a in applicable])
+                d = np.concatenate([a[1] for a in applicable])
+                tomb_ref = ray.put(sorted_pair_struct(s, d))
 
-        return ds.map_batches(filt, batch_format="pyarrow")
+                def filt(batch: pa.Table, _ref=tomb_ref) -> pa.Table:
+                    ts = ray.get(_ref)
+                    hit = pairs_member_mask(
+                        batch_to_numpy(batch, "src"), batch_to_numpy(batch, "dst"), ts
+                    )
+                    return batch.filter(pa.array(~hit))
+
+                ds = ds.map_batches(filt, batch_format="pyarrow")
+            parts.append(ds)
+        return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     # --------------------------------------------------------- mutation
 

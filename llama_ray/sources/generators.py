@@ -1,17 +1,43 @@
-"""Deterministic graph generators — distributed, seeded per block.
+"""Deterministic graph generators — distributed, seeded per logical chunk.
 
 Reference analogues: the Erdős–Rényi and R-MAT pseudo-file loaders
 (`/root/reference/llama/include/llama/loaders/ll_gen_erdosrenyi.h:76-84`,
-``ll_gen_rmat.h:204-238`` — defaults a=0.57, b=0.19, c=0.19). Each
-output block derives its RNG stream from (seed, block_start), so
-generation is reproducible regardless of parallelism.
+``ll_gen_rmat.h:204-238`` — defaults a=0.57, b=0.19, c=0.19).
+
+Reproducibility: every edge id belongs to a fixed-size logical chunk
+(``id // CHUNK``); the chunk's RNG stream is seeded ``(seed, chunk)``
+and the whole chunk is drawn before slicing out the rows present in
+the batch. Output therefore depends only on ``(seed, id)`` — never on
+Ray's block layout or ``override_num_blocks`` — at the cost of
+regenerating at most one partial chunk on each batch edge.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 import ray.data as rd
+
+_CHUNK = 1 << 16
+
+
+def _chunked_draw(ids: np.ndarray, seed: int, draw) -> dict:
+    """Per-row values for ``ids`` from fixed-chunk RNG streams.
+
+    ``draw(rng, m) -> dict[str, np.ndarray]`` generates a full chunk of
+    ``m`` rows; rows are then sliced by position within the chunk, so
+    the value of row ``id`` is a pure function of ``(seed, id)``.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    chunks = ids // _CHUNK
+    out: dict[str, np.ndarray] = {}
+    for c in np.unique(chunks):
+        rng = np.random.default_rng([seed, int(c)])
+        full = draw(rng, _CHUNK)
+        mask = chunks == c
+        off = ids[mask] - c * _CHUNK
+        for k, v in full.items():
+            out.setdefault(k, np.empty(len(ids), v.dtype))[mask] = v[off]
+    return out
 
 
 def erdos_renyi(
@@ -19,14 +45,14 @@ def erdos_renyi(
 ) -> rd.Dataset:
     """Uniform random directed multigraph with ``edges`` edges."""
 
-    def gen(batch: dict) -> dict:
-        ids = batch["id"]
-        rng = np.random.default_rng([seed, int(ids[0])])
-        m = len(ids)
+    def draw(rng, m):
         return {
             "src": rng.integers(0, nodes, m, dtype=np.int64),
             "dst": rng.integers(0, nodes, m, dtype=np.int64),
         }
+
+    def gen(batch: dict) -> dict:
+        return _chunked_draw(batch["id"], seed, draw)
 
     return rd.range(edges, override_num_blocks=override_num_blocks).map_batches(
         gen, batch_format="numpy"
@@ -44,24 +70,25 @@ def rmat(
     override_num_blocks: int | None = None,
 ) -> rd.Dataset:
     """R-MAT power-law graph: 2^scale vertices, avg_degree * 2^scale
-    edges. Recursive quadrant sampling, fully vectorized per batch."""
+    edges. Recursive quadrant sampling, fully vectorized per chunk."""
     n = 1 << scale
     num_edges = avg_degree * n
 
-    def gen(batch: dict) -> dict:
-        ids = batch["id"]
-        rng = np.random.default_rng([seed, int(ids[0])])
-        m = len(ids)
+    def draw(rng, m):
         src = np.zeros(m, dtype=np.int64)
         dst = np.zeros(m, dtype=np.int64)
+        r = rng.random((scale, m))
         for bit in range(scale):
-            r = rng.random(m)
+            rb = r[bit]
             # quadrant probabilities: a | b / c | d
-            src_bit = r >= a + b
-            dst_bit = (r >= a) & (r < a + b) | (r >= a + b + c)
+            src_bit = rb >= a + b
+            dst_bit = (rb >= a) & (rb < a + b) | (rb >= a + b + c)
             src = (src << 1) | src_bit
             dst = (dst << 1) | dst_bit
         return {"src": src, "dst": dst}
+
+    def gen(batch: dict) -> dict:
+        return _chunked_draw(batch["id"], seed, draw)
 
     return rd.range(num_edges, override_num_blocks=override_num_blocks).map_batches(
         gen, batch_format="numpy"

@@ -110,13 +110,14 @@ def test_sinks_and_lookups():
 
 
 def test_find_edges_hash_id_fallback():
-    """Probe path for ids beyond the packable range (hash64 vertex
-    ids) — exercises the set-based fallback in lookups.find_edges."""
+    """Probe path for ids beyond any packable range (hash64 vertex
+    ids, negative included) — the struct-pair probe has no packing."""
     big = 1 << 40
-    pairs = [(big + 1, big + 2), (big + 2, big + 3)]
+    pairs = [(big + 1, big + 2), (big + 2, big + 3), (-big, 7)]
     ds = ds_of(pairs)
-    probes = find_edges(ds, [(big + 1, big + 2), (big + 1, big + 3)])
+    probes = find_edges(ds, [(big + 1, big + 2), (big + 1, big + 3), (-big, 7), (-big, 8)])
     assert probes[(big + 1, big + 2)] and not probes[(big + 1, big + 3)]
+    assert probes[(-big, 7)] and not probes[(-big, 8)]
 
 
 def test_level_spread():

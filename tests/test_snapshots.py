@@ -43,6 +43,33 @@ def test_tombstones(tmp_path):
     assert (1, 2) in edge_set(st.edges(at_level=0))
 
 
+def test_readd_after_delete(tmp_path):
+    """Reference max_visible_level semantics (ll_mlcsr_helpers.h:96):
+    a tombstone hides only earlier levels, so delete → re-add works."""
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(ds_of([(0, 1), (1, 2)]))
+    st.delete_edges(ds_of([(0, 1)]))
+    assert edge_set(st.edges()) == {(1, 2)}
+    st.ingest_batch(ds_of([(0, 1)]))  # re-insert after deletion
+    assert edge_set(st.edges()) == {(0, 1), (1, 2)}
+    # historical views unchanged
+    assert edge_set(st.edges(at_level=1)) == {(1, 2)}
+    assert edge_set(st.edges(at_level=0)) == {(0, 1), (1, 2)}
+
+
+def test_tombstone_full_int64_range(tmp_path):
+    """Negative hash64 ids and dst >= 2^32 must not alias (the old
+    src<<32|dst packing overflowed / collided)."""
+    st = SnapshotStore(str(tmp_path))
+    big = 1 << 33
+    st.ingest_batch(ds_of([(-5, -7), (3, big), (4, 0)]))
+    # (3, big) must not alias with (4, 0) under any packing
+    st.delete_edges(ds_of([(3, big)]))
+    assert edge_set(st.edges()) == {(-5, -7), (4, 0)}
+    st.delete_edges(ds_of([(-5, -7)]))
+    assert edge_set(st.edges()) == {(4, 0)}
+
+
 def test_sliding_window(tmp_path):
     st = SnapshotStore(str(tmp_path))
     for k in range(4):

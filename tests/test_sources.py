@@ -40,10 +40,22 @@ def test_erdos_renyi_bounds_and_determinism():
     assert a["src"].between(0, 99).all() and a["dst"].between(0, 99).all()
     sa = a.sort_values(["src", "dst"]).reset_index(drop=True)
     sb = b.sort_values(["src", "dst"]).reset_index(drop=True)
-    # NOTE: per-block seeding means determinism holds per block start; with
-    # different block layouts the streams differ — same layout must match.
+    # chunk seeding: output is a pure function of (seed, id) — identical
+    # across block layouts, not just identical layouts
+    assert sa.equals(sb)
     c = erdos_renyi(100, 500, seed=5).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert sa.equals(c)
+
+
+def test_rmat_layout_independent():
+    a = rmat(7, 4, seed=9).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    b = (
+        rmat(7, 4, seed=9, override_num_blocks=5)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
 
 
 def test_rmat_power_law():
