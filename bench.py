@@ -192,7 +192,7 @@ def run_scaling_worker() -> dict:
     # cannot emulate the per-node bandwidth that real N→4N node
     # scaling adds), so a CPU-bound stage is the in-sandbox probe of
     # the engine's parallel efficiency.
-    from llama_ray.data_ops.dedup import _MinHashBands
+    from llama_ray.data_ops.dedup import MinHashSketcher
     from llama_ray.sources.repo_files import generate_repo_files
 
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "30000"))
@@ -204,7 +204,7 @@ def run_scaling_worker() -> dict:
         )
         .materialize()
     )
-    sketcher = _MinHashBands(64, 16, 5, "doc_id", "text")
+    sketcher = MinHashSketcher(num_hashes=64, bands=16, shingle_k=5)
     mh_secs = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -36,10 +36,63 @@ def test_minhash_lsh_finds_near_dups():
     near = base.replace("lazy", "sleepy")
     other = "completely different content about graph engines and arrow batches flowing through shuffles"
     ds = docs_ds([base, near, other])
-    out = minhash_lsh_dedup(ds, jaccard_threshold=0.5)
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.5).to_pandas()
     lab = dict(zip(out["doc_id"], out["cluster"]))
     assert lab[0] == lab[1]  # near-dups clustered
     assert lab[2] != lab[0]  # distinct text alone
+
+
+def test_minhash_lsh_dedup_exact_clusters_no_driver_collect(monkeypatch):
+    """Constructed near-dups with known cluster structure: 200 clusters
+    of 3 (base + 2 one-word variants) over disjoint vocabularies, plus
+    200 singletons. The pipeline must (a) recover the clusters exactly
+    and (b) never collect a Dataset to the driver via to_pandas — the
+    round-1 scale-killer this rewrite removes."""
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+    def rand_words(seed, n):
+        rng = np.random.default_rng(seed)
+        return ["".join(rng.choice(alphabet, 9)) for _ in range(n)]
+
+    texts = []
+    for c in range(200):
+        base_words = rand_words(c, 25)
+        texts.append(" ".join(base_words))
+        v1 = base_words.copy()
+        v1[20] = "qqvarone"
+        texts.append(" ".join(v1))
+        v2 = base_words.copy()
+        v2[3] = "qqvartwo"
+        texts.append(" ".join(v2))
+    for s in range(200):
+        texts.append(" ".join(rand_words(10_000 + s, 25)))
+    ds = docs_ds(texts)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver to_pandas during distributed dedup")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", boom)
+    try:
+        out = minhash_lsh_dedup(ds, jaccard_threshold=0.5).take_all()
+    finally:
+        monkeypatch.undo()
+    lab = {r["doc_id"]: r["cluster"] for r in out}
+    assert len(lab) == 800
+    for c in range(200):
+        assert lab[3 * c] == lab[3 * c + 1] == lab[3 * c + 2] == 3 * c
+    for s in range(200):
+        assert lab[600 + s] == 600 + s  # singletons untouched
+
+
+def test_ngram_jaccard_pairs():
+    from llama_ray.data_ops.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    near = base.replace("lazy", "sleepy")
+    other = "entirely unrelated words describing arrow record batches and shuffles"
+    out = ngram_jaccard_pairs(docs_ds([base, near, other]), n=3, threshold=0.3).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(0, 1)}
+    assert (out["jaccard"] > 0.3).all()
 
 
 def test_simhash_close_for_similar():
