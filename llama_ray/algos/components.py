@@ -119,6 +119,7 @@ def label_propagation(
     graph: Graph,
     *,
     iterations: int = 4,
+    engine: str = "dataset",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -127,15 +128,65 @@ def label_propagation(
     ignored — callers should pass a deduped graph for exact multiset
     semantics vs an oracle). Labels start as the original vertex ids.
 
-    Internally labels are dense indices so (vertex, label) message
-    counts pack into one int64 key ``vertex * N + label`` (valid while
-    N < 3e9; beyond that the same plan runs with a two-column
-    groupby). Ties break to the smallest label; smaller dense index ⇔
-    smaller original id because ``graph.ids`` is sorted.
+    ``engine='bsp'``: partition-pinned gather actors over the DOUBLED
+    edge list compute the per-vertex neighbor-label mode locally
+    (``gather_mode`` — P-way parallel lexsorts; nothing
+    per-(vertex,label) reaches the driver). The scaling path.
+
+    ``engine='dataset'``: scatter + driver merge; labels are dense
+    indices so (vertex, label) message counts pack into one int64 key
+    ``vertex * N + label`` (valid while N < 3e9; beyond that the same
+    plan runs with a two-column groupby). Ties break to the smallest
+    label in both engines; smaller dense index ⇔ smaller original id
+    because ``graph.ids`` is sorted.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+
+    if engine == "bsp":
+        from ..engine.bsp import BSPGather
+        from ..graph import undirect
+
+        class _DoubledView:
+            """Both directions of every canonical edge, so each
+            neighbor contributes exactly one in-edge message."""
+
+            def __init__(self, g: Graph):
+                self.edges = undirect(g.edges, drop_self_loops=True)
+                self.num_vertices = g.num_vertices
+                self._deg = g.out_degrees + g.in_degrees()
+
+            def in_degrees(self):
+                return self._deg
+
+        gat = BSPGather(_DoubledView(graph))
+        num_edges2 = 2 * graph.num_edges
+
+        def init_state_bsp():
+            return {"dense_label": np.arange(n, dtype=np.int64)}
+
+        def step_bsp(state, k):
+            mode = gat.gather_mode(state["dense_label"])
+            new = np.where(mode >= 0, mode, state["dense_label"])
+            changed = int((new != state["dense_label"]).sum())
+            return {"dense_label": new}, float(changed), num_edges2
+
+        loop = SuperstepLoop(
+            graph,
+            algorithm="label_propagation",
+            max_iters=iterations,
+            tol=None,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+        )
+        try:
+            res = loop.run(init_state_bsp, step_bsp)
+        finally:
+            gat.shutdown()
+        res.state["label"] = graph.ids[res.state["dense_label"]]
+        return res
+
     if n >= (1 << 31):
         raise NotImplementedError("packed-key LP valid to ~3e9 vertices; use 2-col groupby")
 

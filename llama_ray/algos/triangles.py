@@ -1,42 +1,45 @@
-"""Triangle counting — degree-oriented wedge matching.
+"""Triangle counting — degree-oriented wedge matching, fully distributed.
 
 The reference counts triangles with in-memory sorted-adjacency
 intersections (`/root/reference/benchmark/benchmarks/triangle_counting.h:531-567`
 merge / binary-search kernel; the ``tc_od`` variant requires a
-canonicalized ``-OD`` load: src<dst, deduped). Distributed form:
+canonicalized ``-OD`` load: src<dst, deduped). Distributed form —
+no O(E) structure ever lives on the driver:
 
-1. canonicalize: u<v, drop self-loops, exact dedup (``-OD``);
-2. **orient** each edge from lower (degree, id) to higher endpoint —
+1. **canonicalize** (u<v, drop self-loops) → pack ``key = u·N + v``
+   → distributed ``sort(key)`` → in-block run-dedup (+ tiny boundary
+   pass) — the ``-OD`` load as one single-int64-column range shuffle;
+2. **degrees** of the canonical graph: per-block sparse partials
+   merged into an O(V) driver array (the same envelope as the rest
+   of the engine's per-vertex state);
+3. **orient** each edge from lower (degree, id) to higher endpoint —
    every vertex's oriented out-degree is O(sqrt E), which bounds the
-   wedge work at hubs (the hub-splitting requirement of SURVEY §4);
-3. **wedges**: for each vertex, all pairs of its oriented
-   out-neighbors are candidate closing edges. Wedge generation is a
-   fully vectorized multi-run kernel over the src-sorted edge table —
-   runs that touch a batch boundary are excluded and handled in a
-   small second pass (collected to the driver: ≤ 2 runs per block,
-   each O(sqrt E) long);
-4. **match**: a wedge closes a triangle iff its oriented pair is an
-   edge. The oriented edge-key set (one int64 per edge) is broadcast
-   via ``ray.put`` and probed with ``np.searchsorted`` inside the
-   wedge batches — the broadcast-the-small-side join. Each batch
-   emits a single count; no wedge ever leaves its task.
+   wedge work at hubs (the hub-splitting requirement of SURVEY §4) —
+   and ``sort`` the oriented keys again: blocks are now src-runs;
+4. **wedges + match** in one pass over the sorted blocks: all pairs
+   of a vertex's oriented out-neighbors are candidate closing edges,
+   generated vectorized per run in bounded-size chunks; a wedge
+   closes a triangle iff its oriented key exists in the edge-key
+   blocks, probed by ``searchsorted`` against the *distributed*
+   sorted key blocks (each task ``ray.get``\\s only the blocks its
+   wedge keys fall into — zero-copy plasma reads; the driver holds
+   only per-block key bounds). Runs touching a block edge resolve in
+   a small second pass (≤ 2 runs per block, each O(sqrt E) long).
 
 Every triangle is counted exactly once, at its (degree, id)-minimal
-vertex. Keys pack as ``a * N + b`` (valid while N < 3e9; the
-shuffle-join formulation with a two-column groupby is the path past
-that, and past edge-key sets too big to broadcast).
+vertex. Keys pack as ``u * N + v`` (valid while N < 3e9; a struct
+two-column sort is the path past that).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 
 from ..common import batch_to_numpy
-from ..graph import Graph
+from ..graph import Graph, target_num_blocks
 
 
 def _pairs_multirun(run_ids: np.ndarray):
@@ -67,91 +70,174 @@ def _orient_pairs(x, y, deg):
     return np.where(fwd, x, y), np.where(fwd, y, x)
 
 
+def _probe_count(wk: np.ndarray, refs, bounds_hi: np.ndarray, n: int, cache: dict) -> int:
+    """How many wedge keys exist in the distributed sorted edge-key
+    blocks. Keys are range-bucketed by the per-block upper bounds;
+    fetched blocks are cached for the lifetime of the calling task
+    (zero-copy plasma reads, so the cache holds views, not copies)."""
+    if len(wk) == 0:
+        return 0
+    wk = np.sort(wk)
+    blk = np.searchsorted(bounds_hi, wk, side="left")
+    total = 0
+    for bi in np.unique(blk):
+        if bi >= len(refs):
+            continue
+        sel = wk[blk == bi]
+        keys = cache.get(bi)
+        if keys is None:
+            t = ray.get(refs[bi])
+            keys = t.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+            cache[bi] = keys
+        if len(keys) == 0:
+            continue
+        pos = np.searchsorted(keys, sel)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        total += int((keys[pos] == sel).sum())
+    return total
+
+
+def _count_wedges(
+    a: np.ndarray,
+    b: np.ndarray,
+    deg: np.ndarray,
+    n: int,
+    refs,
+    bounds_hi: np.ndarray,
+    wedge_chunk: int = 1 << 20,
+) -> int:
+    """Triangles closed by wedges of the (a-sorted) oriented edge rows.
+    Wedge generation is chunked so at most ``wedge_chunk`` candidate
+    keys are in flight — a hub run of length L (≤ O(sqrt E)) yields
+    C(L,2) wedges but never materializes them all at once."""
+    m = len(a)
+    if m < 2:
+        return 0
+    cache: dict = {}
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lengths = np.diff(np.concatenate([starts, [m]]))
+    work = lengths * (lengths - 1) // 2
+    total = 0
+    # group whole runs into chunks of bounded wedge work
+    r = 0
+    R = len(starts)
+    while r < R:
+        if work[r] > wedge_chunk:
+            # one hub run, processed in leading-index slices
+            s, L = starts[r], lengths[r]
+            nbrs = b[s : s + L]
+            step = max(1, wedge_chunk // max(1, L))
+            for j0 in range(0, L - 1, step):
+                j1 = min(j0 + step, L - 1)
+                lefts = np.arange(j0, j1)
+                reps = L - 1 - lefts
+                li = np.repeat(lefts, reps)
+                cum = np.concatenate([[0], np.cumsum(reps)])
+                ri = li + (np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)) + 1
+                x, y = _orient_pairs(nbrs[li], nbrs[ri], deg)
+                total += _probe_count(x * n + y, refs, bounds_hi, n, cache)
+            r += 1
+            continue
+        e, tot = r, 0
+        while e < R and tot + work[e] <= wedge_chunk:
+            tot += work[e]
+            e += 1
+        e = max(e, r + 1)
+        lo = starts[r]
+        hi = starts[e] if e < R else m
+        li, ri = _pairs_multirun(a[lo:hi])
+        if len(li):
+            x, y = _orient_pairs(b[lo + li], b[lo + ri], deg)
+            total += _probe_count(x * n + y, refs, bounds_hi, n, cache)
+        r = e
+    return total
+
+
 def triangle_count(graph: Graph) -> int:
     n = graph.num_vertices
     if n == 0:
         return 0
     if n >= (1 << 31):
-        raise NotImplementedError("packed-key TC valid to ~3e9 vertices; use 2-col groupby")
+        raise NotImplementedError("packed-key TC valid to ~3e9 vertices; use 2-col struct sort")
 
-    # --- canonical edge keys (u < v, dedup, no self-loops) ------------
-    def canon(batch: pa.Table):
-        s = batch_to_numpy(batch, "src")
-        d = batch_to_numpy(batch, "dst")
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
-        keep = lo != hi
-        return {"key": np.unique(lo[keep] * n + hi[keep])}
-
-    parts = []
-    for b in graph.edges.map_batches(canon, batch_format="pyarrow").iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        parts.append(batch_to_numpy(b, "key"))
-    if not parts:
-        return 0
-    keys = np.unique(np.concatenate(parts))  # O(E) driver memory; see module doc
-    u = keys // n
-    v = keys % n
-
-    deg = np.zeros(n, dtype=np.int64)
-    np.add.at(deg, u, 1)
-    np.add.at(deg, v, 1)
-
-    a, b = _orient_pairs(u, v, deg)
-    edge_keys = np.sort(a * n + b)
-    edge_keys_ref = ray.put(edge_keys)
+    # Orientation only needs SOME fixed total order on vertices; the
+    # (multigraph total degree, id) order — free from the build-time
+    # cached degree vectors — keeps hubs on the high side without
+    # paying a dedup shuffle first, so the whole count needs ONE
+    # distributed sort and ONE counting pass.
+    deg = graph.out_degrees + graph.in_degrees()
     deg_ref = ray.put(deg)
 
-    # Build the src-sorted oriented table with run-aligned,
-    # wedge-work-balanced blocks. The edge keys are already on the
-    # driver (the broadcast side), so the sort happens here; blocks
-    # are split at run boundaries weighted by per-run C(len, 2) so a
-    # hub's wedge work doesn't land in one task. At edge counts too
-    # big for the driver, the distributed path is
-    # ``dataset.sort('src')`` + the boundary pass below (which this
-    # layout makes empty).
-    order = np.lexsort((b, a))
-    a_s, b_s = a[order], b[order]
-    starts = np.flatnonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))
-    lengths = np.diff(np.concatenate([starts, [len(a_s)]]))
-    work = lengths * (lengths - 1) // 2 + 1  # +1: row-scan floor
-    cum = np.cumsum(work)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    num_chunks = min(len(starts), max(1, cpus * 4))
-    bounds = np.searchsorted(cum, np.linspace(0, cum[-1], num_chunks + 1)[1:-1])
-    chunk_starts = np.unique(np.concatenate([[0], starts[np.minimum(bounds + 1, len(starts) - 1)], [len(a_s)]]))
-    tables = [
-        pa.table({"src": a_s[lo:hi], "dst": b_s[lo:hi]})
-        for lo, hi in zip(chunk_starts[:-1], chunk_starts[1:])
-        if hi > lo
-    ]
-    oriented = rd.from_arrow(tables).materialize()
-
-    def count_wedges(batch: pa.Table):
-        """Wedge-match every run in this batch (runs never span
-        blocks: chunking above is run-aligned)."""
-        src = batch_to_numpy(batch, "src")
-        dst = batch_to_numpy(batch, "dst")
-        if len(src) < 2:
-            return {"t": np.array([0], np.int64)}
-        li, ri = _pairs_multirun(src)
-        if len(li) == 0:
-            return {"t": np.array([0], np.int64)}
+    # --- orient by (degree, id), one sort → src-run blocks. Duplicate
+    # edges map to identical keys (adjacent after the sort) and drop in
+    # the per-run unique below; probes against the multiset blocks are
+    # membership tests, so dups there are harmless.
+    def orient_key(batch: pa.Table):
+        s = batch_to_numpy(batch, "src")
+        d = batch_to_numpy(batch, "dst")
+        keep = s != d
         dd = ray.get(deg_ref)
-        pa_, pb_ = _orient_pairs(dst[li], dst[ri], dd)
-        ek = ray.get(edge_keys_ref)
-        wk = pa_ * n + pb_
-        pos = np.searchsorted(ek, wk)
-        pos = np.clip(pos, 0, len(ek) - 1)
-        return {"t": np.array([int((ek[pos] == wk).sum())], np.int64)}
+        x, y = _orient_pairs(s[keep], d[keep], dd)
+        return {"key": np.unique(x * n + y)}
+
+    srt = (
+        graph.edges.map_batches(orient_key, batch_format="pyarrow", batch_size=None)
+        .sort("key")
+        .repartition(target_num_blocks(graph.num_edges))
+        .materialize()
+    )
+    # The sorted key blocks double as the probe index: each counting
+    # task ``ray.get``\s only the blocks its wedge keys fall into
+    # (zero-copy plasma reads, cached per task). On a multi-node
+    # cluster this is P×E traffic — the shuffle alternative (re-sort
+    # wedges into the key partitioning) is the path there.
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def _block_bounds(t: pa.Table):
+        if t.num_rows == 0 or "key" not in t.schema.names:
+            return None
+        k = t.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        return (int(k[0]), int(k[-1]))
+
+    bounds = ray.get([_block_bounds.remote(r) for r in refs])
+    keep = [i for i, bo in enumerate(bounds) if bo is not None]
+    refs = [refs[i] for i in keep]
+    bounds_hi = np.array([bounds[i][1] for i in keep], np.int64)
+
+    # --- wedge generation + distributed probe, one fused pass: each
+    # block emits its interior-run triangle count (kind=0) plus the
+    # rows of runs touching its edges (kind=1; ≤ 2 runs per block,
+    # each O(sqrt E) long) for the driver stitch.
+    def count_block(tbl: pa.Table):
+        k = batch_to_numpy(tbl, "key")
+        if len(k) == 0:
+            return {"kind": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
+        aa = k // n
+        s0 = int(np.searchsorted(aa, aa[0], side="right"))
+        s1 = int(np.searchsorted(aa, aa[-1], side="left"))
+        bkeys = np.concatenate([k[:s0], k[s1:]])
+        t = 0
+        if s1 - s0 >= 2:
+            kk = np.unique(k[s0:s1])  # drop duplicate edges (adjacent when sorted)
+            dd = ray.get(deg_ref)
+            t = _count_wedges(kk // n, kk % n, dd, n, refs, bounds_hi)
+        return {
+            "kind": np.concatenate([[0], np.ones(len(bkeys), np.int64)]),
+            "val": np.concatenate([[t], bkeys]),
+        }
 
     total = 0
-    for blk in oriented.map_batches(
-        count_wedges, batch_format="pyarrow", batch_size=None
+    bparts = []
+    for t in srt.map_batches(
+        count_block, batch_format="pyarrow", batch_size=None
     ).iter_batches(batch_format="pyarrow"):
-        total += int(batch_to_numpy(blk, "t").sum())
+        kind = batch_to_numpy(t, "kind")
+        val = batch_to_numpy(t, "val")
+        total += int(val[kind == 0].sum())
+        bparts.append(val[kind == 1])
+    if bparts:
+        bk = np.unique(np.concatenate(bparts))
+        if len(bk):
+            total += _count_wedges(bk // n, bk % n, deg, n, refs, bounds_hi)
     return total

@@ -73,6 +73,20 @@ def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def per_block_results(ds, fn) -> list:
+    """Run ``fn(arrow_table) -> value`` once per materialized block of
+    ``ds`` as plain Ray tasks, bypassing a full Dataset execution.
+
+    For tiny per-block extractions (first/last run rows, block bounds)
+    a Ray Data pass costs ~0.5 s of fixed executor overhead; a handful
+    of direct tasks over the block refs is near-free. ``ds`` must be
+    materialized."""
+    import ray as _ray
+
+    task = _ray.remote(fn)
+    return _ray.get([task.remote(r) for r in ds.to_arrow_refs()])
+
+
 # ---------------------------------------------------------------- pair keys
 #
 # (src, dst) pairs as a structured array — lexicographic sort/searchsorted

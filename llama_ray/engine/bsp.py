@@ -158,6 +158,35 @@ class _GatherPartition:
             out[self.local_dst[r:r_end]] = sums
         return out
 
+    def gather_mode(self, value):
+        """Most-frequent value[src] per dst in this actor's slice, ties
+        to the smallest value; -1 where no in-edge. The label-propagation
+        combine — counting and mode selection run inside the actor
+        (P-way parallel lexsorts), nothing per-(vertex,label) ever
+        reaches the driver."""
+        out = np.full(self.hi - self.lo, -1, np.int64)
+        m = len(self.src)
+        if m == 0:
+            return out
+        lab = value[self.src]
+        run_len = np.diff(np.append(self.run_starts, m))
+        run_id = np.repeat(np.arange(len(self.run_starts)), run_len)
+        order = np.lexsort((lab, run_id))
+        rl = run_id[order]
+        ll = lab[order]
+        new = np.ones(m, bool)
+        new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        grp_run = rl[starts]
+        grp_lab = ll[starts]
+        o2 = np.lexsort((grp_lab, -counts, grp_run))
+        gr = grp_run[o2]
+        first = np.ones(len(gr), bool)
+        first[1:] = gr[1:] != gr[:-1]
+        out[self.local_dst[gr[first]]] = grp_lab[o2][first]
+        return out
+
     def gather_min_plus(self, dist, active):
         """min over active src of dist[src] + weight (or +1) for this
         actor's dst slice; inf where no message."""
@@ -275,6 +304,13 @@ class BSPGather:
             if parts
             else np.zeros((self.num_vertices, value.shape[1]))
         )
+
+    def gather_mode(self, value: np.ndarray) -> np.ndarray:
+        """Dense per-dst mode of value[src] (ties → smallest; -1 = no
+        in-edge) — the label-propagation combine."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_mode.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.full(self.num_vertices, -1, np.int64)
 
     def gather_min_plus(self, dist: np.ndarray, active: np.ndarray) -> np.ndarray:
         """Dense min-relax vector (inf = no message)."""

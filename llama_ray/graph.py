@@ -88,7 +88,8 @@ class Graph:
     any extra columns carried through); ``ids[i]`` is the original
     vertex id of dense index ``i``. ``out_degrees`` counts out-edges
     per dense vertex (the precomputed ``begin_t.degree`` of the
-    reference, ``ll_mlcsr_helpers.h:141-149``).
+    reference, ``ll_mlcsr_helpers.h:141-149``); in-degrees are
+    computed in the same build scan and cached.
     """
 
     edges: rd.Dataset
@@ -96,17 +97,21 @@ class Graph:
     out_degrees: np.ndarray
     num_edges: int = 0
     _ids_ref: Optional["ray.ObjectRef"] = field(default=None, repr=False)
+    _in_degrees: Optional[np.ndarray] = field(default=None, repr=False)
 
     @property
     def num_vertices(self) -> int:
         return len(self.ids)
 
     def in_degrees(self) -> np.ndarray:
+        if self._in_degrees is not None:
+            return self._in_degrees
         deg = np.zeros(self.num_vertices, dtype=np.int64)
         for b in self.edges.select_columns([DST]).iter_batches(
             batch_size=1 << 20, batch_format="pyarrow"
         ):
             np.add.at(deg, batch_to_numpy(b, DST), 1)
+        self._in_degrees = deg
         return deg
 
 
@@ -128,19 +133,52 @@ def target_num_blocks(num_edges_hint: int | None = None) -> int:
 def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
     """Densify an int64-id edge Dataset into a :class:`Graph`.
 
-    Pipeline: (1) distinct-vertex scan (map_batches partial uniques),
-    (2) broadcast the sorted id array once via ``ray.put``, (3) remap
-    src/dst to dense indices with ``np.searchsorted`` per batch —
-    vectorized, no shuffle, (4) degree count via per-batch bincount
-    partials merged on the driver.
+    Two pipeline executions total:
 
-    The dense edge Dataset is materialized (pinned blocks in the
-    object store, spilling as needed) because iterative algorithms
-    re-scan it every superstep — the analogue of the reference
-    building its in-memory CSR once and iterating
-    (``ll_load_utils.h:643-792``).
+    1. **vertex scan**: one ``map_batches`` pass emits, per block, the
+       distinct vertices with their src/dst occurrence counts — the
+       driver merges them into the sorted id array, out-/in-degree
+       vectors and the edge count with one ``bincount`` each (O(V)
+       driver state, the engine's standard envelope);
+    2. **remap + coalesce + materialize**: src/dst → dense indices via
+       a broadcast ``searchsorted``, repartitioned to ~1 block/CPU in
+       the same lazy chain (supersteps rescan this table every
+       iteration, so fewer, larger blocks amortize per-task overhead),
+       then pinned in the object store — the analogue of the reference
+       building its in-memory CSR once and iterating
+       (``ll_load_utils.h:643-792``).
     """
-    ids = unique_vertices(edges)
+
+    def vertex_scan(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        u = np.unique(np.concatenate([s, d]))
+        su, sc = np.unique(s, return_counts=True)
+        du, dc = np.unique(d, return_counts=True)
+        cs = np.zeros(len(u), np.int64)
+        cs[np.searchsorted(u, su)] = sc
+        cd = np.zeros(len(u), np.int64)
+        cd[np.searchsorted(u, du)] = dc
+        return {"v": u, "cs": cs, "cd": cd}
+
+    vs, css, cds = [], [], []
+    for b in edges.select_columns([SRC, DST]).map_batches(
+        vertex_scan, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        vs.append(batch_to_numpy(b, "v"))
+        css.append(batch_to_numpy(b, "cs"))
+        cds.append(batch_to_numpy(b, "cd"))
+    if vs:
+        all_v = np.concatenate(vs)
+        ids = np.unique(all_v)
+        pos = np.searchsorted(ids, all_v)
+        out_deg = np.bincount(pos, weights=np.concatenate(css), minlength=len(ids)).astype(np.int64)
+        in_deg = np.bincount(pos, weights=np.concatenate(cds), minlength=len(ids)).astype(np.int64)
+        num_edges = int(out_deg.sum())
+    else:
+        ids = np.empty(0, np.int64)
+        out_deg = in_deg = np.empty(0, np.int64)
+        num_edges = 0
     ids_ref = ray.put(ids)
 
     def remap(batch: pa.Table) -> pa.Table:
@@ -156,25 +194,126 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
 
     dense = edges.map_batches(remap, batch_format="pyarrow")
     if materialize:
-        dense = dense.materialize()
-        # coalesce into ~1 block/CPU before iterating: supersteps rescan
-        # this table every iteration, and per-block task overhead
-        # dominates when an upstream shuffle (dedup groupby) left many
-        # small blocks
-        tgt = target_num_blocks(dense.count())
-        if dense.num_blocks() > 2 * tgt or dense.num_blocks() < max(1, tgt // 2):
-            dense = dense.repartition(tgt).materialize()
+        dense = dense.repartition(target_num_blocks(num_edges)).materialize()
 
-    deg = np.zeros(len(ids), dtype=np.int64)
+    return Graph(
+        edges=dense,
+        ids=ids,
+        out_degrees=out_deg,
+        num_edges=num_edges,
+        _ids_ref=ids_ref,
+        _in_degrees=in_deg,
+    )
+
+
+def canonical_undirected(parent: Graph) -> Graph:
+    """Canonical undirected simple graph derived from an already-dense
+    parent: (min, max) per edge, self-loops dropped, exact dedup — as
+    ONE single-int64-column sort (keys pack as ``lo·N + hi``) plus a
+    per-block run-dedup, instead of re-running the generic 2-column
+    dedup + full re-densification.
+
+    Vertices that had only self-loops would drop out of the edge set;
+    when that happens the graph is re-densified (rare), otherwise the
+    parent's vertex index is reused as-is.
+    """
+    n = parent.num_vertices
+    if n == 0:
+        return parent
+    if n >= (1 << 31):  # packed keys invalid — generic path
+        from .ingest.canonicalize import dedup_edges, undirected_ordered
+
+        g = build_graph(dedup_edges(undirected_ordered(parent.edges, drop_self_loops=True)))
+        g.ids = parent.ids[g.ids]
+        return g
+
+    def keyed(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return {"key": np.unique(lo[keep] * n + hi[keep])}
+
+    srt = (
+        parent.edges.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+        .repartition(target_num_blocks(parent.num_edges))
+        .sort("key")
+        .materialize()
+    )
+
+    def interior(tbl: pa.Table):
+        k = batch_to_numpy(tbl, "key")
+        if len(k) == 0:
+            return {SRC: k, DST: k}
+        kk = np.unique(k[(k != k[0]) & (k != k[-1])])
+        return {SRC: kk // n, DST: kk % n}
+
+    def boundary_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "key" not in tbl.schema.names:
+            return None
+        k = tbl.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        return np.unique(k[(k == k[0]) | (k == k[-1])])
+
+    from .common import per_block_results
+
+    dense = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    bparts = [r for r in per_block_results(srt, boundary_block) if r is not None and len(r)]
+    if bparts:
+        bk = np.unique(np.concatenate(bparts))
+        dense = dense.union(
+            rd.from_arrow(pa.table({SRC: pa.array(bk // n), DST: pa.array(bk % n)}))
+        )
+    dense = dense.materialize()
+
+    def deg_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or SRC not in tbl.schema.names:
+            return None
+        s = tbl.column(SRC).combine_chunks().to_numpy(zero_copy_only=False)
+        d = tbl.column(DST).combine_chunks().to_numpy(zero_copy_only=False)
+        su, sc = np.unique(s, return_counts=True)
+        du, dc = np.unique(d, return_counts=True)
+        return (su, sc, du, dc)
+
+    out_deg = np.zeros(n, np.int64)
+    in_deg = np.zeros(n, np.int64)
     num_edges = 0
-    for b in dense.select_columns([SRC]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        s = batch_to_numpy(b, SRC)
-        np.add.at(deg, s, 1)
-        num_edges += len(s)
+    for r in per_block_results(dense, deg_block):
+        if r is None:
+            continue
+        su, sc, du, dc = r
+        out_deg[su] += sc
+        in_deg[du] += dc
+        num_edges += int(sc.sum())
 
-    return Graph(edges=dense, ids=ids, out_degrees=deg, num_edges=num_edges, _ids_ref=ids_ref)
+    present = (out_deg + in_deg) > 0
+    if present.all():
+        return Graph(
+            edges=dense,
+            ids=parent.ids.copy(),
+            out_degrees=out_deg,
+            num_edges=num_edges,
+            _in_degrees=in_deg,
+        )
+    # some vertices dropped (self-loop-only) → re-densify to the subset
+    sub = np.flatnonzero(present)
+    sub_ref = ray.put(sub)
+
+    def remap(batch: pa.Table):
+        m = ray.get(sub_ref)
+        return {
+            SRC: np.searchsorted(m, batch_to_numpy(batch, SRC)),
+            DST: np.searchsorted(m, batch_to_numpy(batch, DST)),
+        }
+
+    dense2 = dense.map_batches(remap, batch_format="pyarrow", batch_size=None).materialize()
+    return Graph(
+        edges=dense2,
+        ids=parent.ids[sub],
+        out_degrees=out_deg[sub],
+        num_edges=num_edges,
+        _in_degrees=in_deg[sub],
+    )
 
 
 def undirect(edges: rd.Dataset, *, drop_self_loops: bool = False) -> rd.Dataset:

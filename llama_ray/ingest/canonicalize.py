@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..common import SRC, DST, WEIGHT, batch_to_numpy
+from ..common import SRC, DST, WEIGHT, batch_to_numpy, per_block_results
 from ..graph import undirect
 
 # Re-export: undirected-double lives in graph.py (used by algorithms too).
@@ -39,7 +39,7 @@ def undirected_ordered(edges: rd.Dataset, *, drop_self_loops: bool = False) -> r
     return edges.select_columns([SRC, DST]).map_batches(canon, batch_format="pyarrow")
 
 
-def dedup_edges(edges: rd.Dataset, *, weights: str = "none") -> rd.Dataset:
+def dedup_edges(edges: rd.Dataset, *, weights: str = "none", num_rows_hint: int | None = None) -> rd.Dataset:
     """Exact (src, dst) dedup — the distributed equivalent of the
     reference's sort-then-skip-equal (``ll_load_utils.h:465-505``),
     implemented literally: a distributed ``sort(['src','dst'])`` (the
@@ -62,7 +62,17 @@ def dedup_edges(edges: rd.Dataset, *, weights: str = "none") -> rd.Dataset:
     if weights not in ("none", "count", "sum"):
         raise ValueError(f"unknown weights mode: {weights}")
     cols = [SRC, DST] if weights != "sum" else [SRC, DST, WEIGHT]
-    srt = edges.select_columns(cols).sort([SRC, DST]).materialize()
+    # coalesce before the sort: Ray's range sort costs scale with the
+    # input block count (320 small union blocks sorted ~18× slower
+    # than the same rows in 32), so ~1 block/CPU first
+    from ..graph import target_num_blocks
+
+    srt = (
+        edges.select_columns(cols)
+        .repartition(target_num_blocks(num_rows_hint))
+        .sort([SRC, DST])
+        .materialize()
+    )
 
     def _runs(src: np.ndarray, dst: np.ndarray):
         first = np.ones(len(src), dtype=bool)
@@ -92,14 +102,13 @@ def dedup_edges(edges: rd.Dataset, *, weights: str = "none") -> rd.Dataset:
             out[WEIGHT] = np.add.reduceat(w, starts) if len(starts) else np.empty(0)
         return out
 
-    def boundary(batch: pa.Table):
+    def boundary_block(batch: pa.Table):
+        """First/last-run rows of one sorted block, run-collapsed —
+        runs as a plain Ray task per block ref (no Dataset pass)."""
+        if batch.num_rows == 0 or SRC not in batch.schema.names:
+            return None
         src = batch_to_numpy(batch, SRC)
         dst = batch_to_numpy(batch, DST)
-        if len(src) == 0:
-            out = {SRC: src, DST: dst}
-            if weights != "none":
-                out[WEIGHT] = np.empty(0, np.float64)
-            return out
         edge_mask = ((src == src[0]) & (dst == dst[0])) | ((src == src[-1]) & (dst == dst[-1]))
         s, d = src[edge_mask], dst[edge_mask]
         first = _runs(s, d)
@@ -117,13 +126,13 @@ def dedup_edges(edges: rd.Dataset, *, weights: str = "none") -> rd.Dataset:
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
 
     bs, bd, bw = [], [], []
-    for b in srt.map_batches(boundary, batch_format="pyarrow", batch_size=None).iter_batches(
-        batch_format="pyarrow"
-    ):
-        bs.append(batch_to_numpy(b, SRC))
-        bd.append(batch_to_numpy(b, DST))
+    for out in per_block_results(srt, boundary_block):
+        if out is None:
+            continue
+        bs.append(out[SRC])
+        bd.append(out[DST])
         if weights != "none":
-            bw.append(batch_to_numpy(b, WEIGHT))
+            bw.append(out[WEIGHT])
     if bs:
         s = np.concatenate(bs)
         d = np.concatenate(bd)

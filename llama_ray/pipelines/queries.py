@@ -56,16 +56,14 @@ def _cached_dedup_edges(sf_dir: str):
 
 
 def _cached_canonical_graph(sf_dir: str):
-    """Canonical undirected simple graph, derived from the cached
-    dense graph (skips re-reading + re-sorting the raw edges; the
-    densification is order-preserving, so rewriting ``ids`` through
-    the parent's id array restores original vertex ids and labels)."""
+    """Canonical undirected simple graph, derived in-place from the
+    cached dense graph (one packed-key sort; no re-read, no second
+    densification — see :func:`llama_ray.graph.canonical_undirected`)."""
     g = _GRAPH_CACHE.get(("canon", sf_dir))
     if g is None:
-        parent = _cached_tpch_graph(sf_dir)
-        canonical = dedup_edges(undirected_ordered(parent.edges, drop_self_loops=True))
-        g = build_graph(canonical)
-        g.ids = parent.ids[g.ids]
+        from ..graph import canonical_undirected
+
+        g = canonical_undirected(_cached_tpch_graph(sf_dir))
         _GRAPH_CACHE[("canon", sf_dir)] = g
     return g
 
@@ -133,7 +131,7 @@ def q_wcc(sf_dir: str):
 
 def q_label_propagation(sf_dir: str):
     g = _cached_canonical_graph(sf_dir)
-    res = label_propagation(g, iterations=4)
+    res = label_propagation(g, iterations=4, engine="bsp")
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
 
 

@@ -45,26 +45,27 @@ O_NATION = 40_000_000
 O_REGION = 50_000_000
 
 
-def _edge_table(src: np.ndarray, dst: np.ndarray, weight, kind: str) -> pa.Table:
+def _edge_table(src: np.ndarray, dst: np.ndarray, weight, kind: str, with_props: bool) -> pa.Table:
     n = len(src)
-    w = np.full(n, weight, np.float64) if np.isscalar(weight) else weight.astype(np.float64)
-    return pa.table(
-        {
-            "src": src.astype(np.int64),
-            "dst": dst.astype(np.int64),
-            "weight": w,
-            "kind": pa.array([kind] * n, pa.string()),
-        }
-    )
+    cols = {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+    if with_props:
+        cols["weight"] = (
+            np.full(n, weight, np.float64) if np.isscalar(weight) else weight.astype(np.float64)
+        )
+        # constant string column via take — no n-element Python list
+        cols["kind"] = pa.array([kind], pa.string()).take(pa.array(np.zeros(n, np.int32)))
+    return pa.table(cols)
 
 
-def raw_edges(sf_dir: str) -> rd.Dataset:
-    """All edge kinds, duplicates preserved, columns (src, dst, weight, kind)."""
+def raw_edges(sf_dir: str, *, with_props: bool = True) -> rd.Dataset:
+    """All edge kinds, duplicates preserved. Columns (src, dst) plus,
+    with ``with_props``, (weight, kind) — the structural queries skip
+    the property columns entirely (prune at the derive, not after)."""
     p = lambda name: os.path.join(sf_dir, f"{name}.parquet")
 
     orders = rd.read_parquet(p("orders"), columns=["o_orderkey", "o_custkey"]).map_batches(
         lambda b: _edge_table(
-            b.column("o_custkey").to_numpy(), O_ORDER + b.column("o_orderkey").to_numpy(), 1.0, "cust_order"
+            b.column("o_custkey").to_numpy(), O_ORDER + b.column("o_orderkey").to_numpy(), 1.0, "cust_order", with_props
         ),
         batch_format="pyarrow",
     )
@@ -73,34 +74,35 @@ def raw_edges(sf_dir: str) -> rd.Dataset:
         ok = b.column("l_orderkey").to_numpy()
         pk = b.column("l_partkey").to_numpy()
         sk = b.column("l_suppkey").to_numpy()
-        qty = b.column("l_quantity").to_numpy().astype(np.float64)
+        qty = b.column("l_quantity").to_numpy().astype(np.float64) if with_props else 1.0
         return pa.concat_tables(
             [
-                _edge_table(O_ORDER + ok, O_PART + pk, qty, "order_part"),
-                _edge_table(O_ORDER + ok, O_SUPP + sk, 1.0, "order_supp"),
-                _edge_table(O_PART + pk, O_SUPP + sk, 1.0, "part_supp"),
+                _edge_table(O_ORDER + ok, O_PART + pk, qty, "order_part", with_props),
+                _edge_table(O_ORDER + ok, O_SUPP + sk, 1.0, "order_supp", with_props),
+                _edge_table(O_PART + pk, O_SUPP + sk, 1.0, "part_supp", with_props),
             ]
         )
 
-    lineitem = rd.read_parquet(
-        p("lineitem"), columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
-    ).map_batches(lineitem_edges, batch_format="pyarrow")
+    li_cols = ["l_orderkey", "l_partkey", "l_suppkey"] + (["l_quantity"] if with_props else [])
+    lineitem = rd.read_parquet(p("lineitem"), columns=li_cols).map_batches(
+        lineitem_edges, batch_format="pyarrow"
+    )
 
     supplier = rd.read_parquet(p("supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
         lambda b: _edge_table(
-            O_SUPP + b.column("s_suppkey").to_numpy(), O_NATION + b.column("s_nationkey").to_numpy(), 1.0, "supp_nation"
+            O_SUPP + b.column("s_suppkey").to_numpy(), O_NATION + b.column("s_nationkey").to_numpy(), 1.0, "supp_nation", with_props
         ),
         batch_format="pyarrow",
     )
     customer = rd.read_parquet(p("customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda b: _edge_table(
-            b.column("c_custkey").to_numpy(), O_NATION + b.column("c_nationkey").to_numpy(), 1.0, "cust_nation"
+            b.column("c_custkey").to_numpy(), O_NATION + b.column("c_nationkey").to_numpy(), 1.0, "cust_nation", with_props
         ),
         batch_format="pyarrow",
     )
     nation = rd.read_parquet(p("nation"), columns=["n_nationkey", "n_regionkey"]).map_batches(
         lambda b: _edge_table(
-            O_NATION + b.column("n_nationkey").to_numpy(), O_REGION + b.column("n_regionkey").to_numpy(), 1.0, "nation_region"
+            O_NATION + b.column("n_nationkey").to_numpy(), O_REGION + b.column("n_regionkey").to_numpy(), 1.0, "nation_region", with_props
         ),
         batch_format="pyarrow",
     )
@@ -109,7 +111,7 @@ def raw_edges(sf_dir: str) -> rd.Dataset:
 
 def dedup_edge_list(sf_dir: str) -> rd.Dataset:
     """Distinct (src, dst) pairs — the graph the analytics run on."""
-    return dedup_edges(raw_edges(sf_dir))
+    return dedup_edges(raw_edges(sf_dir, with_props=False))
 
 
 def build_tpch_graph(sf_dir: str) -> Graph:

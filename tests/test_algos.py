@@ -112,6 +112,29 @@ def test_label_propagation_matches_oracle(name):
     d = np.searchsorted(ids, cs["dst"].to_numpy())
     expect = ids[lp_np(s, d, len(ids), iterations=4)]
     assert np.array_equal(res.state["label"], expect)
+    # BSP mode-gather engine: bit-identical to the dataset engine
+    res_bsp = label_propagation(g, iterations=4, engine="bsp")
+    assert np.array_equal(res_bsp.state["label"], expect)
+
+
+def test_canonical_undirected_matches_generic():
+    """canonical_undirected (packed single-sort fast path) must equal
+    the generic undirected_ordered + dedup + rebuild, including the
+    self-loop-only vertex drop."""
+    from llama_ray.graph import canonical_undirected
+
+    src = np.array([0, 1, 2, 2, 3, 5, 5, 7])
+    dst = np.array([1, 0, 3, 3, 2, 5, 5, 7])  # 5,7: self-loop-only
+    parent = build_graph(edges_ds(src, dst))
+    fast = canonical_undirected(parent)
+    generic = build_graph(dedup_edges(undirected_ordered(parent.edges, drop_self_loops=True)))
+    generic_ids = parent.ids[generic.ids]
+    assert np.array_equal(fast.ids, generic_ids)
+    fe = fast.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    ge = generic.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert fe.equals(ge)
+    assert fast.num_edges == generic.num_edges
+    assert np.array_equal(fast.out_degrees, generic.out_degrees)
 
 
 @pytest.mark.parametrize("name", list(FIXTURES))
