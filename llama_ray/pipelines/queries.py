@@ -268,31 +268,89 @@ def q_bc_random(sf_dir: str):
 
 def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     """Sessionization: per user, events within ``gap_seconds`` of the
-    previous event share a session. groupby(user).map_groups with a
-    sorted pandas group (the streaming-shaped op of the ray guide).
-    Output: one row per session (user_id, session_start, n_events)."""
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"])
+    previous event share a session. One range sort by (user, ts,
+    event_id), then a vectorized run-boundary cumsum per block —
+    session = run start where the user changes or the gap exceeds the
+    threshold. Users whose rows touch a block edge resolve in a small
+    driver pass (≤ 2 users per block), the same boundary trick as
+    ``dedup_edges``. Output: one row per session (user_id,
+    session_start, n_events)."""
+    from ..common import per_block_results
+    from ..graph import target_num_blocks
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
     gap_us = gap_seconds * 1_000_000  # exact µs; epoch-seconds would
     # round vs truncate differently between numpy and DuckDB
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        t = df["ts"].astype("datetime64[us]").astype("int64")
-        new = np.ones(len(df), bool)
-        new[1:] = (t.to_numpy()[1:] - t.to_numpy()[:-1]) > gap_us
-        sess = np.cumsum(new) - 1
-        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "t": t.to_numpy(), "sess": sess})
-        agg = out.groupby("sess").agg(
-            user_id=("user_id", "first"), session_start=("t", "min"), n_events=("t", "size")
-        )
-        return agg.reset_index(drop=True)
+    def prep(b: pa.Table):
+        # order among equal (user, t) rows cannot change gaps or
+        # session starts, so no tiebreak column is needed in the sort
+        return {
+            "user_id": batch_to_numpy(b, "user_id"),
+            "t": b.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+        }
 
-    return (
-        ev.groupby("user_id")
-        .map_groups(sessionize, batch_format="pandas")
-        .to_pandas()[["user_id", "session_start", "n_events"]]
+    srt = (
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .sort(["user_id", "t"])
+        .materialize()
     )
+
+    def sessions_of(u: np.ndarray, t: np.ndarray):
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u))
+        return {
+            "user_id": u[starts],
+            "session_start": t[starts],
+            "n_events": (ends - starts).astype(np.int64),
+        }
+
+    def interior(b: pa.Table):
+        u = batch_to_numpy(b, "user_id")
+        if len(u) == 0:
+            return {
+                "user_id": u,
+                "session_start": np.empty(0, np.int64),
+                "n_events": np.empty(0, np.int64),
+            }
+        t = batch_to_numpy(b, "t")
+        inner = (u != u[0]) & (u != u[-1])
+        if not inner.any():
+            return {
+                "user_id": np.empty(0, np.int64),
+                "session_start": np.empty(0, np.int64),
+                "n_events": np.empty(0, np.int64),
+            }
+        return sessions_of(u[inner], t[inner])
+
+    def boundary_block(b: pa.Table):
+        if b.num_rows == 0 or "user_id" not in b.schema.names:
+            return None
+        u = b.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        t = b.column("t").combine_chunks().to_numpy(zero_copy_only=False)
+        edge = (u == u[0]) | (u == u[-1])
+        return (u[edge], t[edge])
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    bu, bt = [], []
+    for r in per_block_results(srt, boundary_block):
+        if r is not None:
+            bu.append(r[0])
+            bt.append(r[1])
+    if bu:
+        u = np.concatenate(bu)  # block order preserves the global sort
+        t = np.concatenate(bt)
+        if len(u):
+            extra = sessions_of(u, t)
+            main = main.union(rd.from_arrow(pa.table({k: pa.array(v) for k, v in extra.items()})))
+    return main
 
 
 # ------------------------------------------------------------ documents ops
