@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "pagerank_top10": q.q_pagerank_top10,
         "wcc": q.q_wcc,
+        "scc": q.q_scc,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
         "bfs": q.q_bfs,

@@ -115,6 +115,153 @@ def weakly_connected_components(
             gat_bwd.shutdown()
 
 
+def strongly_connected_components(
+    graph: Graph,
+    *,
+    max_outer: int = 64,
+    max_inner: int = 1024,
+) -> SuperstepResult:
+    """True SCCs of a directed graph — the distributable
+    trim + forward-backward coloring algorithm (the output-equivalent
+    of the reference's sequential Tarjan DFS,
+    `/root/reference/benchmark/benchmarks/tarjan_scc.h:56-206`; same
+    partition, canonical min-id labels since Tarjan's labels are
+    visit-order-dependent).
+
+    Outer round over the still-active subgraph:
+
+    1. **trim**: vertices with zero in- or out-degree inside the
+       active subgraph are singleton SCCs — peel to fixpoint (this
+       alone finishes DAGs in diameter rounds);
+    2. **color**: propagate ``color[v] = max(dense index reaching
+       v)`` along forward edges to fixpoint;
+    3. **backward reach**: from each color root (``color[v] == v``),
+       mark vertices that can reach their root within the same color
+       class (scatter over edges, reversed direction);
+    4. reached vertices form whole SCCs — assign and deactivate.
+
+    Every phase is the standard broadcast-state + ``map_batches``
+    scatter + per-batch combiner plan; per-superstep traffic is O(V).
+    ``state['label']`` is the min original vertex id of each SCC.
+    """
+    n = graph.num_vertices
+    if n == 0:
+        return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+
+    edges = graph.edges
+    comp = np.full(n, -1, np.int64)  # dense root index per assigned vertex
+    active = np.ones(n, bool)
+    idx = np.arange(n, dtype=np.int64)
+    supersteps = 0
+
+    def scan(fn):
+        """One scatter execution; fn(batch_src, batch_dst) -> dict of
+        partial arrays, merged on the driver."""
+        def scatter(batch: pa.Table):
+            return fn(batch_to_numpy(batch, "src"), batch_to_numpy(batch, "dst"))
+
+        outs = []
+        for b in edges.map_batches(scatter, batch_format="pyarrow", batch_size=None).iter_batches(
+            batch_format="pyarrow"
+        ):
+            outs.append(b)
+        return outs
+
+    for _outer in range(max_outer):
+        if not active.any():
+            break
+        # ---- trim to fixpoint -----------------------------------------
+        while True:
+            act_ref = ray.put(active)
+
+            def degs(s, d, _r=act_ref):
+                act = ray.get(_r)
+                m = act[s] & act[d]
+                sv, sc = np.unique(s[m], return_counts=True)
+                dv, dc = np.unique(d[m], return_counts=True)
+                return {
+                    "v": np.concatenate([sv, dv]),
+                    "c": np.concatenate([sc, dc]).astype(np.int64),
+                    "kind": np.concatenate(
+                        [np.zeros(len(sv), np.int64), np.ones(len(dv), np.int64)]
+                    ),
+                }
+
+            outdeg = np.zeros(n, np.int64)
+            indeg = np.zeros(n, np.int64)
+            for b in scan(degs):
+                v = batch_to_numpy(b, "v")
+                c = batch_to_numpy(b, "c")
+                k = batch_to_numpy(b, "kind")
+                np.add.at(outdeg, v[k == 0], c[k == 0])
+                np.add.at(indeg, v[k == 1], c[k == 1])
+            supersteps += 1
+            trim = active & ((indeg == 0) | (outdeg == 0))
+            if not trim.any():
+                break
+            comp[trim] = idx[trim]
+            active &= ~trim
+            if not active.any():
+                break
+        if not active.any():
+            break
+
+        # ---- forward max-color propagation to fixpoint ----------------
+        color = np.where(active, idx, np.int64(-1))
+        for _ in range(max_inner):
+            state_ref = ray.put((color, active))
+
+            def fwd(s, d, _r=state_ref):
+                col, act = ray.get(_r)
+                m = act[s] & act[d]
+                u, mx = sparse_partial_min(d[m], -col[s[m]])
+                return {"dst": u, "v": -mx}
+
+            new = color.copy()
+            for b in scan(fwd):
+                ks = batch_to_numpy(b, "dst")
+                vs = batch_to_numpy(b, "v")
+                np.maximum.at(new, ks, vs)
+            supersteps += 1
+            if np.array_equal(new, color):
+                break
+            color = new
+
+        # ---- backward reachability within color classes ---------------
+        reached = active & (color == idx)
+        for _ in range(max_inner):
+            state_ref = ray.put((color, active, reached))
+
+            def bwd(s, d, _r=state_ref):
+                col, act, rch = ray.get(_r)
+                m = act[s] & act[d] & (col[s] == col[d]) & rch[d] & ~rch[s]
+                return {"v": np.unique(s[m])}
+
+            newly = np.zeros(n, bool)
+            for b in scan(bwd):
+                newly[batch_to_numpy(b, "v")] = True
+            supersteps += 1
+            newly &= ~reached
+            if not newly.any():
+                break
+            reached |= newly
+
+        comp[reached] = color[reached]
+        active &= ~reached
+
+    # canonical labels: min original id per SCC (ids sorted ⇒ min dense
+    # index ⇔ min id)
+    min_idx = np.full(n, n, np.int64)
+    np.minimum.at(min_idx, comp, idx)
+    label = graph.ids[min_idx[comp]]
+    return SuperstepResult(
+        {"label": label, "comp_root": comp},
+        supersteps,
+        not active.any(),
+        [{"iteration": supersteps, "diff": 0.0, "edges_processed": graph.num_edges * supersteps, "seconds": 0.0}],
+    )
+
+
 def label_propagation(
     graph: Graph,
     *,

@@ -135,6 +135,17 @@ def q_label_propagation(sf_dir: str):
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
 
 
+def q_scc(sf_dir: str):
+    """True strongly connected components (trim + forward-backward
+    coloring; no SQL oracle — verified against an iterative Tarjan in
+    tests/test_algos.py). Component label = min original vertex id."""
+    from ..algos.components import strongly_connected_components
+
+    g = _cached_tpch_graph(sf_dir)
+    res = strongly_connected_components(g)
+    return pa.table({"vertex": g.ids, "component": res.state["label"]})
+
+
 def q_triangle_count(sf_dir: str):
     g = _cached_tpch_graph(sf_dir)
     t = _triangle_count(g)

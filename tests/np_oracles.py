@@ -110,3 +110,65 @@ def bellman_ford_np(src, dst, w, n, root):
             break
         dist = new
     return dist
+
+
+def tarjan_scc_np(src, dst, n):
+    """Iterative Tarjan SCC; returns per-vertex component label = min
+    vertex index in the SCC (canonical, visit-order independent)."""
+    import numpy as np
+
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    index = [-1] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    comp = [-1] * n
+    counter = [0]
+    n_comps = [0]
+
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                cid = n_comps[0]
+                n_comps[0] += 1
+                for w in members:
+                    comp[w] = cid
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    # canonical: min vertex index per comp
+    comp = np.asarray(comp)
+    mins = np.full(n_comps[0], n, dtype=np.int64)
+    np.minimum.at(mins, comp, np.arange(n))
+    return mins[comp]

@@ -184,3 +184,58 @@ def test_rmat_deterministic():
     a = rmat(6, 4, seed=3).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     b = rmat(6, 4, seed=3).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+# ------------------------------------------------------------------ SCC
+
+SCC_FIXTURES = {
+    # cycle + tail: SCC {0,1,2} differs from WCC {0..4}
+    "cycle_tail": ([0, 1, 2, 2, 3], [1, 2, 0, 3, 4]),
+    # two 2-cycles bridged one-way: SCCs {0,1},{2,3} but one WCC
+    "two_cycles_bridge": ([0, 1, 1, 2, 3], [1, 0, 2, 3, 2]),
+    "dag_chain": ([0, 1, 2, 3], [1, 2, 3, 4]),
+    "self_loops": ([0, 1, 1, 2], [0, 1, 2, 1]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCC_FIXTURES))
+def test_scc_matches_tarjan(name):
+    from llama_ray.algos.components import strongly_connected_components
+    from np_oracles import tarjan_scc_np
+
+    src, dst = map(np.array, SCC_FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    res = strongly_connected_components(g)
+    # oracle over the same dense index space
+    s = np.searchsorted(g.ids, src)
+    d = np.searchsorted(g.ids, dst)
+    expect = g.ids[tarjan_scc_np(s, d, g.num_vertices)]
+    assert np.array_equal(res.state["label"], expect)
+
+
+def test_scc_differs_from_wcc():
+    from llama_ray.algos.components import strongly_connected_components
+
+    src, dst = map(np.array, SCC_FIXTURES["cycle_tail"])
+    g = build_graph(edges_ds(src, dst))
+    scc = strongly_connected_components(g).state["label"]
+    wcc = weakly_connected_components(g).state["label"]
+    assert len(np.unique(scc)) == 3  # {0,1,2},{3},{4}
+    assert len(np.unique(wcc)) == 1
+    assert not np.array_equal(scc, wcc)
+
+
+def test_scc_random_directed():
+    from llama_ray.algos.components import strongly_connected_components
+    from np_oracles import tarjan_scc_np
+
+    rng = np.random.default_rng(3)
+    n, m = 200, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = build_graph(edges_ds(src, dst))
+    res = strongly_connected_components(g)
+    s = np.searchsorted(g.ids, src)
+    d = np.searchsorted(g.ids, dst)
+    expect = g.ids[tarjan_scc_np(s, d, g.num_vertices)]
+    assert np.array_equal(res.state["label"], expect)
