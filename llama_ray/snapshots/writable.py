@@ -20,9 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
-from ..common import batch_to_numpy
+from ..common import batch_to_numpy, pair_struct, pairs_member_mask, sorted_pair_struct
 from .store import SnapshotStore
 
 
@@ -57,77 +58,94 @@ class WritableGraph:
 
     # ------------------------------------------------------ checkpoint
 
+    def _probe_store(self, probe_struct: np.ndarray) -> np.ndarray:
+        """Which probe pairs exist in the frozen store — a broadcast
+        anti-join probe: the (small) sorted delta is shipped once via
+        ``ray.put``; the frozen edge Dataset streams through a
+        ``map_batches`` that emits only matching probe indices. Driver
+        state is O(len(probe)), never O(frozen edges)."""
+        found = np.zeros(len(probe_struct), bool)
+        if len(probe_struct) == 0 or not self.store.levels():
+            return found
+        probe_ref = ray.put(probe_struct)
+
+        def check(batch: pa.Table):
+            p = ray.get(probe_ref)
+            s = batch_to_numpy(batch, "src")
+            d = batch_to_numpy(batch, "dst")
+            hit = pairs_member_mask(s, d, p)
+            if not hit.any():
+                return {"idx": np.empty(0, np.int64)}
+            q = np.searchsorted(p, pair_struct(s[hit], d[hit]))
+            return {"idx": np.unique(q)}
+
+        for b in self.store.edges().map_batches(check, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            found[batch_to_numpy(b, "idx")] = True
+        return found
+
     def checkpoint(self, *, dedup: bool = True) -> int | None:
         """Freeze pending mutations into a new snapshot level.
 
         Order of effects inside one checkpoint matches the reference's
         write store: deletions apply to the pre-existing graph; newly
         added edges in the same batch survive unless explicitly
-        deleted too.
-        """
+        deleted too. All set logic is vectorized struct-pair matching
+        + a streamed anti-join probe of the frozen store — no Python
+        set of frozen edges is ever built (scales to stores that dwarf
+        driver memory)."""
         if not (self._add_src or self._del_pairs or self._del_nodes):
             return None
 
-        del_pairs = set(self._del_pairs)
-        if self._del_nodes:
+        del_s = np.array([p[0] for p in self._del_pairs], np.int64)
+        del_d = np.array([p[1] for p in self._del_pairs], np.int64)
+        if self._del_nodes and self.store.levels():
             # expand node deletions to all incident frozen edges
-            nodes = np.array(sorted(set(self._del_nodes)), np.int64)
-            if self.store.levels():
-                for b in self.store.edges().iter_batches(
-                    batch_size=1 << 20, batch_format="pyarrow"
-                ):
-                    s = batch_to_numpy(b, "src")
-                    d = batch_to_numpy(b, "dst")
-                    hit = np.isin(s, nodes) | np.isin(d, nodes)
-                    for x, y in zip(s[hit].tolist(), d[hit].tolist()):
-                        del_pairs.add((x, y))
+            nodes = np.unique(np.array(sorted(set(self._del_nodes)), np.int64))
+            nodes_ref = ray.put(nodes)
+
+            def incident(batch: pa.Table):
+                nn = ray.get(nodes_ref)
+                s = batch_to_numpy(batch, "src")
+                d = batch_to_numpy(batch, "dst")
+                hit = np.isin(s, nn) | np.isin(d, nn)
+                return {"src": s[hit], "dst": d[hit]}
+
+            inc_s, inc_d = [del_s], [del_d]
+            for b in self.store.edges().map_batches(
+                incident, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                inc_s.append(batch_to_numpy(b, "src"))
+                inc_d.append(batch_to_numpy(b, "dst"))
+            del_s = np.concatenate(inc_s)
+            del_d = np.concatenate(inc_d)
+        if len(del_s):
+            dedup_del = np.unique(pair_struct(del_s, del_d))
+            del_s, del_d = dedup_del["s"].copy(), dedup_del["d"].copy()
+        del_struct = sorted_pair_struct(del_s, del_d) if len(del_s) else None
 
         src = np.array(self._add_src, np.int64)
         dst = np.array(self._add_dst, np.int64)
         if len(src):
             keep = np.ones(len(src), bool)
-            if del_pairs:
-                for i, (x, y) in enumerate(zip(src.tolist(), dst.tolist())):
-                    if (x, y) in del_pairs:
-                        keep[i] = False
+            if del_struct is not None:
+                keep &= ~pairs_member_mask(src, dst, del_struct)
             if self._del_nodes:
                 nodes = np.array(sorted(set(self._del_nodes)), np.int64)
                 keep &= ~(np.isin(src, nodes) | np.isin(dst, nodes))
             src, dst = src[keep], dst[keep]
-            if dedup:
-                pairs = np.unique(np.stack([src, dst]), axis=1)
-                src, dst = pairs[0], pairs[1]
-                if self.store.levels():
-                    existing = set()
-                    for b in self.store.edges().iter_batches(
-                        batch_size=1 << 20, batch_format="pyarrow"
-                    ):
-                        existing.update(
-                            zip(
-                                batch_to_numpy(b, "src").tolist(),
-                                batch_to_numpy(b, "dst").tolist(),
-                            )
-                        )
-                    m = np.array(
-                        [
-                            (x, y) not in existing
-                            for x, y in zip(src.tolist(), dst.tolist())
-                        ],
-                        bool,
-                    )
-                    src, dst = src[m], dst[m]
+            if dedup and len(src):
+                u = np.unique(pair_struct(src, dst))
+                src, dst = u["s"].copy(), u["d"].copy()
+                exists = self._probe_store(u)  # u is sorted (np.unique)
+                src, dst = src[~exists], dst[~exists]
 
         adds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
         deletes = None
-        if del_pairs:
-            dp = sorted(del_pairs)
+        if len(del_s):
             deletes = rd.from_arrow(
-                pa.table(
-                    {
-                        "src": pa.array([p[0] for p in dp], pa.int64()),
-                        "dst": pa.array([p[1] for p in dp], pa.int64()),
-                    }
-                )
+                pa.table({"src": pa.array(del_s), "dst": pa.array(del_d)})
             )
         level = self.store.ingest_batch(adds, deletes=deletes)
         self._add_src.clear()

@@ -135,3 +135,31 @@ def test_level_spread():
     h = level_spread(edges)
     # vertex 0 spans 2 levels; vertices 1 (two edges, one level) and 2 span 1
     assert dict(zip(h["num_levels"], h["num_vertices"])) == {1: 2, 2: 1}
+
+
+def test_checkpoint_dedup_large_frozen_store(tmp_path):
+    """add_edge_if_not_exists dedup against a 1M-edge frozen store:
+    the anti-join probes the store as a stream — no Python set of
+    frozen edges (the round-1 scale-killer)."""
+    import numpy as np
+    import pyarrow as pa
+    from llama_ray.snapshots.store import SnapshotStore
+    from llama_ray.snapshots.writable import WritableGraph
+
+    rng = np.random.default_rng(1)
+    n = 1_000_000
+    src = rng.integers(0, 50_000, n)
+    dst = rng.integers(0, 50_000, n)
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})))
+
+    wg = WritableGraph(st)
+    # 100 existing edges + 100 fresh ones
+    for i in range(100):
+        wg.add_edge_if_not_exists(int(src[i * 37]), int(dst[i * 37]))
+    for i in range(100):
+        wg.add_edge_if_not_exists(60_000 + i, 70_000 + i)
+    lvl = wg.checkpoint()
+    import json, os
+    man = json.load(open(os.path.join(st._level_dir(lvl), "manifest.json")))
+    assert man["num_edges"] == 100  # only the fresh edges survived
