@@ -75,7 +75,7 @@ def pagerank(
     """
     if mode not in ("pull", "push"):
         raise ValueError(f"unknown mode {mode}")
-    if engine not in ("dataset", "bsp"):
+    if engine not in ("dataset", "bsp", "bsp_sharded"):
         raise ValueError(f"unknown engine {engine}")
     n = graph.num_vertices
     if n == 0:
@@ -87,6 +87,23 @@ def pagerank(
 
     edges = graph.edges
     num_edges = graph.num_edges
+
+    if engine == "bsp_sharded":
+        # actor-resident state: the driver leaves the superstep loop
+        # entirely (P refs + P scalars per superstep); no checkpoint
+        # support — state never visits the driver mid-run
+        if checkpoint_dir is not None:
+            raise ValueError("bsp_sharded does not support checkpointing")
+        from ..engine.bsp import BSPGather
+
+        g = BSPGather(graph)
+        try:
+            rank, iters, converged, metrics = g.run_pagerank_sharded(
+                inv_deg, damping=damping, max_iters=max_iters, tol=tol, num_edges=num_edges
+            )
+        finally:
+            g.shutdown()
+        return SuperstepResult({"rank": rank}, iters, converged, metrics)
 
     gatherer = None
     if engine == "bsp":

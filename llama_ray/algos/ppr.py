@@ -55,6 +55,28 @@ def personalized_pagerank(
     restart = np.zeros((n, K))
     restart[seed_idx, np.arange(K)] = 1.0 - damping
 
+    if engine == "bsp_sharded":
+        if checkpoint_dir is not None:
+            raise ValueError("bsp_sharded does not support checkpointing")
+        from ..engine.bsp import BSPGather
+
+        init = np.zeros((n, K))
+        init[seed_idx, np.arange(K)] = 1.0
+        g = BSPGather(graph)
+        try:
+            rank, iters, converged, metrics = g.run_ppr_sharded(
+                inv_deg,
+                restart,
+                init,
+                damping=damping,
+                max_iters=max_iters,
+                tol=tol,
+                num_edges=graph.num_edges,
+            )
+        finally:
+            g.shutdown()
+        return SuperstepResult({"rank": rank}, iters, converged, metrics)
+
     gatherer = None
     if engine == "bsp":
         from ..engine.bsp import BSPGather

@@ -73,6 +73,32 @@ def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def ensure_threadsafe_fs_imports() -> None:
+    """Make Ray Data's lazy ``fsspec.implementations.http`` probe
+    thread-deterministic. With aiohttp absent the import fails and is
+    retried on every path resolution; two driver threads importing
+    concurrently can surface ``ImportError: cannot import name
+    'HTTPFileSystem'`` instead of the ``ModuleNotFoundError`` Ray
+    catches. Pre-seeding a benign stub (HTTPFileSystem is only ever an
+    ``isinstance`` target; no real HTTP filesystems run here) makes
+    the import succeed once and stay cached."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - isinstance target only
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+    except ImportError:
+        pass  # partially-imported by a concurrent thread; already usable soon
+
+
 def per_block_results(ds, fn) -> list:
     """Run ``fn(arrow_table) -> value`` once per materialized block of
     ``ds`` as plain Ray tasks, bypassing a full Dataset execution.

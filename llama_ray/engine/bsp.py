@@ -198,6 +198,51 @@ class _GatherPartition:
             out[self.local_dst] = np.minimum.reduceat(cand, self.run_starts)
         return out
 
+    # ----------------------------------------------------- sharded state
+    #
+    # The driver-out-of-the-loop mode: per-vertex state lives in the
+    # same dst-range actors; supersteps exchange plasma refs of the
+    # contribution slices (zero-copy on a node, O(V) over the network
+    # per superstep on a cluster) and the driver handles only P refs +
+    # P diff scalars. PageRank/PPR apply is purely slice-local
+    # (reference semantics: dangling mass leaks, pagerank.h:146-161 —
+    # no global reduction enters the state), so results are
+    # bit-identical to the driver-held engine.
+
+    def init_pagerank(self, inv_deg_slice, base, damping, n):
+        self._pr_inv = np.asarray(inv_deg_slice, np.float64)
+        self._pr_base = base
+        self._pr_d = damping
+        self._pr_rank = np.full(self.hi - self.lo, 1.0 / n, np.float64)
+        return ray.put(self._pr_rank * self._pr_inv)
+
+    def pagerank_step(self, w_refs):
+        value = np.concatenate(ray.get(list(w_refs)))
+        new = self._pr_base + self._pr_d * self.gather_sum(value)
+        diff = float(np.abs(new - self._pr_rank).sum())
+        self._pr_rank = new
+        return ray.put(new * self._pr_inv), diff
+
+    def get_rank(self):
+        return self._pr_rank
+
+    def init_ppr(self, inv_deg_slice, restart_slice, init_slice, damping):
+        self._pr_inv = np.asarray(inv_deg_slice, np.float64)
+        self._ppr_restart = np.asarray(restart_slice, np.float64)
+        self._pr_d = damping
+        self._ppr_rank = np.asarray(init_slice, np.float64)
+        return ray.put(self._ppr_rank * self._pr_inv[:, None])
+
+    def ppr_step(self, w_refs):
+        value = np.concatenate(ray.get(list(w_refs)), axis=0)
+        new = self._ppr_restart + self._pr_d * self.gather_sum_multi(value)
+        diff = float(np.abs(new - self._ppr_rank).sum())
+        self._ppr_rank = new
+        return ray.put(new * self._pr_inv[:, None]), diff
+
+    def get_rank_multi(self):
+        return self._ppr_rank
+
 
 class _ReversedGraph:
     """Shim exposing a graph's edges with src/dst swapped — lets a
@@ -320,6 +365,110 @@ class BSPGather:
             [a.gather_min_plus.remote(d_ref, a_ref) for a in self.actors]
         )
         return np.concatenate(parts) if parts else np.full(self.num_vertices, np.inf)
+
+    def _slices(self, arr: np.ndarray):
+        return [arr[lo:hi] for lo, hi in zip(self.bounds[:-1], self.bounds[1:])]
+
+    def run_pagerank_sharded(
+        self,
+        inv_deg: np.ndarray,
+        *,
+        damping: float,
+        max_iters: int,
+        tol: float | None,
+        num_edges: int,
+    ):
+        """Scalar PageRank with actor-resident state: per superstep the
+        driver dispatches ONE rpc round carrying P slice refs and
+        collects P (ref, diff) pairs — no O(V) data touches the driver
+        until the final state collection. Bit-identical to the
+        driver-held BSP engine."""
+        import time as _time
+
+        n = self.num_vertices
+        base = (1.0 - damping) / n
+        refs = ray.get(
+            [
+                a.init_pagerank.remote(sl, base, damping, n)
+                for a, sl in zip(self.actors, self._slices(inv_deg))
+            ]
+        )
+        metrics = []
+        converged = False
+        k = 0
+        while k < max_iters:
+            t0 = _time.perf_counter()
+            outs = ray.get([a.pagerank_step.remote(refs) for a in self.actors])
+            refs = [o[0] for o in outs]
+            diff = float(sum(o[1] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": diff,
+                    "edges_processed": num_edges,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges / dt if dt > 0 else 0.0,
+                }
+            )
+            k += 1
+            if tol is not None and diff <= tol:
+                converged = True
+                break
+        rank = np.concatenate(ray.get([a.get_rank.remote() for a in self.actors]))
+        return rank, k, converged, metrics
+
+    def run_ppr_sharded(
+        self,
+        inv_deg: np.ndarray,
+        restart: np.ndarray,
+        init: np.ndarray,
+        *,
+        damping: float,
+        max_iters: int,
+        tol: float | None,
+        num_edges: int,
+    ):
+        """(V, K) personalized PageRank with actor-resident state —
+        same protocol as :meth:`run_pagerank_sharded`."""
+        import time as _time
+
+        K = restart.shape[1]
+        refs = ray.get(
+            [
+                a.init_ppr.remote(si, sr, sv, damping)
+                for a, si, sr, sv in zip(
+                    self.actors,
+                    self._slices(inv_deg),
+                    self._slices(restart),
+                    self._slices(init),
+                )
+            ]
+        )
+        metrics = []
+        converged = False
+        k = 0
+        while k < max_iters:
+            t0 = _time.perf_counter()
+            outs = ray.get([a.ppr_step.remote(refs) for a in self.actors])
+            refs = [o[0] for o in outs]
+            diff = float(sum(o[1] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": diff,
+                    "edges_processed": num_edges * K,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges * K / dt if dt > 0 else 0.0,
+                }
+            )
+            k += 1
+            if tol is not None and diff <= tol:
+                converged = True
+                break
+        rank = np.concatenate(ray.get([a.get_rank_multi.remote() for a in self.actors]), axis=0)
+        return rank, k, converged, metrics
 
     def shutdown(self):
         for a in self.actors:

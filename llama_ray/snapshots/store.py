@@ -189,16 +189,44 @@ def stream_ingest(
     *,
     window: int | None = None,
     on_snapshot=None,
+    overlap: bool = True,
 ):
     """Micro-batch streaming loop (reference ``benchmark.cc:1769-1893``):
-    for each incoming edge Dataset: checkpoint it as a level, advance
-    the sliding window, then run ``on_snapshot(store, level)`` (the
-    per-batch analytics the reference runs ``-c`` times)."""
+    for each incoming edge Dataset: checkpoint it as a level, run
+    ``on_snapshot(store, level)`` (the per-batch analytics the
+    reference runs ``-c`` times), advance the sliding window.
+
+    With ``overlap`` (default), batch k+1's ingest runs concurrently
+    with ``on_snapshot(k)`` — the reference's load/compute overlap
+    (``benchmark.cc:1788-1860``). This is safe because levels are
+    immutable and ingest only *adds* a level; the sliding-window
+    delete is deferred until the in-flight analytics completes, so a
+    reader holding ``edges(at_level=k)`` never loses files under it.
+    """
     results = []
-    for delta in batches:
-        level = store.ingest_batch(delta)
-        if window is not None:
-            store.set_window(window)
-        if on_snapshot is not None:
-            results.append(on_snapshot(store, level))
+    if on_snapshot is None or not overlap:
+        for delta in batches:
+            level = store.ingest_batch(delta)
+            if window is not None:
+                store.set_window(window)
+            if on_snapshot is not None:
+                results.append(on_snapshot(store, level))
+        return results
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..common import ensure_threadsafe_fs_imports
+
+    ensure_threadsafe_fs_imports()
+    pending = None
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for delta in batches:
+            level = store.ingest_batch(delta)  # overlaps with pending analytics
+            if pending is not None:
+                results.append(pending.result())
+            if window is not None:
+                store.set_window(window)
+            pending = pool.submit(on_snapshot, store, level)
+        if pending is not None:
+            results.append(pending.result())
     return results

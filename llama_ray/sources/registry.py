@@ -56,6 +56,10 @@ def load_edges(path: str) -> rd.Dataset:
         return read_net(path)
     if low.endswith((".dat", ".xs1")):
         return read_xs1(path)
+    if low.endswith(".fgf"):
+        from .fgf import read_fgf_edges
+
+        return read_fgf_edges(path)
     if low.endswith(".parquet") or low.rstrip("/").endswith("parquet"):
         return rd.read_parquet(path)
     raise ValueError(f"no loader for {path!r}")

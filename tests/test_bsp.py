@@ -56,3 +56,31 @@ def test_sort_build_mode_matches(g):
     assert np.allclose(a.gather_sum(v), b.gather_sum(v), atol=1e-12)
     a.shutdown()
     b.shutdown()
+
+
+def test_pagerank_sharded_bit_identical():
+    """bsp_sharded (actor-resident state, driver out of the loop) must
+    be bit-identical to the driver-held bsp engine and the dataset
+    engine at the same float64 arithmetic."""
+    import numpy as np
+    from llama_ray.algos.pagerank import pagerank
+    from llama_ray.graph import build_graph
+    from llama_ray.sources.generators import rmat
+
+    g = build_graph(rmat(8, 8, seed=5))
+    a = pagerank(g, max_iters=8, engine="bsp")
+    b = pagerank(g, max_iters=8, engine="bsp_sharded")
+    assert np.array_equal(a.state["rank"], b.state["rank"])  # exact
+
+
+def test_ppr_sharded_bit_identical():
+    import numpy as np
+    from llama_ray.algos.ppr import personalized_pagerank
+    from llama_ray.graph import build_graph
+    from llama_ray.sources.generators import rmat
+
+    g = build_graph(rmat(8, 8, seed=5))
+    seeds = g.ids[:4]
+    a = personalized_pagerank(g, seeds, max_iters=6, engine="bsp")
+    b = personalized_pagerank(g, seeds, max_iters=6, engine="bsp_sharded")
+    assert np.array_equal(a.state["rank"], b.state["rank"])

@@ -94,7 +94,44 @@ def test_flatten_dedup_and_weights(tmp_path):
 def test_stream_ingest_runs_per_batch(tmp_path):
     st = SnapshotStore(str(tmp_path))
     batches = [ds_of([(k, k + 1)]) for k in range(3)]
+    # pin the callback to its own snapshot level: with load/compute
+    # overlap, "newest" may already be the next batch
     counts = stream_ingest(
-        st, batches, window=2, on_snapshot=lambda s, lvl: s.edges().count()
+        st, batches, window=2, on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count()
     )
     assert counts == [1, 2, 2]
+    # serial mode produces identical results
+    st2 = SnapshotStore(str(tmp_path / "serial"))
+    counts2 = stream_ingest(
+        st2,
+        [ds_of([(k, k + 1)]) for k in range(3)],
+        window=2,
+        on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count(),
+        overlap=False,
+    )
+    assert counts2 == counts
+
+
+def test_stream_ingest_overlaps_load_and_compute(tmp_path):
+    """Batch k+1's ingest must start before on_snapshot(k) finishes
+    (the reference's load/compute overlap, benchmark.cc:1788-1860)."""
+    import time
+
+    st = SnapshotStore(str(tmp_path))
+    ingest_starts, compute_ends = [], []
+
+    def batches():
+        for k in range(3):
+            ingest_starts.append(time.perf_counter())
+            yield ds_of([(k, k + 1)])
+
+    def analytics(s, lvl):
+        time.sleep(0.6)
+        compute_ends.append(time.perf_counter())
+        return s.edges(at_level=lvl).count()
+
+    counts = stream_ingest(st, batches(), on_snapshot=analytics)
+    assert counts == [1, 2, 3]
+    # ingest of batch 1 began before analytics of batch 0 completed
+    assert ingest_starts[1] < compute_ends[0]
+    assert ingest_starts[2] < compute_ends[1]

@@ -75,3 +75,36 @@ def test_registry_dispatch(tmp_path):
     assert load_edges(str(p)).count() == 1
     with pytest.raises(ValueError):
         load_edges("nope.xyz")
+
+
+def test_fgf_roundtrip(tmp_path):
+    """FGF v1 binary container: write → read round-trip with node and
+    edge properties across both block-framing forms."""
+    from llama_ray.sources.fgf import read_fgf, write_fgf
+    from llama_ray.sources.registry import load_edges
+
+    p = str(tmp_path / "tiny.fgf")
+    edges = [
+        (0, 1, {"weight": 5, "label": "a"}),
+        (1, 2, {"weight": 7}),
+        (2, 0, {}),
+    ] + [(i % 4, (i + 1) % 4, {"weight": i}) for i in range(40)]  # >254 bytes → 0x7A framing
+    vprops = [{"name": f"v{i}"} for i in range(4)]
+    write_fgf(
+        p,
+        num_vertices=4,
+        edges=edges,
+        vertex_props=vprops,
+        prop_types=[("weight", "int32"), ("label", "string"), ("name", "string")],
+    )
+    out = read_fgf(p)
+    ed = out["edges"].to_pandas()
+    assert len(ed) == len(edges)
+    assert ed.iloc[0][["src", "dst"]].tolist() == [0, 1]
+    assert ed.iloc[0]["weight"] == 5 and ed.iloc[0]["label"] == "a"
+    assert ed.iloc[1]["weight"] == 7 and ed.iloc[1]["label"] is None
+    nd = out["nodes"].to_pandas()
+    assert nd["name"].tolist() == ["v0", "v1", "v2", "v3"]
+    assert out["meta"]["edge_types"] == [("edge", len(edges))]
+    # registry dispatch by extension
+    assert load_edges(p).count() == len(edges)
