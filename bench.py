@@ -191,13 +191,14 @@ def run_scaling_worker() -> dict:
     g = build_graph(rmat(scale, degree, seed=42))
     build_sec = time.perf_counter() - t0
     seeds = g.ids[:K]
-    # best of 5: single-node runs see multi-second OS/page-cache noise.
-    # bsp_sharded: actor-resident state — the per-superstep serial
-    # driver term (put/dispatch/concat) is gone; only refs + scalars
-    # cross the driver.
+    # best of N (default 5): single-node runs see multi-second OS/
+    # page-cache noise. bsp_sharded: actor-resident state — the
+    # per-superstep serial driver term (put/dispatch/concat) is gone;
+    # only refs + scalars cross the driver.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
     secs = [
         personalized_pagerank(g, seeds, max_iters=10, engine="bsp_sharded").total_seconds
-        for _ in range(5)
+        for _ in range(reps)
     ]
     sec = min(secs)
 
@@ -209,7 +210,7 @@ def run_scaling_worker() -> dict:
     from llama_ray.data_ops.dedup import MinHashSketcher
     from llama_ray.sources.repo_files import generate_repo_files
 
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "30000"))
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "60000"))
     docs = (
         generate_repo_files(n_repos=max(1, n_docs // 400), files_per_repo=400, touches_per_file=1)
         .map_batches(
@@ -218,7 +219,11 @@ def run_scaling_worker() -> dict:
         )
         .materialize()
     )
-    sketcher = MinHashSketcher(num_hashes=64, bands=16, shingle_k=5)
+    # compute-only sketch (no feats payload): the vectorized kernel is
+    # fast enough that emitting the O(text) feature binaries turns the
+    # probe I/O-bound (plasma write bandwidth) — the control must stay
+    # compute-bound to measure engine parallel efficiency
+    sketcher = MinHashSketcher(num_hashes=128, bands=16, shingle_k=5, emit_feats=False)
     mh_secs = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -68,6 +68,168 @@ def knn_brute_force(
     return parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
 
 
+def _probe_masks(num_planes: int, num_probes: int) -> np.ndarray:
+    """All sign-flip bitmasks with popcount ≤ num_probes."""
+    masks = np.arange(1 << num_planes, dtype=np.int64)
+    pop = np.zeros(len(masks), np.int64)
+    m = masks.copy()
+    while m.any():
+        pop += m & 1
+        m >>= 1
+    return masks[pop <= num_probes]
+
+
+class LSHIndex:
+    """Random-hyperplane LSH index with a bucket-partitioned layout.
+
+    Build (once): every vector's sign-pattern bucket is computed in
+    ``map_batches``, the corpus is range-``sort``\\ed by bucket and
+    pinned; the driver keeps only per-block bucket bounds. Query:
+    each query enumerates the buckets within ``num_probes`` sign
+    flips of its own, and only the blocks whose bucket range
+    intersects the probe set are fetched and scored — probes touch a
+    fraction of the corpus (the round-1 version scanned every batch
+    and filtered, paying exact-scan cost for approximate recall)."""
+
+    def __init__(
+        self,
+        emb: rd.Dataset,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_planes: int = 8,
+        seed: int = 42,
+    ):
+        first = emb.take(1)[0]
+        dim = len(first[vec_col])
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+        self.num_planes = num_planes
+        planes_ref = ray.put(self.planes)
+
+        def bucketize(batch: pa.Table):
+            ids = batch_to_numpy(batch, id_col)
+            V = _as_matrix(batch, vec_col, len(ids))
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            signs = (Vn @ ray.get(planes_ref)) > 0
+            bucket = np.zeros(len(ids), np.int64)
+            for p in range(num_planes):
+                bucket = (bucket << 1) | signs[:, p]
+            return {"bucket": bucket, "id": ids, "vec": [v.tobytes() for v in Vn]}
+
+        self.ds = (
+            emb.map_batches(bucketize, batch_format="pyarrow").sort("bucket").materialize()
+        )
+        self.refs = self.ds.to_arrow_refs()
+        from ..common import per_block_results
+
+        def bounds(t: pa.Table):
+            if t.num_rows == 0 or "bucket" not in t.schema.names:
+                return None
+            b = t.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+            return (int(b[0]), int(b[-1]))
+
+        bs = per_block_results(self.ds, bounds)
+        keep = [i for i, bo in enumerate(bs) if bo is not None]
+        self.refs = [self.refs[i] for i in keep]
+        self.lo = np.array([bs[i][0] for i in keep], np.int64)
+        self.hi = np.array([bs[i][1] for i in keep], np.int64)
+
+    def query(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        *,
+        k: int = 10,
+        num_probes: int = 3,
+        exclude_self: bool = True,
+    ) -> pd.DataFrame:
+        Q = np.asarray(queries, np.float64)
+        qids = np.asarray(query_ids, np.int64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qsig = (Qn @ self.planes) > 0
+        base = np.zeros(len(qids), np.int64)
+        for p in range(self.num_planes):
+            base = (base << 1) | qsig[:, p]
+        masks = _probe_masks(self.num_planes, num_probes)
+        # (q, m) probe buckets → (query row, block) pairs; a bucket's
+        # rows may span adjacent blocks (the sort can split mid-run),
+        # so each probe maps to the full block range [lo..hi] covering it
+        probe = (base[:, None] ^ masks[None, :]).ravel()
+        qrow = np.repeat(np.arange(len(qids)), len(masks))
+        b0 = np.searchsorted(self.hi, probe, side="left")
+        b1 = np.searchsorted(self.lo, probe, side="right")
+        counts = np.maximum(b1 - b0, 0)
+        pairs_q = np.repeat(qrow, counts)
+        pairs_bucket = np.repeat(probe, counts)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        pairs_blk = np.repeat(b0, counts) + (np.arange(int(counts.sum())) - np.repeat(cum[:-1], counts))
+
+        @ray.remote
+        def probe_block(tbl: pa.Table, qrows, buckets, Qn_, qids_, kk, excl):
+            b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+            ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+            vecs = tbl.column("vec").to_pylist()
+            V = None
+            oq, on, os_ = [], [], []
+            for qrow in np.unique(qrows):
+                bks = buckets[qrows == qrow]
+                sel = []
+                for bk in bks:
+                    lo = np.searchsorted(b, bk, side="left")
+                    hi = np.searchsorted(b, bk, side="right")
+                    if hi > lo:
+                        sel.append(np.arange(lo, hi))
+                if not sel:
+                    continue
+                rows = np.concatenate(sel)
+                if V is None:
+                    V = np.stack([np.frombuffer(v, np.float64) for v in vecs])
+                cand_ids = ids[rows]
+                s = V[rows] @ Qn_[qrow]
+                if excl:
+                    s[cand_ids == qids_[qrow]] = -np.inf
+                t = min(kk, len(s))
+                top = np.argpartition(-s, t - 1)[:t]
+                oq.append(np.full(t, qids_[qrow], np.int64))
+                on.append(cand_ids[top])
+                os_.append(s[top])
+            if not oq:
+                return (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, np.float64),
+                )
+            return np.concatenate(oq), np.concatenate(on), np.concatenate(os_)
+
+        futs = []
+        for bi in np.unique(pairs_blk):
+            m = pairs_blk == bi
+            futs.append(
+                probe_block.remote(
+                    self.refs[bi], pairs_q[m], pairs_bucket[m], Qn, qids, k, exclude_self
+                )
+            )
+        oq, on, os_ = [], [], []
+        for q_, n_, s_ in ray.get(futs):
+            oq.append(q_)
+            on.append(n_)
+            os_.append(s_)
+        if not oq:
+            return pd.DataFrame(
+                {"qid": np.empty(0, np.int64), "neighbor_id": np.empty(0, np.int64), "sim": np.empty(0)}
+            )
+        parts = pd.DataFrame(
+            {
+                "qid": np.concatenate(oq),
+                "neighbor_id": np.concatenate(on),
+                "sim": np.concatenate(os_),
+            }
+        )
+        parts = parts.sort_values(["qid", "sim", "neighbor_id"], ascending=[True, False, True])
+        return parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+
+
 def knn_lsh(
     emb: rd.Dataset,
     queries: np.ndarray,
@@ -81,50 +243,7 @@ def knn_lsh(
     seed: int = 42,
     exclude_self: bool = True,
 ) -> pd.DataFrame:
-    """LSH-bucketed ANN: per-batch, only vectors whose hyperplane sign
-    bucket is within ``num_probes`` flips of a query's bucket are
-    scored. Same output shape as brute force; approximate recall."""
-    Q = np.asarray(queries, np.float64)
-    dim = Q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes))
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qsig = (Qn @ planes) > 0  # (q, planes)
-    q_ref = ray.put((np.asarray(query_ids, np.int64), Qn, qsig, planes))
-
-    def partial(batch: pa.Table):
-        qids, Qn_, qsig_, planes_ = ray.get(q_ref)
-        ids = batch_to_numpy(batch, id_col)
-        V = _as_matrix(batch, vec_col, len(ids))
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        vsig = (Vn @ planes_) > 0  # (v, planes)
-        oq, on, os_ = [], [], []
-        for j, qid in enumerate(qids.tolist()):
-            hamming = (vsig != qsig_[j]).sum(axis=1)
-            mask = hamming <= num_probes
-            if not mask.any():
-                continue
-            cand_ids = ids[mask]
-            s = Vn[mask] @ Qn_[j]
-            if exclude_self:
-                s[cand_ids == qid] = -np.inf
-            kk = min(k, len(s))
-            top = np.argpartition(-s, kk - 1)[:kk]
-            oq.append(np.full(kk, qid, np.int64))
-            on.append(cand_ids[top])
-            os_.append(s[top])
-        if not oq:
-            return {
-                "qid": np.empty(0, np.int64),
-                "neighbor_id": np.empty(0, np.int64),
-                "sim": np.empty(0, np.float64),
-            }
-        return {
-            "qid": np.concatenate(oq),
-            "neighbor_id": np.concatenate(on),
-            "sim": np.concatenate(os_),
-        }
-
-    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
-    parts = parts.sort_values(["qid", "sim", "neighbor_id"], ascending=[True, False, True])
-    return parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+    """Build an :class:`LSHIndex` and query it (one-shot convenience;
+    hold the index for repeated query batches)."""
+    idx = LSHIndex(emb, id_col=id_col, vec_col=vec_col, num_planes=num_planes, seed=seed)
+    return idx.query(queries, query_ids, k=k, num_probes=num_probes, exclude_self=exclude_self)

@@ -203,6 +203,7 @@ class MinHashSketcher:
         feature: str = "char",
         ngram_n: int = 3,
         seed: int = 42,
+        emit_feats: bool = True,
     ):
         self.mh = MinHasher(num_hashes, seed)
         self.bands = bands
@@ -211,6 +212,9 @@ class MinHashSketcher:
         self.text_col = text_col
         self.feature = feature
         self.ngram_n = ngram_n
+        # emit_feats=False: signature fold only (compute-bound probe /
+        # pure-sketch consumers) — skips the O(text) feats binary
+        self.emit_feats = emit_feats
 
     def _featurize(self, text: str) -> np.ndarray:
         if self.feature == "word":
@@ -225,6 +229,11 @@ class MinHashSketcher:
         starts = np.concatenate([[0], np.cumsum(lens)])
         concat = np.concatenate(feats) if feats else np.empty(0, _U64)
         sigs = self.mh.signatures(concat, starts)
+        if not self.emit_feats:
+            fold = np.zeros(len(ids), _U64)
+            for h in range(sigs.shape[1]):
+                fold = fold * _GOLD + sigs[:, h]
+            return pa.table({"doc_id": pa.array(ids), "sig": pa.array(_mix64(fold).view(np.int64))})
         buckets = _band_buckets(sigs, self.bands)
         cols = {
             "doc_id": pa.array(ids),

@@ -15,10 +15,17 @@ needed at ingest — densification happens later in
 
 The per-row invariant (BASELINE.json ``input_hint``): every ingested
 row carries ``sha256(content)``, re-checkable against the source
-Parquet. The extraction itself is a stateful actor-pool stage — the
-regex table is compiled once per actor in ``__init__`` and applied
-per batch (reference analogue: loader objects constructed once and
-fed the whole stream, ``ll_load_utils.h:63-135``).
+Parquet.
+
+Hot-path layout: names repeat heavily (repos, commits, hub modules),
+so hashing is unique-then-scatter — ``np.unique`` over the batch's
+name strings, blake2b only on the distinct ones (cross-batch memo on
+top), then an index gather back to rows. The import regexes are the
+only inherently per-row work; they are compiled once per *process*
+(module-level cache), which lets the stage run as an elastic
+stateless task pool — no actor spin-up latency, no constructor args
+in the object store (reference analogue: loader objects constructed
+once and fed the whole stream, ``ll_load_utils.h:63-135``).
 """
 
 from __future__ import annotations
@@ -43,82 +50,108 @@ _IMPORT_PATTERNS = {
     "js": r'^const mod(?:\d+) = require\("pkg(\d+)/mod(\d+)"\);\s*$',
 }
 
+_COMPILED: dict | None = None
+_MEMO: dict[str, int] = {}  # per-process name → id memo
+_MEMO_CAP = 2_000_000
+
+
+def _compiled() -> dict:
+    global _COMPILED
+    if _COMPILED is None:
+        _COMPILED = {k: re.compile(v, re.M) for k, v in _IMPORT_PATTERNS.items()}
+    return _COMPILED
+
 
 def vertex_id(kind: str, name: str) -> int:
     return hash64(f"{kind}:{name}")
 
 
-class ExtractLinkEdges:
-    """Actor-pool batch transform: rows of repo_files → edge rows.
-
-    Emits columns ``(src:int64, dst:int64, kind:string)``. Import
-    targets are resolved to the *path* vertex ``repo/src/pkgA/modB.*``;
-    since the extension of the target is unknown from the import line,
-    the target vertex is keyed by its extensionless module path
-    (``repo:src/pkgA/modB``) for both the importing side and the
-    declaring side — exact and collision-free within a repo.
-    """
-
-    def __init__(self):
-        self._compiled = {k: re.compile(v, re.M) for k, v in _IMPORT_PATTERNS.items()}
-        # per-actor memo: repo/commit/path names repeat across rows
-        # (hub modules especially), and blake2b-per-name dominates the
-        # row loop otherwise
-        self._memo: dict[str, int] = {}
-
-    def _vid(self, kind: str, name: str) -> int:
+def _hash_names(names: list[str], kind: str) -> np.ndarray:
+    """Vertex ids for a list of (repeating) names: unique → hash only
+    the distinct ones (memoized across batches) → gather back."""
+    if not names:
+        return np.empty(0, np.int64)
+    u, inv = np.unique(np.asarray(names, dtype=object), return_inverse=True)
+    hu = np.empty(len(u), np.int64)
+    for i, name in enumerate(u):
         key = f"{kind}:{name}"
-        v = self._memo.get(key)
+        v = _MEMO.get(key)
         if v is None:
             v = hash64(key)
-            if len(self._memo) < 2_000_000:  # bound actor memory
-                self._memo[key] = v
-        return v
+            if len(_MEMO) < _MEMO_CAP:
+                _MEMO[key] = v
+        hu[i] = v
+    return hu[inv]
+
+
+def _const_str(value: str, n: int) -> pa.Array:
+    return pa.array([value], pa.string()).take(pa.array(np.zeros(n, np.int32)))
+
+
+def extract_link_edges(batch: pa.Table) -> pa.Table:
+    """Batch transform: rows of repo_files → edge rows
+    ``(src:int64, dst:int64, kind:string)``.
+
+    Import targets resolve to the *path* vertex keyed by the
+    extensionless module path (``repo:src/pkgA/modB``) on both the
+    importing and declaring side — exact and collision-free within a
+    repo."""
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    commits = batch.column("commit").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    contents = batch.column("content").to_pylist()
+    n = len(repos)
+
+    file_v = _hash_names(
+        [f"{r}:{p.rsplit('.', 1)[0]}" for r, p in zip(repos, paths)], "path"
+    )
+    repo_v = _hash_names(repos, "repo")
+    commit_v = _hash_names([f"{r}:{c}" for r, c in zip(repos, commits)], "commit")
+
+    # the only inherently per-row work: import-line regexes on content
+    pats = _compiled()
+    imp_src: list[int] = []
+    imp_tgt_names: list[str] = []
+    for i in range(n):
+        pat = pats.get(langs[i])
+        if pat is None:
+            continue
+        fv = int(file_v[i])
+        repo = repos[i]
+        for m in pat.finditer(contents[i]):
+            imp_src.append(fv)
+            imp_tgt_names.append(f"{repo}:src/pkg{m.group(1)}/mod{m.group(2)}")
+    imp_tgt = _hash_names(imp_tgt_names, "path")
+
+    src = np.concatenate([repo_v, commit_v, np.asarray(imp_src, np.int64)])
+    dst = np.concatenate([file_v, file_v, imp_tgt])
+    kind = pa.concat_arrays(
+        [
+            _const_str("repo_contains_path", n),
+            _const_str("commit_touches_path", n),
+            _const_str("path_imports_path", len(imp_src)),
+        ]
+    )
+    return pa.table({"src": pa.array(src), "dst": pa.array(dst), "kind": kind})
+
+
+class ExtractLinkEdges:
+    """Back-compat callable-class form of :func:`extract_link_edges`
+    (for callers that want an explicit actor pool)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        commits = batch.column("commit").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        contents = batch.column("content").to_pylist()
-
-        src, dst, kind = [], [], []
-        for repo, path, commit, lang, content in zip(repos, paths, commits, langs, contents):
-            # module key = extensionless path, target key space for imports
-            mod_key = path.rsplit(".", 1)[0]
-            file_v = self._vid("path", f"{repo}:{mod_key}")
-            src.append(self._vid("repo", repo))
-            dst.append(file_v)
-            kind.append("repo_contains_path")
-            src.append(self._vid("commit", f"{repo}:{commit}"))
-            dst.append(file_v)
-            kind.append("commit_touches_path")
-            pat = self._compiled.get(lang)
-            if pat is not None:
-                for m in pat.finditer(content):
-                    pkg, mod = m.group(1), m.group(2)
-                    tgt = self._vid("path", f"{repo}:src/pkg{pkg}/mod{mod}")
-                    src.append(file_v)
-                    dst.append(tgt)
-                    kind.append("path_imports_path")
-
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "kind": pa.array(kind, pa.string()),
-            }
-        )
+        return extract_link_edges(batch)
 
 
 def add_sha256(batch: pa.Table) -> pa.Table:
-    """Vectorized-ish sha256(content) column (the ingest invariant)."""
+    """sha256(content) column (the ingest invariant)."""
     digests = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in batch.column("content").to_pylist()]
     return batch.append_column("content_sha256", pa.array(digests, pa.string()))
 
 
 def ingest_repo_files(
-    repo_files: rd.Dataset, *, concurrency: int | tuple[int, int] = (2, 32)
+    repo_files: rd.Dataset, *, concurrency: int | tuple[int, int] | None = None
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """The flagship ingest pipeline: returns ``(edges, manifest)``.
 
@@ -127,13 +160,17 @@ def ingest_repo_files(
                    the reference's ``-D`` load flag).
     ``manifest`` — per-row (repo, path, commit, content_sha256) for
                    the integrity check against the source Parquet.
+
+    Both stages run as stateless task pools (regex table compiled once
+    per worker process) — elastic scheduling, no actor-restart hazard.
     """
     manifest = repo_files.map_batches(add_sha256, batch_format="pyarrow").select_columns(
         ["repo", "path", "commit", "content_sha256"]
     )
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
     edges = repo_files.map_batches(
-        ExtractLinkEdges,
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        extract_link_edges, batch_format="pyarrow", batch_size=None, **kwargs
     )
     return edges, manifest
