@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q.q_knn_lsh,
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "doc_minhash_clusters": q.q_doc_minhash_clusters,
+        "doc_ngram_jaccard": q.q_doc_ngram_jaccard,
         "doc_simhash": q.q_doc_simhash,
         "doc_language_id": q.q_doc_language_id,
         "doc_quality": q.q_doc_quality,

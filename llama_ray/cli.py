@@ -26,7 +26,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llama_ray")
     p.add_argument(
         "algorithm",
-        choices=["pagerank", "wcc", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
+        choices=["pagerank", "wcc", "scc", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
     )
@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     p.add_argument("--max-iters", type=int, default=10)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--root", type=int, default=None, help="root vertex for bfs/sssp")
-    p.add_argument("--engine", choices=["dataset", "bsp"], default="dataset")
+    p.add_argument("--engine", choices=["dataset", "bsp", "bsp_sharded"], default="dataset")
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--dedup", action="store_true", help="dedup edges before building")
     p.add_argument("--output", default=None, help="write per-vertex results parquet here")
@@ -129,6 +129,12 @@ def main(argv=None) -> int:
         )
         arrays["component"] = res.state["label"]
         summary.update(iterations=res.iterations, components=int(len(set(res.state["label"]))))
+    elif args.algorithm == "scc":
+        from .algos.components import strongly_connected_components
+
+        res = strongly_connected_components(g)
+        arrays["component"] = res.state["label"]
+        summary.update(supersteps=res.iterations, components=int(len(set(res.state["label"]))))
     elif args.algorithm == "label_propagation":
         res = label_propagation(
             g, iterations=args.max_iters, checkpoint_dir=args.checkpoint_dir, resume=args.resume

@@ -434,13 +434,22 @@ def q_events_hourly(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
     )
 
-    def window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
-        return df[["event_type", "window_start", "value"]]
+    def window(batch: pa.Table) -> pa.Table:
+        ws = (
+            pc.floor_temporal(batch.column("ts"), unit="hour")
+            .cast(pa.timestamp("s"))
+            .cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": ws,
+                "value": batch.column("value"),
+            }
+        )
 
     agg = (
-        ev.map_batches(window, batch_format="pandas")
+        ev.map_batches(window, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         .to_pandas()
@@ -456,6 +465,25 @@ def q_doc_minhash_clusters(sf_dir: str):
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 via the distributed
+    LSH-prune + sort-merge-verify path (rows-only; exact-pair recovery
+    tested in tests/test_data_ops.py)."""
+    from ..data_ops.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+    def rounded(b: pa.Table):
+        return {
+            "a": batch_to_numpy(b, "a"),
+            "b": batch_to_numpy(b, "b"),
+            "jaccard": np.round(batch_to_numpy(b, "jaccard"), 6),
+        }
+
+    return out.map_batches(rounded, batch_format="pyarrow")
 
 
 def q_doc_simhash(sf_dir: str):

@@ -63,26 +63,46 @@ class SnapshotStore:
 
     # ------------------------------------------------------------ ingest
 
-    def ingest_batch(self, edges: rd.Dataset, *, deletes: rd.Dataset | None = None) -> int:
+    def ingest_batch(
+        self,
+        edges: rd.Dataset,
+        *,
+        deletes: rd.Dataset | None = None,
+        nodes: rd.Dataset | None = None,
+        node_deletes: rd.Dataset | None = None,
+    ) -> int:
         """Checkpoint a delta into the next immutable level. Written
         atomically: data lands in the dir first, manifest last (a dir
-        without manifest is invisible → safe to resume)."""
+        without manifest is invisible → safe to resume). ``nodes`` /
+        ``node_deletes`` (single ``node`` column) carry explicit —
+        possibly isolated — vertices (reference ``add_node`` /
+        ``delete_node``, ``ll_writable_graph.h:392``)."""
         levels = self.levels()
         level = (levels[-1] + 1) if levels else 0
         d = self._level_dir(level)
         edges_dir = os.path.join(d, "edges")
         os.makedirs(edges_dir, exist_ok=True)
         edges.write_parquet(edges_dir)
-        n_deletes = 0
+        n_deletes = n_nodes = 0
         if deletes is not None:
             del_dir = os.path.join(d, "deletes")
             os.makedirs(del_dir, exist_ok=True)
             deletes.select_columns(["src", "dst"]).write_parquet(del_dir)
             n_deletes = deletes.count()
+        if nodes is not None:
+            nd = os.path.join(d, "nodes")
+            os.makedirs(nd, exist_ok=True)
+            nodes.select_columns(["node"]).write_parquet(nd)
+            n_nodes = nodes.count()
+        if node_deletes is not None:
+            nd = os.path.join(d, "node_deletes")
+            os.makedirs(nd, exist_ok=True)
+            node_deletes.select_columns(["node"]).write_parquet(nd)
         manifest = {
             "level": level,
             "num_edges": edges.count(),
             "num_deletes": n_deletes,
+            "num_nodes": n_nodes,
             "created": time.time(),
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
@@ -147,6 +167,48 @@ class SnapshotStore:
 
                 ds = ds.map_batches(filt, batch_format="pyarrow")
             parts.append(ds)
+        return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+    def nodes(self, *, at_level: int | None = None) -> rd.Dataset:
+        """Explicit (possibly isolated) vertex ids visible at
+        ``at_level`` — the same per-level tombstone rule as edges: a
+        node tombstone at level L hides explicit node rows from
+        earlier levels only (re-add works)."""
+        levels = self.levels()
+        if not levels:
+            raise ValueError("empty snapshot store")
+        if at_level is None:
+            at_level = levels[-1]
+        tombs = []  # (del_level, node array)
+        for lv in levels:
+            if lv > at_level:
+                break
+            nd = os.path.join(self._level_dir(lv), "node_deletes")
+            if os.path.isdir(nd):
+                t = rd.read_parquet(nd).to_pandas()
+                tombs.append((lv, t["node"].to_numpy(np.int64)))
+        parts = []
+        for lv in levels:
+            if lv > at_level:
+                break
+            nd = os.path.join(self._level_dir(lv), "nodes")
+            if not os.path.isdir(nd):
+                continue
+            ds = rd.read_parquet(nd)
+            applicable = [a for dl, a in tombs if dl > lv]
+            if applicable:
+                dead = np.unique(np.concatenate(applicable))
+                dead_ref = ray.put(dead)
+
+                def filt(batch: pa.Table, _r=dead_ref) -> pa.Table:
+                    dd = ray.get(_r)
+                    n = batch_to_numpy(batch, "node")
+                    return batch.filter(pa.array(~np.isin(n, dd)))
+
+                ds = ds.map_batches(filt, batch_format="pyarrow")
+            parts.append(ds)
+        if not parts:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     # --------------------------------------------------------- mutation

@@ -32,6 +32,8 @@ class WritableGraph:
         self.store = store
         self._add_src: list[int] = []
         self._add_dst: list[int] = []
+        self._add_nodes: list[int] = []
+        self._bulk: list[rd.Dataset] = []
         self._del_pairs: list[tuple[int, int]] = []
         self._del_nodes: list[int] = []
 
@@ -44,6 +46,20 @@ class WritableGraph:
     def add_edges(self, src, dst) -> None:
         self._add_src.extend(int(x) for x in src)
         self._add_dst.extend(int(x) for x in dst)
+
+    def add_node(self, node: int) -> None:
+        """Explicit (possibly isolated) vertex — reference ``add_node``.
+        Surfaces through ``store.nodes()``; edge-implied vertices need
+        no declaration."""
+        self._add_nodes.append(int(node))
+
+    def add_edges_bulk(self, edges: rd.Dataset) -> None:
+        """Parallel async load: buffer a whole edge Dataset; it is
+        appended distributed at checkpoint (never materialized on the
+        driver — the reference's bulk load path). Bulk edges bypass
+        the ``add_edge_if_not_exists`` anti-join (plain append;
+        run ``SnapshotStore.flatten`` to dedup)."""
+        self._bulk.append(edges.select_columns(["src", "dst"]))
 
     def add_edge_if_not_exists(self, src: int, dst: int) -> None:
         # resolved at checkpoint: delta is deduped against the frozen set
@@ -95,7 +111,9 @@ class WritableGraph:
         + a streamed anti-join probe of the frozen store — no Python
         set of frozen edges is ever built (scales to stores that dwarf
         driver memory)."""
-        if not (self._add_src or self._del_pairs or self._del_nodes):
+        if not (
+            self._add_src or self._bulk or self._add_nodes or self._del_pairs or self._del_nodes
+        ):
             return None
 
         del_s = np.array([p[0] for p in self._del_pairs], np.int64)
@@ -142,14 +160,50 @@ class WritableGraph:
                 src, dst = src[~exists], dst[~exists]
 
         adds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        if self._bulk:
+            # bulk datasets append distributed (deletion filters in the
+            # same batch still apply, vectorized per block)
+            bulk = self._bulk[0] if len(self._bulk) == 1 else self._bulk[0].union(*self._bulk[1:])
+            if len(del_s) or self._del_nodes:
+                dead_nodes = np.array(sorted(set(self._del_nodes)), np.int64)
+                filt_ref = ray.put((del_struct, dead_nodes))
+
+                def bulk_filter(batch: pa.Table) -> pa.Table:
+                    ds_, dn_ = ray.get(filt_ref)
+                    s = batch_to_numpy(batch, "src")
+                    d = batch_to_numpy(batch, "dst")
+                    keep = np.ones(len(s), bool)
+                    if ds_ is not None:
+                        keep &= ~pairs_member_mask(s, d, ds_)
+                    if len(dn_):
+                        keep &= ~(np.isin(s, dn_) | np.isin(d, dn_))
+                    return batch.filter(pa.array(keep))
+
+                bulk = bulk.map_batches(bulk_filter, batch_format="pyarrow")
+            adds = adds.union(bulk) if len(src) else bulk
         deletes = None
         if len(del_s):
             deletes = rd.from_arrow(
                 pa.table({"src": pa.array(del_s), "dst": pa.array(del_d)})
             )
-        level = self.store.ingest_batch(adds, deletes=deletes)
+        nodes = None
+        if self._add_nodes:
+            keep_nodes = np.unique(np.array(self._add_nodes, np.int64))
+            if self._del_nodes:
+                keep_nodes = keep_nodes[~np.isin(keep_nodes, np.array(sorted(set(self._del_nodes)), np.int64))]
+            nodes = rd.from_arrow(pa.table({"node": pa.array(keep_nodes)}))
+        node_deletes = None
+        if self._del_nodes:
+            node_deletes = rd.from_arrow(
+                pa.table({"node": pa.array(sorted(set(self._del_nodes)), pa.int64())})
+            )
+        level = self.store.ingest_batch(
+            adds, deletes=deletes, nodes=nodes, node_deletes=node_deletes
+        )
         self._add_src.clear()
         self._add_dst.clear()
+        self._add_nodes.clear()
+        self._bulk.clear()
         self._del_pairs.clear()
         self._del_nodes.clear()
         return level

@@ -163,3 +163,29 @@ def test_checkpoint_dedup_large_frozen_store(tmp_path):
     import json, os
     man = json.load(open(os.path.join(st._level_dir(lvl), "manifest.json")))
     assert man["num_edges"] == 100  # only the fresh edges survived
+
+
+def test_add_node_and_bulk_edges(tmp_path):
+    """Explicit isolated nodes + parallel bulk edge append (§2.8
+    add_node / parallel-async-load)."""
+    st = SnapshotStore(str(tmp_path))
+    w = WritableGraph(st)
+    w.add_node(100)
+    w.add_node(101)
+    w.add_edge(0, 1)
+    w.add_edges_bulk(ds_of([(5, 6), (6, 7), (3, 4)]))
+    w.checkpoint()
+    assert edge_set(w.ro_edges()) == {(0, 1), (5, 6), (6, 7), (3, 4)}
+    assert set(st.nodes().to_pandas()["node"]) == {100, 101}
+    # delete then re-add an explicit node (per-level tombstone rule)
+    w.delete_node(100)
+    w.checkpoint()
+    assert set(st.nodes().to_pandas()["node"]) == {101}
+    w.add_node(100)
+    w.checkpoint()
+    assert set(st.nodes().to_pandas()["node"]) == {100, 101}
+    # bulk edges incident to a node deleted in the SAME batch are dropped
+    w.add_edges_bulk(ds_of([(7, 8), (8, 9)]))
+    w.delete_node(8)
+    w.checkpoint()
+    assert (7, 8) not in edge_set(w.ro_edges()) and (8, 9) not in edge_set(w.ro_edges())
