@@ -681,6 +681,7 @@ def embedding_near_dup(
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes))
+    planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table):
         ids = batch_to_numpy(batch, id_col)
@@ -688,38 +689,89 @@ def embedding_near_dup(
             batch.column(vec_col).combine_chunks().flatten().to_numpy(), np.float64
         ).reshape(len(ids), -1)
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        signs = (Vn @ planes) > 0
+        signs = (Vn @ ray.get(planes_ref)) > 0
         bucket = np.zeros(len(ids), np.int64)
         for p in range(num_planes):
             bucket = (bucket << 1) | signs[:, p]
-        return {"id": ids, "bucket": bucket, "vec": [v.tobytes() for v in Vn]}
+        return {"bucket": bucket, "id": ids, "vec": [v.tobytes() for v in Vn]}
 
-    buck = emb.map_batches(bucketize, batch_format="pyarrow")
+    srt = emb.map_batches(bucketize, batch_format="pyarrow").sort("bucket").materialize()
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []}).astype(
-                {"a": np.int64, "b": np.int64, "cos": np.float64}
-            )
-        if len(ids) > max_bucket:
+    def _verify(bucket, ids, vec_list):
+        """All pairs ≥ τ within equal-bucket runs of sorted rows —
+        vectorized across every run at once (a vector has exactly one
+        bucket, so each pair occurs exactly once; no dedup needed).
+        Runs above max_bucket truncate with a warning."""
+        if len(bucket) < 2:
+            return None
+        starts = np.flatnonzero(np.concatenate([[True], bucket[1:] != bucket[:-1]]))
+        lengths = np.diff(np.concatenate([starts, [len(bucket)]]))
+        within = np.arange(len(bucket)) - np.repeat(starts, lengths)
+        keep = within < max_bucket
+        if not keep.all():
             logger.warning(
-                "embedding_near_dup: bucket of %d truncated to %d", len(ids), max_bucket
+                "embedding_near_dup: %d buckets truncated to %d",
+                int((lengths > max_bucket).sum()),
+                max_bucket,
             )
-            group = group.iloc[:max_bucket]
-            ids = group["id"].to_numpy()
-        V = np.stack([np.frombuffer(v, np.float64) for v in group["vec"]])
-        sims = V @ V.T
-        i, j = np.triu_indices(len(ids), k=1)
-        m = sims[i, j] >= threshold
-        return pd.DataFrame({"a": ids[i][m], "b": ids[j][m], "cos": sims[i, j][m]})
+        from ..algos.triangles import _pairs_multirun
 
-    out = buck.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
-    if out.empty:
+        bk = bucket[keep]
+        li, ri = _pairs_multirun(bk)
+        if len(li) == 0:
+            return None
+        kept_rows = np.flatnonzero(keep)
+        V = np.stack([np.frombuffer(vec_list[r], np.float64) for r in kept_rows])
+        sims = np.einsum("ij,ij->i", V[li], V[ri])
+        m = sims >= threshold
+        ids_k = ids[kept_rows]
+        a = np.minimum(ids_k[li[m]], ids_k[ri[m]])
+        b = np.maximum(ids_k[li[m]], ids_k[ri[m]])
+        return {"a": a, "b": b, "cos": sims[m]}
+
+    def interior(tbl: pa.Table):
+        empty = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64), "cos": np.empty(0)}
+        bucket = batch_to_numpy(tbl, "bucket")
+        if len(bucket) == 0:
+            return empty
+        inner = (bucket != bucket[0]) & (bucket != bucket[-1])
+        out = _verify(
+            bucket[inner],
+            batch_to_numpy(tbl, "id")[inner],
+            [v for v, k in zip(tbl.column("vec").to_pylist(), inner) if k],
+        )
+        return out if out is not None else empty
+
+    def boundary_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "bucket" not in tbl.schema.names:
+            return None
+        b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        edge = (b == b[0]) | (b == b[-1])
+        ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        vecs = tbl.column("vec").to_pylist()
+        return (b[edge], ids[edge], [v for v, k in zip(vecs, edge) if k])
+
+    from ..common import per_block_results
+
+    parts = [
+        t.to_pandas()
+        for t in srt.map_batches(interior, batch_format="pyarrow", batch_size=None).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    bb, bi, bv = [], [], []
+    for r in per_block_results(srt, boundary_block):
+        if r is not None:
+            bb.append(r[0])
+            bi.append(r[1])
+            bv.extend(r[2])
+    if bb:
+        out = _verify(np.concatenate(bb), np.concatenate(bi), bv)
+        if out is not None:
+            parts.append(pd.DataFrame(out))
+    if not parts:
         return pd.DataFrame(
             {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64), "cos": np.empty(0)}
         )
-    a = np.minimum(out["a"], out["b"])
-    b = np.maximum(out["a"], out["b"])
-    out = pd.DataFrame({"a": a, "b": b, "cos": out["cos"]}).drop_duplicates(["a", "b"])
-    return out.reset_index(drop=True)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
