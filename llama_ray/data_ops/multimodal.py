@@ -7,11 +7,11 @@ batch sizes (payloads are wide — a 1 MB image × batch 64 × pool 8 =
 512 MB in flight, so the defaults keep batches small and rely on
 object-store backpressure).
 
-The actual codec calls are STUBBED (no imaging/audio libraries ship
-in this container): ``decode=None`` uses a deterministic fake decoder
-so the Ray-side plumbing — schema, batch sizing, actor signature,
-output layout — is real and tested; pass a real decode callable when
-the libs exist.
+Codecs: PPM/PGM (P6/P5) and uncompressed 8/24-bit BMP decode **for
+real** in pure numpy (no imaging libraries ship in this container;
+these formats need none). Other formats fall back to a deterministic
+pseudo-decoder so the plumbing still runs end-to-end — swap in a PIL/
+cv2 callable per actor when the libs exist.
 """
 
 from __future__ import annotations
@@ -24,18 +24,80 @@ import ray.data as rd
 
 
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in: payload bytes → pseudo 8x8 grayscale."""
+    """Deterministic stand-in for formats without a numpy codec:
+    payload bytes → pseudo 8x8 grayscale."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     return arr.reshape(8, 8)
 
 
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """P5 (grayscale) / P6 (RGB, converted to luma) binary PNM."""
+    # header: magic, whitespace-separated width height maxval (with
+    # '#' comments), one whitespace byte, then the raster
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    if payload[:2] == b"P5":
+        return np.frombuffer(payload, np.uint8, count=h * w, offset=pos).reshape(h, w).copy()
+    rgb = np.frombuffer(payload, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+    return (rgb.astype(np.float64) @ [0.299, 0.587, 0.114]).astype(np.uint8)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 8-bit (index-as-gray) or 24-bit BMP → grayscale."""
+    off = int(np.frombuffer(payload, "<u4", count=1, offset=10)[0])
+    w = int(np.frombuffer(payload, "<i4", count=1, offset=18)[0])
+    h = int(np.frombuffer(payload, "<i4", count=1, offset=22)[0])
+    bpp = int(np.frombuffer(payload, "<u2", count=1, offset=28)[0])
+    comp = int(np.frombuffer(payload, "<u4", count=1, offset=30)[0])
+    if comp != 0 or bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    raster = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=off).reshape(
+        h, row_bytes
+    )
+    if bpp == 8:
+        img = raster[:, :w].copy()
+    else:
+        bgr = raster[:, : w * 3].reshape(h, w, 3).astype(np.float64)
+        img = (bgr @ [0.114, 0.587, 0.299]).astype(np.uint8)  # BGR order
+    return img[::-1].copy() if flip else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch by magic bytes: real PNM/BMP numpy decode, pseudo
+    fallback otherwise."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return _fake_decode_image(payload)
+
+
 class DecodeImages:
-    """binary → decoded pixels + shape metadata. Real decoders (PIL /
-    cv2) would be imported and initialised here, once per actor."""
+    """binary → decoded grayscale pixels + shape metadata. The decode
+    callable is installed once per actor; default dispatches on magic
+    bytes (:func:`decode_image`)."""
 
     def __init__(self, decode: Optional[Callable[[bytes], np.ndarray]] = None):
         if decode is None:
-            decode = _fake_decode_image  # STUB: container has no image libs
+            decode = decode_image
         self.decode = decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -93,6 +155,43 @@ def decode_and_featurize_images(
     )
     return decoded.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+class ResizeImages:
+    """Nearest-neighbor resize of decoded grayscale pixels to a fixed
+    (h, w) — pure numpy index maps, built once per actor."""
+
+    def __init__(self, height: int, width: int):
+        self.h = height
+        self.w = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pix = []
+        for pix, h, w in zip(
+            batch.column("pixels").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("width").to_pylist(),
+        ):
+            img = np.frombuffer(pix, np.uint8).reshape(h, w)
+            ri = (np.arange(self.h) * h // self.h).astype(np.int64)
+            ci = (np.arange(self.w) * w // self.w).astype(np.int64)
+            out_pix.append(img[ri][:, ci].tobytes())
+        n = batch.num_rows
+        out = batch.drop_columns(["pixels", "height", "width"])
+        out = out.append_column("pixels", pa.array(out_pix, pa.binary()))
+        out = out.append_column("height", pa.array(np.full(n, self.h, np.int32)))
+        out = out.append_column("width", pa.array(np.full(n, self.w, np.int32)))
+        return out
+
+
+def resize_images(ds: rd.Dataset, height: int, width: int, *, batch_size: int = 64, concurrency=(2, 8)) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_args=(height, width),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
 
 

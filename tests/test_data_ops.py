@@ -225,3 +225,44 @@ def test_frame_sampling():
     )
     out = sample_frames(ds, every_nth=10).to_pandas()
     assert sorted(out["frame_index"].tolist()) == [0, 10, 20]
+
+
+def test_real_image_decode_ppm_bmp_and_resize():
+    """PPM/PGM/BMP decode is REAL (pure numpy), not stubbed; resize
+    nearest-neighbor works through the actor-pool stage."""
+    import struct
+    from llama_ray.data_ops.multimodal import decode_image, resize_images
+    from llama_ray.data_ops.multimodal import decode_and_featurize_images
+
+    # P5 grayscale 3x2 with a comment line
+    p5 = b"P5\n# c\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    img = decode_image(p5)
+    assert img.shape == (2, 3) and img[0, 0] == 10 and img[1, 2] == 60
+
+    # P6 RGB 2x1: pure red and pure white -> luma 76, 255
+    p6 = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 255, 255, 255])
+    img = decode_image(p6)
+    assert img.shape == (1, 2) and abs(int(img[0, 0]) - 76) <= 1 and img[0, 1] == 255
+
+    # 24-bit BMP 2x2 (bottom-up, rows padded to 4 bytes)
+    w, h = 2, 2
+    row = w * 3 + 2  # 6 data bytes + 2 pad
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0]) + bytes([0, 0, 255, 255, 255, 255, 0, 0])
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    bmp = hdr + dib + pix
+    img = decode_image(bmp)
+    assert img.shape == (2, 2)
+    # bottom row of file is top of image after flip: red(BGR 0,0,255)->76, white->255
+    assert abs(int(img[0, 0]) - 76) <= 1 and img[0, 1] == 255
+    assert abs(int(img[1, 0]) - 29) <= 1  # blue (BGR 255,0,0)
+
+    # through the Ray stages: decode + resize
+    ds = rd.from_arrow(
+        pa.table({"item_id": pa.array([0, 1], pa.int64()), "payload": pa.array([p5, bmp], pa.binary())})
+    )
+    from llama_ray.data_ops.multimodal import DecodeImages
+    decoded = ds.map_batches(DecodeImages, batch_format="pyarrow", concurrency=1)
+    rs = resize_images(decoded, 4, 4, concurrency=1).to_pandas().sort_values("item_id")
+    assert rs["height"].tolist() == [4, 4] and rs["width"].tolist() == [4, 4]
+    assert all(len(p) == 16 for p in rs["pixels"])
