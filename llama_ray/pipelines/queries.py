@@ -163,8 +163,8 @@ def q_bfs(sf_dir: str):
 
 
 def q_sssp_weighted(sf_dir: str):
-    """Weighted SSSP over summed duplicate weights (no SQL oracle —
-    verified against a numpy Bellman-Ford oracle in tests)."""
+    """Weighted SSSP over summed duplicate weights (DuckDB recursive
+    oracle + numpy Bellman-Ford in tests)."""
     from ..algos.traversal import sssp
 
     weighted = dedup_edges(raw_edges(sf_dir), weights="sum")
