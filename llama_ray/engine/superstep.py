@@ -40,7 +40,12 @@ from .checkpoint import CheckpointManager
 
 
 def aggregate_messages(
-    msgs: rd.Dataset, how: str = "sum", key: str = "dst", value: str = "v", mode: str = "driver"
+    msgs: rd.Dataset,
+    how: str = "sum",
+    key: str = "dst",
+    value: str = "v",
+    mode: str = "driver",
+    salt: int = 0,
 ):
     """Final combine of per-batch message partials → (keys, values).
 
@@ -56,11 +61,29 @@ def aggregate_messages(
     ``mode="shuffle"``: ``groupby(key)`` hash shuffle — the topology
     for sharded vertex state (each reducer owns a key range), used
     when the aggregate feeds a distributed stage instead of the
-    driver.
+    driver. With ``salt=S > 1``, hub keys are split across S salted
+    sub-keys first (``groupby([key, salt])`` partial combine) and the
+    final groupby sums the ≤S salted partials — the degree-based hub
+    split of SURVEY §4 for when per-batch combiners alone leave a hot
+    reducer (many thousands of blocks × few giant keys).
     """
     if mode == "shuffle":
         agg = {"sum": Sum, "min": Min}[how]
-        out = msgs.groupby(key).aggregate(agg(value, alias_name=value))
+        if salt > 1:
+            def add_salt(batch: pa.Table):
+                # deterministic row-cyclic salt: splits any hub's rows
+                # across S reducers without an RNG in the hot path
+                s = np.arange(batch.num_rows, dtype=np.int64) % salt
+                return batch.append_column("_salt", pa.array(s))
+
+            partial = (
+                msgs.map_batches(add_salt, batch_format="pyarrow")
+                .groupby([key, "_salt"])
+                .aggregate(agg(value, alias_name=value))
+            )
+            out = partial.groupby(key).aggregate(agg(value, alias_name=value))
+        else:
+            out = msgs.groupby(key).aggregate(agg(value, alias_name=value))
         ks, vs = [], []
         for b in out.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
             ks.append(batch_to_numpy(b, key))

@@ -84,3 +84,28 @@ def test_ppr_sharded_bit_identical():
     a = personalized_pagerank(g, seeds, max_iters=6, engine="bsp")
     b = personalized_pagerank(g, seeds, max_iters=6, engine="bsp_sharded")
     assert np.array_equal(a.state["rank"], b.state["rank"])
+
+
+def test_salted_shuffle_aggregate_matches_driver():
+    """Hub-salted two-stage shuffle aggregate (SURVEY §4 skew split)
+    equals the driver merge exactly for sums and mins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from llama_ray.engine.superstep import aggregate_messages
+
+    rng = np.random.default_rng(0)
+    # one hub key (0) with 5k messages + a long tail
+    dst = np.concatenate([np.zeros(5000, np.int64), rng.integers(1, 200, 2000)])
+    v = rng.integers(1, 10, len(dst)).astype(np.float64)
+    msgs = rd.from_arrow(pa.table({"dst": pa.array(dst), "v": pa.array(v)})).repartition(8)
+
+    kd, vd = aggregate_messages(msgs, "sum", mode="driver")
+    ks, vs = aggregate_messages(msgs, "sum", mode="shuffle", salt=4)
+    o = np.argsort(ks)
+    assert np.array_equal(kd, ks[o]) and np.allclose(vd, vs[o])
+
+    kd, vd = aggregate_messages(msgs, "min", mode="driver")
+    ks, vs = aggregate_messages(msgs, "min", mode="shuffle", salt=4)
+    o = np.argsort(ks)
+    assert np.array_equal(kd, ks[o]) and np.array_equal(vd, vs[o])
