@@ -63,11 +63,17 @@ def raw_edges(sf_dir: str, *, with_props: bool = True) -> rd.Dataset:
     the property columns entirely (prune at the derive, not after)."""
     p = lambda name: os.path.join(sf_dir, f"{name}.parquet")
 
-    orders = rd.read_parquet(p("orders"), columns=["o_orderkey", "o_custkey"]).map_batches(
+    # coarse read blocks + whole-block batches: the default layout
+    # (320 tiny blocks x 1024-row map calls) made the derive ~20x
+    # slower than the same rows in ~30 blocks
+    orders = rd.read_parquet(
+        p("orders"), columns=["o_orderkey", "o_custkey"], override_num_blocks=4
+    ).map_batches(
         lambda b: _edge_table(
             b.column("o_custkey").to_numpy(), O_ORDER + b.column("o_orderkey").to_numpy(), 1.0, "cust_order", with_props
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
     def lineitem_edges(b: pa.Table) -> pa.Table:
@@ -84,27 +90,30 @@ def raw_edges(sf_dir: str, *, with_props: bool = True) -> rd.Dataset:
         )
 
     li_cols = ["l_orderkey", "l_partkey", "l_suppkey"] + (["l_quantity"] if with_props else [])
-    lineitem = rd.read_parquet(p("lineitem"), columns=li_cols).map_batches(
-        lineitem_edges, batch_format="pyarrow"
+    lineitem = rd.read_parquet(p("lineitem"), columns=li_cols, override_num_blocks=16).map_batches(
+        lineitem_edges, batch_format="pyarrow", batch_size=None
     )
 
-    supplier = rd.read_parquet(p("supplier"), columns=["s_suppkey", "s_nationkey"]).map_batches(
+    supplier = rd.read_parquet(p("supplier"), override_num_blocks=1, columns=["s_suppkey", "s_nationkey"]).map_batches(
         lambda b: _edge_table(
             O_SUPP + b.column("s_suppkey").to_numpy(), O_NATION + b.column("s_nationkey").to_numpy(), 1.0, "supp_nation", with_props
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
-    customer = rd.read_parquet(p("customer"), columns=["c_custkey", "c_nationkey"]).map_batches(
+    customer = rd.read_parquet(p("customer"), override_num_blocks=2, columns=["c_custkey", "c_nationkey"]).map_batches(
         lambda b: _edge_table(
             b.column("c_custkey").to_numpy(), O_NATION + b.column("c_nationkey").to_numpy(), 1.0, "cust_nation", with_props
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
-    nation = rd.read_parquet(p("nation"), columns=["n_nationkey", "n_regionkey"]).map_batches(
+    nation = rd.read_parquet(p("nation"), override_num_blocks=1, columns=["n_nationkey", "n_regionkey"]).map_batches(
         lambda b: _edge_table(
             O_NATION + b.column("n_nationkey").to_numpy(), O_REGION + b.column("n_regionkey").to_numpy(), 1.0, "nation_region", with_props
         ),
         batch_format="pyarrow",
+        batch_size=None,
     )
     return orders.union(lineitem, supplier, customer, nation)
 
