@@ -30,7 +30,7 @@ import pyarrow as pa
 import ray
 
 from ..common import batch_to_numpy, sparse_partial_min
-from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages
+from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages, block_scatter
 from ..graph import Graph
 
 
@@ -84,16 +84,16 @@ def weakly_connected_components(
         lab_ref = ray.put(state["label"])
 
         def scatter(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
             lab = ray.get(lab_ref)
-            src = batch_to_numpy(batch, "src")
-            dst = batch_to_numpy(batch, "dst")
+            src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
             keys = np.concatenate([dst, src])
             vals = np.concatenate([lab[src], lab[dst]])
-            u, mins = sparse_partial_min(keys, vals)
-            return {"dst": u, "v": mins}
+            return sparse_partial_min(keys, vals)
 
-        msgs = edges.map_batches(scatter, batch_format="pyarrow")
-        ks, vs = aggregate_messages(msgs, "min")
+        ks, vs = block_scatter(graph, scatter, "min")
         new = state["label"].copy()
         np.minimum.at(new, ks, vs)
         changed = int((new != state["label"]).sum())
@@ -347,17 +347,18 @@ def label_propagation(
         lab_ref = ray.put(state["dense_label"])
 
         def scatter(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
             lab = ray.get(lab_ref)
-            src = batch_to_numpy(batch, "src")
-            dst = batch_to_numpy(batch, "dst")
+            src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
             nodes = np.concatenate([dst, src])
             labels = np.concatenate([lab[src], lab[dst]])
             packed = nodes * n + labels
             u, counts = np.unique(packed, return_counts=True)
-            return {"dst": u, "v": counts.astype(np.int64)}
+            return u, counts.astype(np.float64)
 
-        msgs = edges.map_batches(scatter, batch_format="pyarrow")
-        keys, counts = aggregate_messages(msgs, "sum")
+        keys, counts = block_scatter(graph, scatter, "sum")
         nodes = keys // n
         labels = keys % n
         # mode per node: order by (node, -count, label), take first

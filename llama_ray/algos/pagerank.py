@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 
 from ..common import PAGERANK_D, batch_to_numpy, sparse_partial_sum
-from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages
+from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages, block_scatter
 from ..graph import Graph
 
 
@@ -120,8 +120,16 @@ def pagerank(
             acc = gatherer.gather_sum(rank * inv_deg)
         else:
             w_ref = ray.put(rank * inv_deg)
-            msgs = edges.map_batches(_make_scatter(w_ref), batch_format="pyarrow")
-            dsts, sums = aggregate_messages(msgs, "sum")
+
+            def scatter(batch: pa.Table):
+                if batch.num_rows == 0 or "src" not in batch.schema.names:
+                    return None
+                w = ray.get(w_ref)  # zero-copy plasma read of the broadcast state
+                src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+                dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+                return sparse_partial_sum(dst, w[src])
+
+            dsts, sums = block_scatter(graph, scatter, "sum")
             acc = np.zeros(n, dtype=np.float64)
             acc[dsts] = sums
         new_rank = base + damping * acc

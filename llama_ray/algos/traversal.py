@@ -80,22 +80,29 @@ def sssp(
         active_ref = ray.put(state["active"])
 
         def scatter(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
             dist = ray.get(dist_ref)
             act = ray.get(active_ref)
-            src = batch_to_numpy(batch, "src")
-            dst = batch_to_numpy(batch, "dst")
+            src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
             mask = act[src]
             src, dst = src[mask], dst[mask]
             if weighted:
-                w = batch_to_numpy(batch, weight_col).astype(np.float64)[mask]
+                w = (
+                    batch.column(weight_col)
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)[mask]
+                )
             else:
                 w = 1.0
             cand = dist[src] + w
-            u, mins = sparse_partial_min(dst, cand)
-            return {"dst": u, "v": mins}
+            return sparse_partial_min(dst, cand)
 
-        msgs = edges.map_batches(scatter, batch_format="pyarrow")
-        ks, vs = aggregate_messages(msgs, "min")
+        from ..engine.superstep import block_scatter
+
+        ks, vs = block_scatter(graph, scatter, "min")
         dist = state["dist"].copy()
         improved_keys = ks[vs < dist[ks]]
         improved_vals = vs[vs < dist[ks]]

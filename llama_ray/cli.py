@@ -137,7 +137,11 @@ def main(argv=None) -> int:
         summary.update(supersteps=res.iterations, components=int(len(set(res.state["label"]))))
     elif args.algorithm == "label_propagation":
         res = label_propagation(
-            g, iterations=args.max_iters, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+            g,
+            iterations=args.max_iters,
+            engine="bsp" if args.engine in ("bsp", "bsp_sharded") else "dataset",
+            checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume,
         )
         arrays["label"] = res.state["label"]
         summary.update(iterations=res.iterations)

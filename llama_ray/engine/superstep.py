@@ -109,6 +109,30 @@ def aggregate_messages(
     raise ValueError(f"unknown aggregate {how}")
 
 
+def block_scatter(graph: Graph, fn, how: str, num_returns: int = 2):
+    """One superstep scatter as plain Ray tasks over the graph's
+    materialized edge blocks (``fn(arrow_table) -> tuple of arrays |
+    None``), merged on the driver with a vectorized sparse reduce —
+    identical math to the Dataset formulation without paying a
+    streaming-executor launch (~0.3 s at 32 CPUs) per superstep.
+    Returns (keys, values) like :func:`aggregate_messages`."""
+    task = ray.remote(fn)
+    outs = ray.get([task.remote(r) for r in graph.edge_block_refs()])
+    ks, vs = [], []
+    for o in outs:
+        if o is None:
+            continue
+        ks.append(o[0])
+        vs.append(o[1])
+    if not ks:
+        return np.empty(0, np.int64), np.empty(0)
+    from ..common import sparse_partial_min, sparse_partial_sum
+
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    return (sparse_partial_sum if how == "sum" else sparse_partial_min)(k, v)
+
+
 @dataclass
 class SuperstepResult:
     state: dict[str, np.ndarray]

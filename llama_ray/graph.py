@@ -103,6 +103,17 @@ class Graph:
     def num_vertices(self) -> int:
         return len(self.ids)
 
+    _block_refs: Optional[list] = field(default=None, repr=False)
+
+    def edge_block_refs(self) -> list:
+        """Arrow block refs of the (materialized) edge table, memoized.
+        Iterative algorithms scatter over these as plain Ray tasks —
+        one streaming-executor launch costs ~0.3 s at 32 CPUs, which
+        would otherwise be paid EVERY superstep."""
+        if self._block_refs is None:
+            self._block_refs = self.edges.to_arrow_refs()
+        return self._block_refs
+
     def in_degrees(self) -> np.ndarray:
         if self._in_degrees is not None:
             return self._in_degrees
