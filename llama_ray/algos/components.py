@@ -155,17 +155,24 @@ def strongly_connected_components(
     supersteps = 0
 
     def scan(fn):
-        """One scatter execution; fn(batch_src, batch_dst) -> dict of
-        partial arrays, merged on the driver."""
-        def scatter(batch: pa.Table):
-            return fn(batch_to_numpy(batch, "src"), batch_to_numpy(batch, "dst"))
+        """One scatter round as plain per-block Ray tasks (no streaming
+        executor launch); fn(src, dst) -> dict of partial arrays,
+        merged on the driver."""
 
-        outs = []
-        for b in edges.map_batches(scatter, batch_format="pyarrow", batch_size=None).iter_batches(
-            batch_format="pyarrow"
-        ):
-            outs.append(b)
-        return outs
+        def scatter(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
+            return fn(
+                batch.column("src").combine_chunks().to_numpy(zero_copy_only=False),
+                batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False),
+            )
+
+        task = ray.remote(scatter)
+        return [
+            o
+            for o in ray.get([task.remote(r) for r in graph.edge_block_refs()])
+            if o is not None
+        ]
 
     for _outer in range(max_outer):
         if not active.any():
@@ -190,9 +197,7 @@ def strongly_connected_components(
             outdeg = np.zeros(n, np.int64)
             indeg = np.zeros(n, np.int64)
             for b in scan(degs):
-                v = batch_to_numpy(b, "v")
-                c = batch_to_numpy(b, "c")
-                k = batch_to_numpy(b, "kind")
+                v, c, k = b["v"], b["c"], b["kind"]
                 np.add.at(outdeg, v[k == 0], c[k == 0])
                 np.add.at(indeg, v[k == 1], c[k == 1])
             supersteps += 1
@@ -219,9 +224,7 @@ def strongly_connected_components(
 
             new = color.copy()
             for b in scan(fwd):
-                ks = batch_to_numpy(b, "dst")
-                vs = batch_to_numpy(b, "v")
-                np.maximum.at(new, ks, vs)
+                np.maximum.at(new, b["dst"], b["v"])
             supersteps += 1
             if np.array_equal(new, color):
                 break
@@ -239,7 +242,7 @@ def strongly_connected_components(
 
             newly = np.zeros(n, bool)
             for b in scan(bwd):
-                newly[batch_to_numpy(b, "v")] = True
+                newly[b["v"]] = True
             supersteps += 1
             newly &= ~reached
             if not newly.any():
