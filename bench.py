@@ -195,7 +195,7 @@ def run_scaling_worker() -> dict:
     # page-cache noise. bsp_sharded: actor-resident state — the
     # per-superstep serial driver term (put/dispatch/concat) is gone;
     # only refs + scalars cross the driver.
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     secs = [
         personalized_pagerank(g, seeds, max_iters=10, engine="bsp_sharded").total_seconds
         for _ in range(reps)

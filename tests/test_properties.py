@@ -80,3 +80,59 @@ def test_build_graph_invariants(pairs):
     assert np.array_equal(g.ids, np.unique([x for p in pairs for x in p]))
     assert g.out_degrees.sum() == len(pairs)
     assert int(max_node_id(ds_of(pairs))) == int(g.ids.max())
+
+
+@SLOW
+@given(edge_lists)
+def test_scc_matches_tarjan_property(pairs):
+    """Random directed multigraphs (dups, self-loops, negative ids):
+    the distributed trim+FW-BW SCC equals iterative Tarjan."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from np_oracles import tarjan_scc_np
+    from llama_ray.algos.components import strongly_connected_components
+
+    g = build_graph(ds_of(pairs))
+    res = strongly_connected_components(g)
+    s = np.searchsorted(g.ids, np.array([p[0] for p in pairs]))
+    d = np.searchsorted(g.ids, np.array([p[1] for p in pairs]))
+    expect = g.ids[tarjan_scc_np(s, d, g.num_vertices)]
+    assert np.array_equal(res.state["label"], expect)
+
+
+@SLOW
+@given(edge_lists)
+def test_canonical_undirected_matches_generic_property(pairs):
+    from llama_ray.graph import canonical_undirected
+
+    parent = build_graph(ds_of(pairs))
+    fast = canonical_undirected(parent)
+    generic = build_graph(dedup_edges(undirected_ordered(parent.edges, drop_self_loops=True)))
+    assert np.array_equal(fast.ids, parent.ids[generic.ids]) or (
+        generic.num_vertices == 0 and fast.num_vertices == 0
+    )
+    fe = fast.edges.to_pandas()
+    ge = generic.edges.to_pandas()
+    assert len(fe) == len(ge)
+    if len(fe):
+        fe = fe.sort_values(["src", "dst"]).reset_index(drop=True)
+        ge = ge.sort_values(["src", "dst"]).reset_index(drop=True)
+        assert fe.equals(ge)
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=12))
+def test_minhash_signature_deterministic_and_similarity(texts):
+    """Signatures are pure functions of text; identical texts collide
+    on every hash; disjoint-alphabet texts share (almost) none."""
+    from llama_ray.data_ops.dedup import MinHasher
+
+    mh = MinHasher(32)
+    sigs = [mh.signature(t) for t in texts]
+    sigs2 = [mh.signature(t) for t in texts]
+    for a, b in zip(sigs, sigs2):
+        assert np.array_equal(a, b)
+    for i, t in enumerate(texts):
+        for j, u in enumerate(texts):
+            if t == u:
+                assert np.array_equal(sigs[i], sigs[j])
