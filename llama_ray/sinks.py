@@ -67,3 +67,50 @@ def print_adjacency(edges: rd.Dataset, lo: int, hi: int | None = None) -> dict[i
     for s in out:
         out[s].sort()
     return out
+
+
+def resumable_write_parquet(ds: rd.Dataset, root: str) -> dict:
+    """Partitioned, resumable Parquet sink: one ``part_%05d/`` dir per
+    input block, each committed atomically (data file first, `_DONE`
+    marker last). A re-run after failure skips every partition whose
+    marker exists — never one giant file, never a restart from zero
+    (the at-scale output posture of the brief).
+
+    Returns {"written": n, "skipped": n, "parts": total}.
+    """
+    import os
+
+    import ray
+
+    os.makedirs(root, exist_ok=True)
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _write(t: pa.Table, part_dir: str):
+        os.makedirs(part_dir, exist_ok=True)
+        pq.write_table(t, os.path.join(part_dir, "data.parquet"))
+        with open(os.path.join(part_dir, "_DONE"), "w") as f:
+            f.write("ok")
+        return 1
+
+    futs = []
+    skipped = 0
+    for i, r in enumerate(refs):
+        part_dir = os.path.join(root, f"part_{i:05d}")
+        if os.path.exists(os.path.join(part_dir, "_DONE")):
+            skipped += 1
+            continue
+        futs.append(_write.remote(r, part_dir))
+    written = int(sum(ray.get(futs))) if futs else 0
+    return {"written": written, "skipped": skipped, "parts": len(refs)}
+
+
+def read_resumable_parquet(root: str) -> rd.Dataset:
+    """Read back only the committed partitions of a resumable sink."""
+    import glob
+    import os
+
+    done = sorted(
+        os.path.dirname(m) for m in glob.glob(os.path.join(root, "part_*", "_DONE"))
+    )
+    return rd.read_parquet([os.path.join(d, "data.parquet") for d in done])

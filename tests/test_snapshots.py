@@ -135,3 +135,22 @@ def test_stream_ingest_overlaps_load_and_compute(tmp_path):
     # ingest of batch 1 began before analytics of batch 0 completed
     assert ingest_starts[1] < compute_ends[0]
     assert ingest_starts[2] < compute_ends[1]
+
+
+def test_resumable_partitioned_sink(tmp_path):
+    """Failed-run resume: completed partitions (with _DONE markers)
+    are skipped; missing ones are rewritten; read-back sees only
+    committed parts."""
+    import os
+    from llama_ray.sinks import read_resumable_parquet, resumable_write_parquet
+
+    ds = ds_of([(i, i + 1) for i in range(100)]).repartition(5).materialize()
+    root = str(tmp_path / "out")
+    r1 = resumable_write_parquet(ds, root)
+    assert r1["written"] == 5 and r1["skipped"] == 0
+    # simulate a partial failure: one marker missing
+    os.remove(os.path.join(root, "part_00002", "_DONE"))
+    r2 = resumable_write_parquet(ds, root)
+    assert r2["written"] == 1 and r2["skipped"] == 4
+    back = read_resumable_parquet(root).to_pandas().sort_values(["src", "dst"])
+    assert len(back) == 100
