@@ -17,8 +17,10 @@ distributed algorithms are used instead:
   iteration count, deterministic.
 
 Both are supersteps of the same physical plan as PageRank: broadcast
-state → ``map_batches`` scatter with per-batch combiner →
-``groupby`` hash shuffle → apply.
+state → scatter with per-batch combiner (plain per-block Ray tasks
+over the materialized edge blocks — no per-superstep executor
+launch) → sparse merge → apply; LP additionally has the BSP
+mode-gather engine (counts never leave the actors).
 """
 
 from __future__ import annotations
