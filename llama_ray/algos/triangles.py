@@ -153,7 +153,16 @@ def _count_wedges(
     return total
 
 
-def triangle_count(graph: Graph) -> int:
+def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
+    """``probe="broadcast"`` (default): wedge tasks fetch the sorted
+    edge-key blocks they probe (zero-copy on a node; P×E traffic on a
+    cluster). ``probe="shuffle"``: wedges are emitted as a Dataset and
+    range-sorted into the edge-key ordering first, so each wedge block
+    probes only the few edge blocks overlapping its own key range —
+    O(W) shuffle traffic instead of P×E fetches, the multi-node path
+    (costs an extra all-to-all of W wedge rows locally)."""
+    if probe not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown probe mode {probe}")
     n = graph.num_vertices
     if n == 0:
         return 0
@@ -205,6 +214,9 @@ def triangle_count(graph: Graph) -> int:
     refs = [refs[i] for i in keep]
     bounds_hi = np.array([bounds[i][1] for i in keep], np.int64)
 
+    if probe == "shuffle":
+        return _count_shuffle(srt, deg, deg_ref, n, refs, bounds_hi, graph)
+
     # --- wedge generation + distributed probe, one fused pass: each
     # block emits its interior-run triangle count (kind=0) plus the
     # rows of runs touching its edges (kind=1; ≤ 2 runs per block,
@@ -241,3 +253,101 @@ def triangle_count(graph: Graph) -> int:
         if len(bk):
             total += _count_wedges(bk // n, bk % n, deg, n, refs, bounds_hi)
     return total
+
+
+def _gen_wedge_chunks(a, b, deg, n, wedge_chunk=1 << 20):
+    """Yield oriented wedge-key arrays for (a-sorted) rows in bounded
+    chunks (same run grouping as _count_wedges, emitting instead of
+    probing)."""
+    m = len(a)
+    if m < 2:
+        return
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    lengths = np.diff(np.concatenate([starts, [m]]))
+    work = lengths * (lengths - 1) // 2
+    r = 0
+    R = len(starts)
+    while r < R:
+        if work[r] > wedge_chunk:
+            s, L = starts[r], lengths[r]
+            nbrs = b[s : s + L]
+            step = max(1, wedge_chunk // max(1, L))
+            for j0 in range(0, L - 1, step):
+                j1 = min(j0 + step, L - 1)
+                lefts = np.arange(j0, j1)
+                reps = L - 1 - lefts
+                li = np.repeat(lefts, reps)
+                cum = np.concatenate([[0], np.cumsum(reps)])
+                ri = li + (np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)) + 1
+                x, y = _orient_pairs(nbrs[li], nbrs[ri], deg)
+                yield x * n + y
+            r += 1
+            continue
+        e, tot = r, 0
+        while e < R and tot + work[e] <= wedge_chunk:
+            tot += work[e]
+            e += 1
+        e = max(e, r + 1)
+        lo = starts[r]
+        hi = starts[e] if e < R else m
+        li, ri = _pairs_multirun(a[lo:hi])
+        if len(li):
+            x, y = _orient_pairs(b[lo + li], b[lo + ri], deg)
+            yield x * n + y
+        r = e
+
+
+def _count_shuffle(srt, deg, deg_ref, n, refs, bounds_hi, graph) -> int:
+    """Wedge-shuffle counting: emit every wedge key into a Dataset
+    (bounded-chunk generator map), range-sort it into the edge-key
+    ordering, then each wedge block probes only the edge blocks its
+    key range overlaps."""
+
+    def gen_wedges(tbl: pa.Table):
+        k = tbl.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        empty = pa.table({"wk": pa.array([], pa.int64())})
+        if len(k) < 2:
+            yield empty
+            return
+        aa = k // n
+        s0 = int(np.searchsorted(aa, aa[0], side="right"))
+        s1 = int(np.searchsorted(aa, aa[-1], side="left"))
+        kk = np.unique(k[s0:s1])
+        dd = ray.get(deg_ref)
+        any_out = False
+        for wk in _gen_wedge_chunks(kk // n, kk % n, dd, n):
+            any_out = True
+            yield pa.table({"wk": pa.array(wk)})
+        if not any_out:
+            yield empty
+
+    wedges = srt.map_batches(gen_wedges, batch_format="pyarrow", batch_size=None)
+
+    # boundary runs (≤ 2 per block, O(sqrt E) rows each) stitch on the
+    # driver; their wedges join the same shuffle
+    def boundary_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "key" not in tbl.schema.names:
+            return None
+        k = tbl.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+        aa = k // n
+        return k[(aa == aa[0]) | (aa == aa[-1])]
+
+    from ..common import per_block_results
+
+    bparts = [r for r in per_block_results(srt, boundary_block) if r is not None and len(r)]
+    if bparts:
+        bk = np.unique(np.concatenate(bparts))
+        chunks = [pa.table({"wk": pa.array(wk)}) for wk in _gen_wedge_chunks(bk // n, bk % n, deg, n)]
+        if chunks:
+            wedges = wedges.union(rd.from_arrow(chunks))
+
+    wsrt = wedges.sort("wk").materialize()
+
+    def probe_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "wk" not in tbl.schema.names:
+            return None
+        wk = tbl.column("wk").combine_chunks().to_numpy(zero_copy_only=False)
+        # wk is sorted and range-partitioned → touches O(1) edge blocks
+        return _probe_count(wk, refs, bounds_hi, n, {})
+
+    return int(sum(r for r in per_block_results(wsrt, probe_block) if r is not None))

@@ -239,3 +239,17 @@ def test_scc_random_directed():
     d = np.searchsorted(g.ids, dst)
     expect = g.ids[tarjan_scc_np(s, d, g.num_vertices)]
     assert np.array_equal(res.state["label"], expect)
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_triangle_count_shuffle_probe(name):
+    """Wedge-shuffle probe mode (the multi-node path) equals the
+    broadcast-probe default."""
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    assert triangle_count(g, probe="shuffle") == TRIANGLES[name]
+
+
+def test_triangle_count_shuffle_probe_rmat():
+    g = build_graph(rmat(9, 8, seed=4))
+    assert triangle_count(g, probe="shuffle") == triangle_count(g)
