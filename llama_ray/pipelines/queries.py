@@ -289,7 +289,13 @@ def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     from ..common import per_block_results
     from ..graph import target_num_blocks
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    # coarse blocks: the auto-split (~300 tiny blocks at 10M rows)
+    # inflates both the prep map and the sort ~5×
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+        override_num_blocks=target_num_blocks(None),
+    )
 
     gap_us = gap_seconds * 1_000_000  # exact µs; epoch-seconds would
     # round vs truncate differently between numpy and DuckDB
