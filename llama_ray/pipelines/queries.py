@@ -33,6 +33,21 @@ from .tpch_graph import O_NATION, O_REGION, O_SUPP, build_tpch_graph, dedup_edge
 
 BFS_ROOT = 1  # customer #1 — custkeys are dense from 1 in every sf
 
+
+def _read(sf_dir: str, table: str, columns):
+    """Coarse-block parquet read (~1 block/CPU): the auto-split layout
+    (hundreds of tiny blocks at sf>=0.1) inflates every downstream map
+    and shuffle ~5x."""
+    from ..graph import target_num_blocks
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns,
+        override_num_blocks=target_num_blocks(None),
+    )
+
+
+
 # Graphs are immutable once built (materialized dense edge Dataset +
 # numpy vertex index), so queries in one session share them instead of
 # re-running the derive+dedup+densify pipeline per query.
@@ -377,7 +392,7 @@ def q_doc_exact_dedup(sf_dir: str):
     """Exact dedup by content hash: survivor = min doc_id per distinct
     text (groupby on a 64-bit blake2b of the text — the content-hash +
     hash-partition + per-group-first pattern)."""
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_col(batch: pa.Table):
         h = np.array([hash64(t) for t in batch.column("text").to_pylist()], np.int64)
@@ -410,18 +425,14 @@ class _TokenStats:
 
 
 def q_doc_token_stats(sf_dir: str):
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
-    )
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     return docs.map_batches(_TokenStats, batch_format="pyarrow", concurrency=(1, 4)).select_columns(
         ["doc_id", "n_tokens", "n_chars"]
     )
 
 
 def q_lang_stats(sf_dir: str):
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
-    )
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     stats = docs.map_batches(_TokenStats, batch_format="pyarrow", concurrency=(1, 4))
     agg = stats.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="_sum_tokens")
@@ -436,9 +447,7 @@ def q_lang_stats(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     """Tumbling 1-hour window per event_type (streaming-shaped
     aggregate; window_start = epoch seconds of the hour)."""
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
-    )
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def window(batch: pa.Table) -> pa.Table:
         ws = (
@@ -469,7 +478,7 @@ def q_doc_minhash_clusters(sf_dir: str):
     sketch-based; verified on constructed near-dups in tests)."""
     from ..data_ops.dedup import minhash_lsh_dedup
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_dedup(docs, jaccard_threshold=0.8)
 
 
@@ -479,7 +488,7 @@ def q_doc_ngram_jaccard(sf_dir: str):
     tested in tests/test_data_ops.py)."""
     from ..data_ops.dedup import ngram_jaccard_pairs
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
 
     def rounded(b: pa.Table):
@@ -495,7 +504,7 @@ def q_doc_ngram_jaccard(sf_dir: str):
 def q_doc_simhash(sf_dir: str):
     from ..data_ops.dedup import simhash_buckets
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_buckets(docs).select_columns(["doc_id", "simhash"])
 
 
@@ -504,7 +513,7 @@ def q_doc_language_id(sf_dir: str):
     quality is not SQL-expressible — rows-only check)."""
     from ..data_ops.text import language_id
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = language_id(docs).groupby("lang_pred").aggregate(Count(alias_name="n"))
     return out
 
@@ -512,7 +521,7 @@ def q_doc_language_id(sf_dir: str):
 def q_doc_quality(sf_dir: str):
     from ..data_ops.text import quality_score
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = quality_score(docs).select_columns(["doc_id", "quality"]).to_pandas()
     out["quality"] = out["quality"].round(6)
     return out
@@ -533,7 +542,7 @@ def q_events_props_sum(sf_dir: str):
     map_batches; mirrors the SQL regexp_extract oracle)."""
     import re
 
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"])
+    ev = _read(sf_dir, "events", ["event_type", "props"])
     pat = re.compile(r"[0-9]+")
 
     def extract(batch: pa.Table):
@@ -556,7 +565,7 @@ def q_doc_fingerprints(sf_dir: str):
     in tests/test_data_ops.py)."""
     from ..data_ops.text import fingerprint
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return fingerprint(docs).select_columns(["doc_id", "fingerprint"])
 
 
