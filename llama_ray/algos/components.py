@@ -31,8 +31,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..common import batch_to_numpy, sparse_partial_min
-from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages, block_scatter
+from ..common import sparse_partial_min
+from ..engine.superstep import SuperstepLoop, SuperstepResult, block_scatter
 from ..graph import Graph
 
 

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 
 from ..common import PAGERANK_D, batch_to_numpy, sparse_partial_sum
-from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages, block_scatter
+from ..engine.superstep import SuperstepLoop, SuperstepResult, block_scatter
 from ..graph import Graph
 
 

@@ -25,8 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..common import batch_to_numpy, sparse_partial_min
-from ..engine.superstep import SuperstepLoop, SuperstepResult, aggregate_messages
+from ..common import sparse_partial_min
+from ..engine.superstep import SuperstepLoop, SuperstepResult
 from ..graph import Graph
 
 UNREACHED = np.float64(np.inf)

@@ -6,15 +6,13 @@ once per actor in ``__init__``, vectorized-ish per batch.
 
 from __future__ import annotations
 
-import math
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..common import batch_to_numpy, hash64
+from ..common import hash64
 
 # character-trigram profiles per language (tiny heuristic n-gram
 # language ID — built from common function words; deterministic)

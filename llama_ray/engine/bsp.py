@@ -37,7 +37,6 @@ the driver drops out of the loop.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 import ray
 
 from ..graph import Graph

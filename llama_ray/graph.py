@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .common import SRC, DST, WEIGHT, batch_to_numpy
+from .common import SRC, DST, batch_to_numpy
 
 
 def collect_column_numpy(ds: rd.Dataset, col: str, dtype=None) -> np.ndarray:

@@ -13,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from ..common import SRC, DST, WEIGHT, batch_to_numpy, per_block_results
 from ..graph import undirect

@@ -28,7 +28,7 @@ from ..algos.traversal import bfs as _bfs
 from ..algos.triangles import triangle_count as _triangle_count
 from ..common import batch_to_numpy, hash64
 from ..graph import build_graph
-from ..ingest.canonicalize import dedup_edges, undirected_ordered
+from ..ingest.canonicalize import dedup_edges
 from .tpch_graph import O_NATION, O_REGION, O_SUPP, build_tpch_graph, dedup_edge_list, raw_edges
 
 BFS_ROOT = 1  # customer #1 — custkeys are dense from 1 in every sf

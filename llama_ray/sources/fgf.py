@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
