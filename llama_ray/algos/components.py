@@ -54,6 +54,12 @@ def weakly_connected_components(
     scaling path. Labels travel as float64 through the min-gather
     (original int64 ids are exactly representable below 2^53; for
     full-range hash ids the dataset engine keeps exact int64 math).
+
+    Engine envelope: the dataset engine's driver merge handles
+    O(V × blocks) partial rows per superstep — fastest below ~10M
+    vertices; beyond that the per-task return volume grows to
+    hundreds of MB and the bsp engine (state-sized actor exchange,
+    ~2×edge memory pinned across the pools) is the right choice.
     """
     n = graph.num_vertices
     if n == 0:
