@@ -160,6 +160,12 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
        (``ll_load_utils.h:643-792``).
     """
 
+    # NOTE: build makes two passes (vertex scan, then remap), so a lazy
+    # input re-executes its upstream pipeline twice. For cheap lineage
+    # (a map over an already-materialized sort — the dedup path) that
+    # beats pinning an extra full copy; materialize expensive inputs
+    # (generators, regex ingest) at the call site when it matters.
+
     def vertex_scan(batch: pa.Table):
         s = batch_to_numpy(batch, SRC)
         d = batch_to_numpy(batch, DST)
@@ -181,10 +187,26 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
         cds.append(batch_to_numpy(b, "cd"))
     if vs:
         all_v = np.concatenate(vs)
-        ids = np.unique(all_v)
-        pos = np.searchsorted(ids, all_v)
-        out_deg = np.bincount(pos, weights=np.concatenate(css), minlength=len(ids)).astype(np.int64)
-        in_deg = np.bincount(pos, weights=np.concatenate(cds), minlength=len(ids)).astype(np.int64)
+        vmin = int(all_v.min())
+        vmax = int(all_v.max())
+        if vmin >= 0 and vmax < (1 << 28) and vmax <= 4 * len(all_v):
+            # dense-id fast path: direct bincount over the id space —
+            # no 100M-row sort (measured 56 s → ~2 s at E=134M). Only
+            # when the id space is comparably dense to the partials:
+            # sparse spaces (TPC-H ids spread over 50M for 186k
+            # vertices) pay more for the 400 MB scatter arrays than
+            # the sort they avoid (measured 6 s vs 0.5 s).
+            out_full = np.bincount(all_v, weights=np.concatenate(css), minlength=vmax + 1)
+            in_full = np.bincount(all_v, weights=np.concatenate(cds), minlength=vmax + 1)
+            present = (out_full + in_full) > 0
+            ids = np.flatnonzero(present).astype(np.int64)
+            out_deg = out_full[present].astype(np.int64)
+            in_deg = in_full[present].astype(np.int64)
+        else:
+            ids = np.unique(all_v)
+            pos = np.searchsorted(ids, all_v)
+            out_deg = np.bincount(pos, weights=np.concatenate(css), minlength=len(ids)).astype(np.int64)
+            in_deg = np.bincount(pos, weights=np.concatenate(cds), minlength=len(ids)).astype(np.int64)
         num_edges = int(out_deg.sum())
     else:
         ids = np.empty(0, np.int64)
@@ -203,7 +225,7 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
                 out = out.append_column(name, batch.column(name))
         return out
 
-    dense = edges.map_batches(remap, batch_format="pyarrow")
+    dense = edges.map_batches(remap, batch_format="pyarrow", batch_size=None)
     if materialize:
         dense = dense.repartition(target_num_blocks(num_edges)).materialize()
 
