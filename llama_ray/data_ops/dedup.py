@@ -330,7 +330,7 @@ def lsh_candidate_pairs(
             "doc": np.tile(ids, bands),
         }
 
-    banded = sketches.map_batches(melt, batch_format="pyarrow")
+    banded = sketches.map_batches(melt, batch_format="pyarrow", batch_size=None)
     srt = banded.sort("bucket").materialize()
 
     def interior(batch: pa.Table):
@@ -573,7 +573,7 @@ def minhash_lsh_dedup(
             cluster[hit] = lab[pos[hit]]
         return {"doc_id": ids, "cluster": cluster}
 
-    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+    return docs.select_columns([id_col]).map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 # ------------------------------------------------------------- SimHash
