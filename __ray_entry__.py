@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_language_id": q.q_doc_language_id,
         "doc_quality": q.q_doc_quality,
         "embedding_near_dup": q.q_embedding_near_dup,
+        "embedding_cos_pairs": q.q_embedding_cos_pairs,
         "doc_token_stats": q.q_doc_token_stats,
         "lang_stats": q.q_lang_stats,
         "events_hourly": q.q_events_hourly,
@@ -80,9 +81,12 @@ def oracle_sql() -> dict[str, str]:
         "bfs": o.bfs_sql(),
         "sssp_weighted": o.sssp_weighted_sql(),
         # bc_random / doc_minhash_clusters / doc_simhash / doc_language_id /
-        # doc_quality / embedding_near_dup: sketch/heuristic ops, no SQL
-        # oracle — rows-only driver check; verified vs numpy oracles or
-        # constructed fixtures in tests/
+        # embedding_near_dup: sketch/heuristic ops, no SQL oracle —
+        # rows-only driver check; verified vs numpy oracles or
+        # constructed fixtures in tests/ (embedding_near_dup's exact
+        # counterpart embedding_cos_pairs IS oracle-checked)
+        "doc_quality": o.doc_quality_sql(),
+        "embedding_cos_pairs": o.embedding_cos_pairs_sql(),
         "avg_nbr_balance": o.avg_nbr_balance_sql(),
         "ppr": o.ppr_sql(),
         "wcc_sizes": o.wcc_sizes_sql(),

@@ -25,6 +25,7 @@ mode-gather engine (counts never leave the actors).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
@@ -35,12 +36,21 @@ from ..common import sparse_partial_min
 from ..engine.superstep import SuperstepLoop, SuperstepResult, block_scatter
 from ..graph import Graph
 
+logger = logging.getLogger(__name__)
+
+# engine='auto' cutover: below this the dataset engine's block-scatter +
+# driver-merge is measured fastest; above it the per-superstep partial
+# returns reach hundreds of MB × blocks (documented raylet-crash
+# envelope past ~10M vertices, BASELINE §3.2e) and the label family
+# switches to actor-resident sharded state.
+AUTO_SHARD_VERTICES = 4_000_000
+
 
 def weakly_connected_components(
     graph: Graph,
     *,
     max_iters: int = 100,
-    engine: str = "dataset",
+    engine: str = "auto",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -49,24 +59,66 @@ def weakly_connected_components(
     doubled edge copy is materialized). ``state['label'][i]`` is the
     minimum original vertex id in the component of ``graph.ids[i]``.
 
-    ``engine='bsp'`` uses two partition-pinned gather pools (forward
-    edges and a reversed view) and takes the elementwise min — the
-    scaling path. Labels travel as float64 through the min-gather
+    Engines (all produce identical labels):
+
+    - ``'dataset'``: per-superstep block scatter + driver sparse
+      merge — fastest below a few million vertices, but the driver
+      merge handles O(V × blocks) partial rows per superstep: past
+      ~10M vertices the per-task return volume reaches hundreds of
+      MB and can OOM the raylet.
+    - ``'bsp'``: two partition-pinned gather pools (forward + a
+      reversed view), elementwise min, state still driver-held.
+    - ``'bsp_sharded'``: ONE pool over the doubled edge list with
+      actor-resident labels — per superstep the driver moves only P
+      slice refs + P change counts (the label-family analogue of
+      sharded PageRank; reference iterates in place on its built
+      in-CSR, ``ll_mlcsr_graph.h:955-1059``). The at-scale path.
+    - ``'auto'``: ``'dataset'`` below :data:`AUTO_SHARD_VERTICES`
+      (its measured fast regime), ``'bsp_sharded'`` above — logged,
+      so big runs degrade to the scalable engine instead of
+      crashing the session.
+
+    bsp engines carry labels as float64 through the min-gather
     (original int64 ids are exactly representable below 2^53; for
     full-range hash ids the dataset engine keeps exact int64 math).
-
-    Engine envelope: the dataset engine's driver merge handles
-    O(V × blocks) partial rows per superstep — fastest below ~10M
-    vertices; beyond that the per-task return volume grows to
-    hundreds of MB and the bsp engine (state-sized actor exchange,
-    ~2×edge memory pinned across the pools) is the right choice.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
 
+    if engine == "auto":
+        if n >= AUTO_SHARD_VERTICES and np.abs(graph.ids).max(initial=0) < (1 << 53):
+            logger.warning(
+                "wcc: V=%d ≥ %d — auto-selecting engine='bsp_sharded' "
+                "(actor-resident labels; the dataset engine's driver merge "
+                "does not hold at this scale)",
+                n,
+                AUTO_SHARD_VERTICES,
+            )
+            engine = "bsp_sharded"
+        else:
+            engine = "dataset"
+
     edges = graph.edges
     num_edges = graph.num_edges
+
+    if engine == "bsp_sharded":
+        if checkpoint_dir is not None:
+            raise ValueError("bsp_sharded does not support checkpointing")
+        if np.abs(graph.ids).max(initial=0) >= (1 << 53):
+            raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
+        from ..engine.bsp import BSPGather, UndirectedView
+
+        gat = BSPGather(UndirectedView(graph))
+        try:
+            labs, iters, conv, metrics = gat.run_min_label_sharded(
+                graph.ids.astype(np.float64),
+                max_iters=max_iters,
+                num_edges=num_edges,
+            )
+        finally:
+            gat.shutdown()
+        return SuperstepResult({"label": labs.astype(np.int64)}, iters, conv, metrics)
 
     gat_fwd = gat_bwd = None
     if engine == "bsp":
@@ -126,8 +178,8 @@ def weakly_connected_components(
 def strongly_connected_components(
     graph: Graph,
     *,
-    max_outer: int = 64,
-    max_inner: int = 1024,
+    max_outer: int | None = None,
+    max_inner: int | None = None,
 ) -> SuperstepResult:
     """True SCCs of a directed graph — the distributable
     trim + forward-backward coloring algorithm (the output-equivalent
@@ -139,127 +191,127 @@ def strongly_connected_components(
     Outer round over the still-active subgraph:
 
     1. **trim**: vertices with zero in- or out-degree inside the
-       active subgraph are singleton SCCs — peel to fixpoint (this
-       alone finishes DAGs in diameter rounds);
+       active subgraph are singleton SCCs — peel to fixpoint. Degrees
+       are maintained *incrementally*: initialized once from the
+       build-time degree vectors, then each deactivated vertex set
+       decrements its neighbors via run-index lookups in the pinned
+       pools (O(degree of the removed set) per round, never O(E) —
+       the whole trim phase touches each edge at most once after the
+       two pool-build scans);
     2. **color**: propagate ``color[v] = max(dense index reaching
-       v)`` along forward edges to fixpoint;
+       v)`` along forward edges to fixpoint (pool ``gather_max``);
     3. **backward reach**: from each color root (``color[v] == v``),
        mark vertices that can reach their root within the same color
-       class (scatter over edges, reversed direction);
+       class (reversed pool);
     4. reached vertices form whole SCCs — assign and deactivate.
 
-    Every phase is the standard broadcast-state + ``map_batches``
-    scatter + per-batch combiner plan; per-superstep traffic is O(V).
+    All rounds run over two partition-pinned BSP pools (forward +
+    reversed CSR) built once; per-round traffic is O(V) broadcast.
     ``state['label']`` is the min original vertex id of each SCC.
+
+    Every phase loop is monotone (trim peels, color only grows,
+    reach only grows), so each converges within ``n`` rounds;
+    ``max_inner`` / ``max_outer`` default to that bound and RAISE on
+    exhaustion without a fixpoint — a long cycle can never be
+    silently split into wrong singleton SCCs.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+    inner_cap = (n + 1) if max_inner is None else max_inner
+    outer_cap = (n + 1) if max_outer is None else max_outer
 
-    edges = graph.edges
-    comp = np.full(n, -1, np.int64)  # dense root index per assigned vertex
-    active = np.ones(n, bool)
-    idx = np.arange(n, dtype=np.int64)
-    supersteps = 0
+    from ..engine.bsp import BSPGather, reversed_view
 
-    def scan(fn):
-        """One scatter round as plain per-block Ray tasks (no streaming
-        executor launch); fn(src, dst) -> dict of partial arrays,
-        merged on the driver."""
+    fwd = BSPGather(graph)  # dst-range pools: per-dst gathers over in-edges
+    bwd = BSPGather(reversed_view(graph))  # per-src gathers over out-edges
+    try:
+        comp = np.full(n, -1, np.int64)  # dense root index per assigned vertex
+        active = np.ones(n, bool)
+        idx = np.arange(n, dtype=np.int64)
+        supersteps = 0
+        indeg = graph.in_degrees().astype(np.int64, copy=True)
+        outdeg = graph.out_degrees.astype(np.int64, copy=True)
 
-        def scatter(batch: pa.Table):
-            if batch.num_rows == 0 or "src" not in batch.schema.names:
-                return None
-            return fn(
-                batch.column("src").combine_chunks().to_numpy(zero_copy_only=False),
-                batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False),
-            )
+        def deactivate(vs: np.ndarray):
+            """Remove ``vs`` from the active subgraph and decrement
+            their neighbors' degrees. Each edge (u, v) is charged
+            exactly once per endpoint removal, so decrements over the
+            whole run total O(E); a stale decrement on an
+            already-inactive endpoint is harmless (only active
+            vertices are ever tested)."""
+            active[vs] = False
+            t = np.sort(vs)
+            sv, sc = fwd.incident_src_counts(t)  # in-edges of t
+            if len(sv):
+                np.subtract.at(outdeg, sv, sc)
+            dv, dc = bwd.incident_src_counts(t)  # out-edges of t
+            if len(dv):
+                np.subtract.at(indeg, dv, dc)
 
-        task = ray.remote(scatter)
-        return [
-            o
-            for o in ray.get([task.remote(r) for r in graph.edge_block_refs()])
-            if o is not None
-        ]
-
-    for _outer in range(max_outer):
-        if not active.any():
-            break
-        # ---- trim to fixpoint -----------------------------------------
-        while True:
-            act_ref = ray.put(active)
-
-            def degs(s, d, _r=act_ref):
-                act = ray.get(_r)
-                m = act[s] & act[d]
-                sv, sc = np.unique(s[m], return_counts=True)
-                dv, dc = np.unique(d[m], return_counts=True)
-                return {
-                    "v": np.concatenate([sv, dv]),
-                    "c": np.concatenate([sc, dc]).astype(np.int64),
-                    "kind": np.concatenate(
-                        [np.zeros(len(sv), np.int64), np.ones(len(dv), np.int64)]
-                    ),
-                }
-
-            outdeg = np.zeros(n, np.int64)
-            indeg = np.zeros(n, np.int64)
-            for b in scan(degs):
-                v, c, k = b["v"], b["c"], b["kind"]
-                np.add.at(outdeg, v[k == 0], c[k == 0])
-                np.add.at(indeg, v[k == 1], c[k == 1])
-            supersteps += 1
-            trim = active & ((indeg == 0) | (outdeg == 0))
-            if not trim.any():
-                break
-            comp[trim] = idx[trim]
-            active &= ~trim
+        outer = 0
+        while active.any():
+            outer += 1
+            if outer > outer_cap:
+                raise RuntimeError(
+                    f"SCC outer loop exceeded max_outer={outer_cap} with "
+                    f"{int(active.sum())} vertices unassigned"
+                )
+            # ---- trim to fixpoint -------------------------------------
+            while True:
+                trim = active & ((indeg <= 0) | (outdeg <= 0))
+                supersteps += 1
+                if not trim.any():
+                    break
+                comp[trim] = idx[trim]
+                deactivate(np.flatnonzero(trim))
+                if not active.any():
+                    break
             if not active.any():
                 break
-        if not active.any():
-            break
 
-        # ---- forward max-color propagation to fixpoint ----------------
-        color = np.where(active, idx, np.int64(-1))
-        for _ in range(max_inner):
-            state_ref = ray.put((color, active))
+            # ---- forward max-color propagation to fixpoint ------------
+            color = np.where(active, idx, np.int64(-1))
+            it = 0
+            while True:
+                contrib = fwd.gather_max_masked(color, active)
+                new = np.where(active, np.maximum(color, contrib), color)
+                supersteps += 1
+                it += 1
+                if np.array_equal(new, color):
+                    break
+                color = new
+                if it >= inner_cap:
+                    raise RuntimeError(
+                        f"SCC forward coloring hit max_inner={inner_cap} "
+                        "without reaching a fixpoint (long cycle?)"
+                    )
 
-            def fwd(s, d, _r=state_ref):
-                col, act = ray.get(_r)
-                m = act[s] & act[d]
-                u, mx = sparse_partial_min(d[m], -col[s[m]])
-                return {"dst": u, "v": -mx}
+            # ---- backward reachability within color classes -----------
+            reached = active & (color == idx)
+            it = 0
+            while True:
+                newly = bwd.reach_step(color, active, reached)
+                supersteps += 1
+                it += 1
+                if not len(newly):
+                    break
+                reached[newly] = True
+                if it >= inner_cap:
+                    raise RuntimeError(
+                        f"SCC backward reach hit max_inner={inner_cap} "
+                        "without reaching a fixpoint (long cycle?)"
+                    )
 
-            new = color.copy()
-            for b in scan(fwd):
-                np.maximum.at(new, b["dst"], b["v"])
-            supersteps += 1
-            if np.array_equal(new, color):
-                break
-            color = new
+            vs = np.flatnonzero(reached)
+            comp[vs] = color[vs]
+            deactivate(vs)
+    finally:
+        fwd.shutdown()
+        bwd.shutdown()
 
-        # ---- backward reachability within color classes ---------------
-        reached = active & (color == idx)
-        for _ in range(max_inner):
-            state_ref = ray.put((color, active, reached))
-
-            def bwd(s, d, _r=state_ref):
-                col, act, rch = ray.get(_r)
-                m = act[s] & act[d] & (col[s] == col[d]) & rch[d] & ~rch[s]
-                return {"v": np.unique(s[m])}
-
-            newly = np.zeros(n, bool)
-            for b in scan(bwd):
-                newly[b["v"]] = True
-            supersteps += 1
-            newly &= ~reached
-            if not newly.any():
-                break
-            reached |= newly
-
-        comp[reached] = color[reached]
-        active &= ~reached
-
+    if (comp < 0).any():  # unreachable given the caps raise, but never corrupt
+        raise RuntimeError("internal error: unassigned vertices after SCC loop")
     # canonical labels: min original id per SCC (ids sorted ⇒ min dense
     # index ⇔ min id)
     min_idx = np.full(n, n, np.int64)
@@ -268,7 +320,7 @@ def strongly_connected_components(
     return SuperstepResult(
         {"label": label, "comp_root": comp},
         supersteps,
-        not active.any(),
+        True,
         [{"iteration": supersteps, "diff": 0.0, "edges_processed": graph.num_edges * supersteps, "seconds": 0.0}],
     )
 
@@ -277,49 +329,73 @@ def label_propagation(
     graph: Graph,
     *,
     iterations: int = 4,
-    engine: str = "dataset",
+    engine: str = "auto",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
     """Synchronous LP, ``iterations`` rounds, over the canonical
-    undirected simple graph (distinct neighbor pairs, self-loops
-    ignored — callers should pass a deduped graph for exact multiset
+    undirected simple graph: every iteration each vertex adopts the
+    most frequent label among its neighbor messages (one message per
+    stored edge per direction; self-loops are ignored in EVERY engine
+    — callers should pass a deduped graph for exact multiset
     semantics vs an oracle). Labels start as the original vertex ids.
 
     ``engine='bsp'``: partition-pinned gather actors over the DOUBLED
     edge list compute the per-vertex neighbor-label mode locally
     (``gather_mode`` — P-way parallel lexsorts; nothing
-    per-(vertex,label) reaches the driver). The scaling path.
+    per-(vertex,label) reaches the driver).
+
+    ``engine='bsp_sharded'``: same pool with actor-resident labels —
+    per superstep the driver moves P slice refs + P change counts,
+    never an O(V) vector. The at-scale path.
 
     ``engine='dataset'``: scatter + driver merge; labels are dense
     indices so (vertex, label) message counts pack into one int64 key
     ``vertex * N + label`` (valid while N < 3e9; beyond that the same
-    plan runs with a two-column groupby). Ties break to the smallest
-    label in both engines; smaller dense index ⇔ smaller original id
-    because ``graph.ids`` is sorted.
+    plan runs with a two-column groupby).
+
+    ``engine='auto'``: ``'dataset'`` below :data:`AUTO_SHARD_VERTICES`,
+    else ``'bsp_sharded'`` (logged).
+
+    Ties break to the smallest label in every engine; smaller dense
+    index ⇔ smaller original id because ``graph.ids`` is sorted.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
 
-    if engine == "bsp":
-        from ..engine.bsp import BSPGather
-        from ..graph import undirect
+    if engine == "auto":
+        if n >= AUTO_SHARD_VERTICES:
+            logger.warning(
+                "label_propagation: V=%d ≥ %d — auto-selecting "
+                "engine='bsp_sharded' (actor-resident labels)",
+                n,
+                AUTO_SHARD_VERTICES,
+            )
+            engine = "bsp_sharded"
+        else:
+            engine = "dataset"
 
-        class _DoubledView:
-            """Both directions of every canonical edge, so each
-            neighbor contributes exactly one in-edge message."""
+    if engine in ("bsp", "bsp_sharded"):
+        from ..engine.bsp import BSPGather, UndirectedView
 
-            def __init__(self, g: Graph):
-                self.edges = undirect(g.edges, drop_self_loops=True)
-                self.num_vertices = g.num_vertices
-                self._deg = g.out_degrees + g.in_degrees()
-
-            def in_degrees(self):
-                return self._deg
-
-        gat = BSPGather(_DoubledView(graph))
+        gat = BSPGather(UndirectedView(graph))
         num_edges2 = 2 * graph.num_edges
+
+        if engine == "bsp_sharded":
+            if checkpoint_dir is not None:
+                raise ValueError("bsp_sharded does not support checkpointing")
+            try:
+                labs, iters, conv, metrics = gat.run_mode_label_sharded(
+                    np.arange(n, dtype=np.int64),
+                    iterations=iterations,
+                    num_edges=num_edges2,
+                )
+            finally:
+                gat.shutdown()
+            return SuperstepResult(
+                {"dense_label": labs, "label": graph.ids[labs]}, iters, conv, metrics
+            )
 
         def init_state_bsp():
             return {"dense_label": np.arange(n, dtype=np.int64)}
@@ -363,6 +439,8 @@ def label_propagation(
             lab = ray.get(lab_ref)
             src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
             dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            keep = src != dst  # self-loops ignored, matching the bsp
+            src, dst = src[keep], dst[keep]  # engines' doubled view
             nodes = np.concatenate([dst, src])
             labels = np.concatenate([lab[src], lab[dst]])
             packed = nodes * n + labels

@@ -19,6 +19,7 @@ Bellman-Ford.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
@@ -28,6 +29,8 @@ import ray
 from ..common import sparse_partial_min
 from ..engine.superstep import SuperstepLoop, SuperstepResult
 from ..graph import Graph
+
+logger = logging.getLogger(__name__)
 
 UNREACHED = np.float64(np.inf)
 
@@ -39,21 +42,58 @@ def sssp(
     weighted: bool = False,
     weight_col: str = "weight",
     max_iters: int = 10_000,
-    engine: str = "dataset",
+    engine: str = "auto",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
     """``state['dist']``: float64 distances (np.inf = unreached) in
     dense vertex order. Directed, over out-edges. ``engine='bsp'``
     relaxes through partition-pinned gather actors
-    (:mod:`llama_ray.engine.bsp`) instead of per-superstep scatters."""
+    (:mod:`llama_ray.engine.bsp`) instead of per-superstep scatters;
+    ``engine='bsp_sharded'`` additionally keeps (dist, frontier)
+    actor-resident so no O(V) vector round-trips the driver per
+    superstep — the at-scale path. ``engine='auto'`` picks
+    ``'dataset'`` below ``AUTO_SHARD_VERTICES`` vertices, else
+    ``'bsp_sharded'`` (logged)."""
     n = graph.num_vertices
     root = int(np.searchsorted(graph.ids, root_id))
     if root >= n or graph.ids[root] != root_id:
         raise KeyError(f"root vertex {root_id} not in graph")
 
+    if engine == "auto":
+        from .components import AUTO_SHARD_VERTICES
+
+        if n >= AUTO_SHARD_VERTICES:
+            logger.warning(
+                "sssp: V=%d ≥ %d — auto-selecting engine='bsp_sharded' "
+                "(actor-resident distances)",
+                n,
+                AUTO_SHARD_VERTICES,
+            )
+            engine = "bsp_sharded"
+        else:
+            engine = "dataset"
+
     edges = graph.edges
     num_edges = graph.num_edges
+
+    if engine == "bsp_sharded":
+        if checkpoint_dir is not None:
+            raise ValueError("bsp_sharded does not support checkpointing")
+        from ..engine.bsp import BSPGather
+
+        gat = BSPGather(graph, weighted=weighted)
+        dist0 = np.full(n, UNREACHED, dtype=np.float64)
+        dist0[root] = 0.0
+        active0 = np.zeros(n, dtype=bool)
+        active0[root] = True
+        try:
+            dist, iters, conv, metrics = gat.run_sssp_sharded(
+                dist0, active0, max_iters=max_iters, num_edges=num_edges
+            )
+        finally:
+            gat.shutdown()
+        return SuperstepResult({"dist": dist}, iters, conv, metrics)
 
     gatherer = None
     if engine == "bsp":

@@ -249,6 +249,9 @@ def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
         total += int(val[kind == 0].sum())
         bparts.append(val[kind == 1])
     if bparts:
+        from ..common import check_boundary_size
+
+        check_boundary_size(sum(len(p) for p in bparts), "triangle_count")
         bk = np.unique(np.concatenate(bparts))
         if len(bk):
             total += _count_wedges(bk // n, bk % n, deg, n, refs, bounds_hi)

@@ -144,3 +144,58 @@ def pairs_member_mask(src: np.ndarray, dst: np.ndarray, sorted_pairs: np.ndarray
     pos = np.searchsorted(sorted_pairs, q)
     pos = np.clip(pos, 0, len(sorted_pairs) - 1)
     return sorted_pairs[pos] == q
+
+
+# ------------------------------------------------------ boundary stitch
+#
+# Shared helper for the sort-then-run-local pattern used across the
+# engine (dedup_edges, LSH bucket pairs, sketch attach, sessionize,
+# canonical_undirected, triangle wedges): process each block's interior
+# runs in place, then re-process the runs touching a block edge in one
+# small second pass. That second pass is O(runs touching block edges)
+# BY CONSTRUCTION — but a pathological sort layout (one giant key run
+# spanning blocks) degrades it to O(rows), so every call site goes
+# through the size guard below and degrades loudly, never silently.
+
+BOUNDARY_WARN_ROWS = 2_000_000
+
+import logging as _logging
+
+_logger = _logging.getLogger(__name__)
+
+
+def check_boundary_size(n_rows: int, where: str) -> None:
+    """Log loudly when a boundary second pass collects pathologically
+    many rows (giant key runs spanning blocks)."""
+    if n_rows > BOUNDARY_WARN_ROWS:
+        _logger.warning(
+            "%s: boundary stitch collected %d rows (> %d) — the sorted "
+            "layout has key runs spanning whole blocks; raise key "
+            "cardinality (more bands / finer buckets) or block count",
+            where,
+            n_rows,
+            BOUNDARY_WARN_ROWS,
+        )
+
+
+def collect_boundary_runs(srt, key_col: str, *, columns=None, where: str = "boundary"):
+    """First-key / last-key runs of every block of a key-sorted,
+    MATERIALIZED Dataset, concatenated into one Arrow table (None when
+    empty). Runs as plain Ray tasks over the block refs — no Dataset
+    executor launch. Block order preserves the global sort order."""
+
+    def edge_rows(tbl: pa.Table):
+        if tbl.num_rows == 0 or key_col not in tbl.schema.names:
+            return None
+        k = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array((k == k[0]) | (k == k[-1])))
+        return t.select(columns) if columns is not None else t
+
+    parts = [
+        t for t in per_block_results(srt, edge_rows) if t is not None and t.num_rows
+    ]
+    if not parts:
+        return None
+    out = pa.concat_tables(parts)
+    check_boundary_size(out.num_rows, where)
+    return out

@@ -247,3 +247,66 @@ def knn_lsh(
     hold the index for repeated query batches)."""
     idx = LSHIndex(emb, id_col=id_col, vec_col=vec_col, num_planes=num_planes, seed=seed)
     return idx.query(queries, query_ids, k=k, num_probes=num_probes, exclude_self=exclude_self)
+
+
+def cosine_pairs(
+    emb: rd.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> rd.Dataset:
+    """EXACT all-pairs cosine ≥ τ — the brute-force baseline that
+    ``embedding_near_dup``'s hyperplane-LSH path approximates at
+    scale. The normalized corpus matrix is broadcast once (``ray.put``
+    → zero-copy plasma reads) and each batch does one float64 matmul
+    against it, emitting only (a < b) pairs so every pair appears
+    exactly once. O(N²) similarity work, distributed across batches;
+    the broadcast side is O(N·dim) — holds to ~10⁷ small-dim vectors
+    per node, beyond which the LSH/IVF variants are the path.
+
+    Returns a Dataset of (a, b, cos)."""
+    ids_parts, mat_parts = [], []
+    for b in emb.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow"
+    ):
+        n = b.num_rows
+        if n == 0:
+            continue
+        ids_parts.append(batch_to_numpy(b, id_col))
+        mat_parts.append(_as_matrix(b, vec_col, n))
+    if not ids_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        )
+    corpus_ids = np.concatenate(ids_parts)
+    C = np.concatenate(mat_parts, axis=0)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    corpus_ref = ray.put((corpus_ids, C))
+
+    def pairs(batch: pa.Table):
+        empty = {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "cos": np.empty(0),
+        }
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        cids, Cn = ray.get(corpus_ref)
+        vids = batch_to_numpy(batch, id_col)
+        V = _as_matrix(batch, vec_col, n)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        sims = V @ Cn.T  # (batch, N)
+        # keep only a < b: each unordered pair emitted by exactly one batch
+        keep = (sims >= threshold) & (vids[:, None] < cids[None, :])
+        li, ri = np.nonzero(keep)
+        if not len(li):
+            return empty
+        return {"a": vids[li], "b": cids[ri], "cos": sims[li, ri]}
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        pairs, batch_format="pyarrow"
+    )

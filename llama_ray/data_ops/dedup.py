@@ -111,6 +111,29 @@ def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(_mix64(g))
 
 
+def _flat_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a non-null binary column of uint64 sketches into
+    (concatenated values in row order, per-row element counts) without
+    per-row Python — reads the Arrow offsets/data buffers directly."""
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, _U64), np.empty(0, np.int64)
+    if arr.null_count:  # sketches are never null in these pipelines
+        raise ValueError("null sketch in feature column")
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1 + arr.offset)[arr.offset :]
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    seg = np.ascontiguousarray(data[int(offs[0]) : int(offs[-1])])
+    vals = seg.view(_U64) if len(seg) else np.empty(0, _U64)
+    lens = ((offs[1:] - offs[:-1]) // 8).astype(np.int64)
+    return vals, lens
+
+
 # --------------------------------------------------------------- exact
 
 
@@ -344,25 +367,16 @@ def lsh_candidate_pairs(
             logger.warning("lsh_candidate_pairs: %d hot buckets degraded to star pairs", capped)
         return {"src": a, "dst": b}
 
-    def boundary(batch: pa.Table):
-        bucket = batch_to_numpy(batch, "bucket")
-        doc = batch_to_numpy(batch, "doc")
-        if len(bucket) == 0:
-            return {"bucket": bucket, "doc": doc}
-        edge = (bucket == bucket[0]) | (bucket == bucket[-1])
-        return {"bucket": bucket[edge], "doc": doc[edge]}
-
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
 
-    bks, bds = [], []
-    for blk in srt.map_batches(boundary, batch_format="pyarrow", batch_size=None).iter_batches(
-        batch_format="pyarrow"
-    ):
-        bks.append(batch_to_numpy(blk, "bucket"))
-        bds.append(batch_to_numpy(blk, "doc"))
-    if bks:
-        bk = np.concatenate(bks)
-        bd = np.concatenate(bds)
+    from ..common import collect_boundary_runs
+
+    btbl = collect_boundary_runs(
+        srt, "bucket", columns=["bucket", "doc"], where="lsh_candidate_pairs"
+    )
+    if btbl is not None:
+        bk = batch_to_numpy(btbl, "bucket")
+        bd = batch_to_numpy(btbl, "doc")
         order = np.argsort(bk, kind="stable")
         a, b, capped = _run_pairs_capped(bk[order], bd[order], max_bucket)
         if capped:
@@ -458,19 +472,11 @@ def _attach_by_key(
         lambda t: attach(t, True), batch_format="pyarrow", batch_size=None
     )
 
-    def boundary(tbl: pa.Table) -> pa.Table:
-        k = batch_to_numpy(tbl, "k")
-        if len(k) == 0:
-            return tbl
-        return tbl.filter(pa.array((k == k[0]) | (k == k[-1])))
+    from ..common import collect_boundary_runs
 
-    parts = list(
-        srt.map_batches(boundary, batch_format="pyarrow", batch_size=None).iter_batches(
-            batch_format="pyarrow"
-        )
-    )
-    if parts:
-        extra = attach(pa.concat_tables(parts), False)
+    btbl = collect_boundary_runs(srt, "k", where="_attach_by_key")
+    if btbl is not None:
+        extra = attach(btbl, False)
         if extra.num_rows:
             main = main.union(rd.from_arrow(extra))
     return main
@@ -503,17 +509,29 @@ def verify_pairs(
     def jac(batch: pa.Table):
         src = batch_to_numpy(batch, "src")
         dst = batch_to_numpy(batch, "dst")
-        fa = batch.column("feats_a").to_pylist()
-        fb = batch.column("feats_b").to_pylist()
-        out = np.empty(len(src), np.float64)
-        for i, (ba, bb) in enumerate(zip(fa, fb)):
-            xa = np.frombuffer(ba, _U64)
-            xb = np.frombuffer(bb, _U64)
-            if len(xa) == 0 and len(xb) == 0:
-                out[i] = 1.0
-                continue
-            inter = len(np.intersect1d(xa, xb, assume_unique=True))
-            out[i] = inter / (len(xa) + len(xb) - inter)
+        P = len(src)
+        if P == 0:
+            return {
+                "a": np.empty(0, np.int64),
+                "b": np.empty(0, np.int64),
+                "jaccard": np.empty(0),
+            }
+        # one merged pass for ALL pairs in the block (no per-pair
+        # Python): tag every feature with its pair index, lexsort
+        # (pair, value) — both sides are sorted-unique per doc, so an
+        # adjacent duplicate is exactly one cross-side match.
+        va, la = _flat_u64_column(batch.column("feats_a"))
+        vb, lb = _flat_u64_column(batch.column("feats_b"))
+        pids = np.arange(P, dtype=np.int64)
+        pid = np.concatenate([np.repeat(pids, la), np.repeat(pids, lb)])
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pid))
+        p_s = pid[order]
+        v_s = vals[order]
+        dup = (p_s[1:] == p_s[:-1]) & (v_s[1:] == v_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=P)
+        union = la + lb - inter
+        out = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = out >= threshold
         return {"a": src[keep], "b": dst[keep], "jaccard": out[keep]}
 
@@ -674,9 +692,9 @@ def embedding_near_dup(
     verified within each bucket (near-identical vectors share all
     signs with high probability). Buckets above ``max_bucket`` are
     truncated with a warning (at scale, raise ``num_planes`` so
-    buckets stay small). Returns (a, b, cos) pairs."""
-    import pandas as pd
-
+    buckets stay small). Returns a Dataset of (a, b, cos) pairs —
+    output size never lands on the driver (only the small boundary
+    runs do, size-guarded)."""
     first = emb.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
@@ -742,36 +760,18 @@ def embedding_near_dup(
         )
         return out if out is not None else empty
 
-    def boundary_block(tbl: pa.Table):
-        if tbl.num_rows == 0 or "bucket" not in tbl.schema.names:
-            return None
-        b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-        edge = (b == b[0]) | (b == b[-1])
-        ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        vecs = tbl.column("vec").to_pylist()
-        return (b[edge], ids[edge], [v for v, k in zip(vecs, edge) if k])
+    from ..common import collect_boundary_runs
 
-    from ..common import per_block_results
-
-    parts = [
-        t.to_pandas()
-        for t in srt.map_batches(interior, batch_format="pyarrow", batch_size=None).iter_batches(
-            batch_format="pyarrow"
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    btbl = collect_boundary_runs(srt, "bucket", where="embedding_near_dup")
+    if btbl is not None:
+        out = _verify(
+            batch_to_numpy(btbl, "bucket"),
+            batch_to_numpy(btbl, "id"),
+            btbl.column("vec").to_pylist(),
         )
-    ]
-    bb, bi, bv = [], [], []
-    for r in per_block_results(srt, boundary_block):
-        if r is not None:
-            bb.append(r[0])
-            bi.append(r[1])
-            bv.extend(r[2])
-    if bb:
-        out = _verify(np.concatenate(bb), np.concatenate(bi), bv)
-        if out is not None:
-            parts.append(pd.DataFrame(out))
-    if not parts:
-        return pd.DataFrame(
-            {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64), "cos": np.empty(0)}
-        )
-    out = pd.concat(parts, ignore_index=True)
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+        if out is not None and len(out["a"]):
+            main = main.union(
+                rd.from_arrow(pa.table({k: pa.array(v) for k, v in out.items()}))
+            )
+    return main

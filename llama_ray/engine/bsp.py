@@ -225,6 +225,108 @@ class _GatherPartition:
     def get_rank(self):
         return self._pr_rank
 
+    def init_labels(self, init_slice):
+        """Sharded label state (WCC min-label / LP mode): this actor
+        owns the labels of its dst range. Returns the slice ref that
+        seeds the first exchange round."""
+        self._lab = np.asarray(init_slice)
+        return ray.put(self._lab)
+
+    def min_label_step(self, refs):
+        """One WCC superstep: fetch all label slices (zero-copy on a
+        node; O(V) over the network on a cluster), min-combine over
+        this range's in-edges, keep the state here. Returns (new slice
+        ref, #changed)."""
+        value = np.concatenate(ray.get(list(refs)))
+        new = np.minimum(self._lab, self.gather_min(value))
+        changed = int((new != self._lab).sum())
+        self._lab = new
+        return ray.put(new), changed
+
+    def mode_label_step(self, refs):
+        """One LP superstep: per-dst neighbor-label mode (ties →
+        smallest), computed entirely inside the actor."""
+        value = np.concatenate(ray.get(list(refs)))
+        mode = self.gather_mode(value)
+        new = np.where(mode >= 0, mode, self._lab)
+        changed = int((new != self._lab).sum())
+        self._lab = new
+        return ray.put(new), changed
+
+    def get_labels(self):
+        return self._lab
+
+    def init_sssp(self, dist_slice, active_slice):
+        self._dist = np.asarray(dist_slice, np.float64)
+        self._sssp_act = np.asarray(active_slice, bool)
+        return ray.put(self._dist), ray.put(self._sssp_act)
+
+    def sssp_step(self, d_refs, a_refs):
+        """One min-plus relax round with actor-resident (dist, active)
+        state. Returns (dist ref, frontier ref, #improved)."""
+        dist = np.concatenate(ray.get(list(d_refs)))
+        act = np.concatenate(ray.get(list(a_refs)))
+        cand = self.gather_min_plus(dist, act)
+        improved = cand < self._dist
+        self._dist = np.where(improved, cand, self._dist)
+        self._sssp_act = improved
+        return ray.put(self._dist), ray.put(improved), int(improved.sum())
+
+    def get_dist(self):
+        return self._dist
+
+    def gather_max_masked(self, value, active):
+        """Per-dst max of value[src] over edges whose src is active
+        (-1 where none) — the SCC forward-coloring combine. Runs over
+        the pinned edges; no per-round block fetch."""
+        out = np.full(self.hi - self.lo, -1, np.int64)
+        if len(self.src):
+            v = np.where(active[self.src], value[self.src], np.int64(-1))
+            out[self.local_dst] = np.maximum.reduceat(v, self.run_starts)
+        return out
+
+    def reach_step(self, color, active, reached):
+        """SCC backward-reach round (call on the REVERSED pool, where
+        stored (src, dst) = original (dst, src)): dense ids in this
+        range newly reached through one of their original out-edges."""
+        s, d = self.src, self.dst
+        if not len(s):
+            return np.empty(0, np.int64)
+        m = (
+            active[s]
+            & active[d]
+            & (color[s] == color[d])
+            & reached[s]
+            & ~reached[d]
+        )
+        return np.unique(d[m])
+
+    def incident_srcs(self, targets):
+        """(src, count) partials over this partition's edges whose dst
+        ∈ ``targets`` (sorted dense ids) — O(|targets∩range|·log runs +
+        touched edges), NOT O(E): the incremental-degree lookup for
+        SCC trim peeling."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        t = targets[(targets >= self.lo) & (targets < self.hi)]
+        R = len(self.run_starts)
+        if not len(t) or R == 0:
+            return empty
+        run_dst = self.dst[self.run_starts]
+        pos = np.searchsorted(run_dst, t)
+        ok = pos < R
+        ok[ok] = run_dst[pos[ok]] == t[ok]
+        pos = pos[ok]
+        if not len(pos):
+            return empty
+        ends_all = np.append(self.run_starts, len(self.src))
+        starts = self.run_starts[pos]
+        lens = ends_all[pos + 1] - starts
+        total = int(lens.sum())
+        base = np.repeat(starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        idx = base + np.arange(total)
+        sv, sc = np.unique(self.src[idx], return_counts=True)
+        return sv, sc.astype(np.int64)
+
     def init_ppr(self, inv_deg_slice, restart_slice, init_slice, damping):
         self._pr_inv = np.asarray(inv_deg_slice, np.float64)
         self._ppr_restart = np.asarray(restart_slice, np.float64)
@@ -267,6 +369,49 @@ class _ReversedGraph:
 
 def reversed_view(graph: Graph) -> "_ReversedGraph":
     return _ReversedGraph(graph)
+
+
+def self_loop_counts(graph: Graph) -> np.ndarray:
+    """Per-vertex self-loop count — plain Ray tasks over the
+    materialized edge blocks (no Dataset-executor launch)."""
+
+    def cnt(tbl):
+        if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+            return None
+        s = tbl.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        m = s == d
+        if not m.any():
+            return None
+        u, c = np.unique(s[m], return_counts=True)
+        return u, c
+
+    out = np.zeros(graph.num_vertices, np.int64)
+    task = ray.remote(cnt)
+    for r in ray.get([task.remote(b) for b in graph.edge_block_refs()]):
+        if r is not None:
+            out[r[0]] += r[1]
+    return out
+
+
+class UndirectedView:
+    """Both directions of every edge, self-loops dropped — the doubled
+    graph that WCC's min-label and LP's mode gather aggregate over
+    (each neighbor contributes exactly one in-edge message). Balance
+    degrees equal the doubled list's true in-degree,
+    out + in − 2·self-loops."""
+
+    def __init__(self, graph: Graph):
+        from ..graph import undirect
+
+        self.edges = undirect(graph.edges, drop_self_loops=True)
+        self.num_vertices = graph.num_vertices
+        self._deg = (
+            graph.out_degrees + graph.in_degrees() - 2 * self_loop_counts(graph)
+        )
+
+    def in_degrees(self):
+        return self._deg
 
 
 class BSPGather:
@@ -479,6 +624,139 @@ class BSPGather:
                 break
         rank = np.concatenate(ray.get([a.get_rank_multi.remote() for a in self.actors]), axis=0)
         return rank, k, converged, metrics
+
+    def gather_max_masked(self, value: np.ndarray, active: np.ndarray) -> np.ndarray:
+        """Dense per-dst max of value[src] over active srcs (-1 = none)."""
+        v_ref = ray.put(value)
+        a_ref = ray.put(active)
+        parts = ray.get([a.gather_max_masked.remote(v_ref, a_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.full(self.num_vertices, -1, np.int64)
+
+    def reach_step(self, color, active, reached) -> np.ndarray:
+        """SCC backward-reach round over a REVERSED pool → newly
+        reachable dense ids (unsorted union of per-actor results)."""
+        c_ref, a_ref, r_ref = ray.put(color), ray.put(active), ray.put(reached)
+        parts = ray.get([a.reach_step.remote(c_ref, a_ref, r_ref) for a in self.actors])
+        parts = [p for p in parts if len(p)]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def incident_src_counts(self, targets: np.ndarray):
+        """(src, count) over all edges whose dst ∈ targets — touches
+        only the runs of the targeted dsts, not E."""
+        t_ref = ray.put(np.asarray(targets, np.int64))
+        outs = ray.get([a.incident_srcs.remote(t_ref) for a in self.actors])
+        ks = [o[0] for o in outs if len(o[0])]
+        vs = [o[1] for o in outs if len(o[0])]
+        if not ks:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(ks), np.concatenate(vs)
+
+    def run_min_label_sharded(self, init_labels: np.ndarray, *, max_iters: int, num_edges: int):
+        """WCC-style min-label fixpoint with actor-resident labels:
+        per superstep the driver moves P slice refs + P change counts,
+        never an O(V) vector. Bit-identical to the driver-held engines
+        (min is exact; see the float64 id guard at the call site)."""
+        import time as _time
+
+        refs = ray.get(
+            [
+                a.init_labels.remote(sl)
+                for a, sl in zip(self.actors, self._slices(init_labels))
+            ]
+        )
+        metrics = []
+        converged = False
+        k = 0
+        while k < max_iters:
+            t0 = _time.perf_counter()
+            outs = ray.get([a.min_label_step.remote(refs) for a in self.actors])
+            refs = [o[0] for o in outs]
+            changed = int(sum(o[1] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": float(changed),
+                    "edges_processed": num_edges,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges / dt if dt > 0 else 0.0,
+                }
+            )
+            k += 1
+            if changed == 0:
+                converged = True
+                break
+        labels = np.concatenate(ray.get([a.get_labels.remote() for a in self.actors]))
+        return labels, k, converged, metrics
+
+    def run_mode_label_sharded(self, init_labels: np.ndarray, *, iterations: int, num_edges: int):
+        """Label propagation (fixed rounds) with actor-resident labels."""
+        import time as _time
+
+        refs = ray.get(
+            [
+                a.init_labels.remote(sl)
+                for a, sl in zip(self.actors, self._slices(init_labels))
+            ]
+        )
+        metrics = []
+        for k in range(iterations):
+            t0 = _time.perf_counter()
+            outs = ray.get([a.mode_label_step.remote(refs) for a in self.actors])
+            refs = [o[0] for o in outs]
+            changed = int(sum(o[1] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": float(changed),
+                    "edges_processed": num_edges,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges / dt if dt > 0 else 0.0,
+                }
+            )
+        labels = np.concatenate(ray.get([a.get_labels.remote() for a in self.actors]))
+        return labels, iterations, False, metrics
+
+    def run_sssp_sharded(self, dist0: np.ndarray, active0: np.ndarray, *, max_iters: int, num_edges: int):
+        """BFS / Bellman-Ford with actor-resident (dist, frontier)."""
+        import time as _time
+
+        outs = ray.get(
+            [
+                a.init_sssp.remote(sd, sa)
+                for a, sd, sa in zip(
+                    self.actors, self._slices(dist0), self._slices(active0)
+                )
+            ]
+        )
+        d_refs = [o[0] for o in outs]
+        a_refs = [o[1] for o in outs]
+        metrics = []
+        converged = False
+        k = 0
+        while k < max_iters:
+            t0 = _time.perf_counter()
+            outs = ray.get([a.sssp_step.remote(d_refs, a_refs) for a in self.actors])
+            d_refs = [o[0] for o in outs]
+            a_refs = [o[1] for o in outs]
+            changed = int(sum(o[2] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": float(changed),
+                    "edges_processed": num_edges,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges / dt if dt > 0 else 0.0,
+                }
+            )
+            k += 1
+            if changed == 0:
+                converged = True
+                break
+        dist = np.concatenate(ray.get([a.get_dist.remote() for a in self.actors]))
+        return dist, k, converged, metrics
 
     def shutdown(self):
         for a in self.actors:

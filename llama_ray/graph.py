@@ -141,6 +141,40 @@ def target_num_blocks(num_edges_hint: int | None = None) -> int:
     return blocks
 
 
+# Above this many vertex-scan partial rows, build_graph merges the
+# per-block (v, cs, cd) partials with a tree of Ray tasks instead of a
+# driver concatenation (which measured 10.6 GB RSS at V≈9M / E=268M).
+# Below it, the flat driver merge is faster (no extra task rounds).
+DRIVER_MERGE_ROWS = 8_000_000
+
+
+def _merge_vertex_partials(*parts):
+    """Merge vertex-scan partials — Arrow tables (leaf level) or
+    already-merged (ids, out, in) triples — into one sorted triple."""
+    vs, css, cds = [], [], []
+    for p in parts:
+        if isinstance(p, tuple):
+            v, cs, cd = p
+        else:
+            if p.num_rows == 0 or "v" not in p.schema.names:
+                continue  # empty block (schema may be upstream's)
+            v = p.column("v").combine_chunks().to_numpy(zero_copy_only=False)
+            cs = p.column("cs").combine_chunks().to_numpy(zero_copy_only=False)
+            cd = p.column("cd").combine_chunks().to_numpy(zero_copy_only=False)
+        vs.append(v)
+        css.append(cs)
+        cds.append(cd)
+    if not vs:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), e.copy()
+    all_v = np.concatenate(vs)
+    ids = np.unique(all_v)
+    pos = np.searchsorted(ids, all_v)
+    out_deg = np.bincount(pos, weights=np.concatenate(css), minlength=len(ids)).astype(np.int64)
+    in_deg = np.bincount(pos, weights=np.concatenate(cds), minlength=len(ids)).astype(np.int64)
+    return ids, out_deg, in_deg
+
+
 def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
     """Densify an int64-id edge Dataset into a :class:`Graph`.
 
@@ -178,14 +212,34 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
         cd[np.searchsorted(u, du)] = dc
         return {"v": u, "cs": cs, "cd": cd}
 
-    vs, css, cds = [], [], []
-    for b in edges.select_columns([SRC, DST]).map_batches(
-        vertex_scan, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        vs.append(batch_to_numpy(b, "v"))
-        css.append(batch_to_numpy(b, "cs"))
-        cds.append(batch_to_numpy(b, "cd"))
-    if vs:
+    parts_ds = (
+        edges.select_columns([SRC, DST])
+        .map_batches(vertex_scan, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    total_partial_rows = parts_ds.count()
+    part_refs = parts_ds.to_arrow_refs()
+    if total_partial_rows > DRIVER_MERGE_ROWS and len(part_refs) > 1:
+        # tree-reduce the per-block partials in Ray tasks (fan-in 8):
+        # at V≈10M the flat driver concatenation was 10.6 GB RSS and
+        # the dominant build cost; the driver now touches only the
+        # final O(V) arrays.
+        merge = ray.remote(_merge_vertex_partials)
+        refs = list(part_refs)
+        while len(refs) > 1:
+            refs = [
+                merge.remote(*refs[i : i + 8]) for i in range(0, len(refs), 8)
+            ]
+        ids, out_deg, in_deg = ray.get(refs[0])
+        num_edges = int(out_deg.sum())
+    elif total_partial_rows > 0:
+        vs, css, cds = [], [], []
+        for b in ray.get(part_refs):
+            if b.num_rows == 0 or "v" not in b.schema.names:
+                continue  # empty block (schema may be upstream's)
+            vs.append(batch_to_numpy(b, "v"))
+            css.append(batch_to_numpy(b, "cs"))
+            cds.append(batch_to_numpy(b, "cd"))
         all_v = np.concatenate(vs)
         vmin = int(all_v.min())
         vmax = int(all_v.max())
@@ -288,11 +342,12 @@ def canonical_undirected(parent: Graph) -> Graph:
         k = tbl.column("key").combine_chunks().to_numpy(zero_copy_only=False)
         return np.unique(k[(k == k[0]) | (k == k[-1])])
 
-    from .common import per_block_results
+    from .common import check_boundary_size, per_block_results
 
     dense = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
     bparts = [r for r in per_block_results(srt, boundary_block) if r is not None and len(r)]
     if bparts:
+        check_boundary_size(sum(len(p) for p in bparts), "canonical_undirected")
         bk = np.unique(np.concatenate(bparts))
         dense = dense.union(
             rd.from_arrow(pa.table({SRC: pa.array(bk // n), DST: pa.array(bk % n)}))

@@ -277,3 +277,44 @@ r AS (SELECT qid, vec_id, sim,
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
       FROM s)
 SELECT qid, vec_id AS neighbor_id, ROUND(sim, 5) AS sim FROM r WHERE rn <= {k}"""
+
+
+def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:
+    """Exact cosine all-pairs ≥ τ (mirrors data_ops.ann.cosine_pairs;
+    DOUBLE casts so DuckDB and the numpy matmul agree to ≫5 decimals)."""
+    return f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.vec, b.vec), 5) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.vec, b.vec) >= {threshold}
+ORDER BY a, b"""
+
+
+def doc_quality_sql() -> str:
+    """Mirror of data_ops.text.QualityScore — every feature is the
+    same RE2 count over the same (lowercased) text, combined with the
+    identical double-precision formula (clip = least/greatest), so the
+    6-decimal rounding matches bit-for-bit."""
+    stop = r"\b(the|and|of|to|in|is|that|with|for)\b"
+    return f"""WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS len,
+         CAST(length(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]')) AS DOUBLE) AS n_word_chars,
+         CAST(length(regexp_extract_all(lower(text), '{stop}')) AS DOUBLE) AS n_stop
+  FROM documents),
+g AS (
+  SELECT doc_id, len,
+         n_punct / greatest(len, 1.0) AS punct_ratio,
+         n_stop / greatest(n_words, 1.0) AS stop_ratio,
+         CASE WHEN n_words > 0 THEN n_word_chars / greatest(n_words, 1.0) ELSE 0.0 END AS mwl
+  FROM f)
+SELECT doc_id,
+       ROUND(least(greatest(len / 500.0, 0), 1) * 0.3
+           + least(greatest(1 - punct_ratio * 4, 0), 1) * 0.3
+           + least(greatest(stop_ratio * 5, 0), 1) * 0.2
+           + least(greatest(1 - abs(mwl - 5) / 5, 0), 1) * 0.2, 6) AS quality
+FROM g ORDER BY doc_id"""

@@ -301,7 +301,6 @@ def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     driver pass (≤ 2 users per block), the same boundary trick as
     ``dedup_edges``. Output: one row per session (user_id,
     session_start, n_events)."""
-    from ..common import per_block_results
     from ..graph import target_num_blocks
 
     # coarse blocks: the auto-split (~300 tiny blocks at 10M rows)
@@ -362,26 +361,16 @@ def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
             }
         return sessions_of(u[inner], t[inner])
 
-    def boundary_block(b: pa.Table):
-        if b.num_rows == 0 or "user_id" not in b.schema.names:
-            return None
-        u = b.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
-        t = b.column("t").combine_chunks().to_numpy(zero_copy_only=False)
-        edge = (u == u[0]) | (u == u[-1])
-        return (u[edge], t[edge])
+    from ..common import collect_boundary_runs
 
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
-    bu, bt = [], []
-    for r in per_block_results(srt, boundary_block):
-        if r is not None:
-            bu.append(r[0])
-            bt.append(r[1])
-    if bu:
-        u = np.concatenate(bu)  # block order preserves the global sort
-        t = np.concatenate(bt)
-        if len(u):
-            extra = sessions_of(u, t)
-            main = main.union(rd.from_arrow(pa.table({k: pa.array(v) for k, v in extra.items()})))
+    btbl = collect_boundary_runs(
+        srt, "user_id", columns=["user_id", "t"], where="sessionize"
+    )
+    if btbl is not None:
+        # block order preserves the global sort
+        extra = sessions_of(batch_to_numpy(btbl, "user_id"), batch_to_numpy(btbl, "t"))
+        main = main.union(rd.from_arrow(pa.table({k: pa.array(v) for k, v in extra.items()})))
     return main
 
 
@@ -528,12 +517,29 @@ def q_doc_quality(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs. τ/planes chosen so the synthetic
+    embeddings yield a NON-empty result (the sf tables' closest pair
+    sits near cos 0.51, so τ=0.9 proved nothing); recall < 1 by LSH
+    design, so the driver check is rows-only — the exact all-pairs
+    variant with a full DuckDB oracle is ``embedding_cos_pairs``."""
     from ..data_ops.dedup import embedding_near_dup
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = embedding_near_dup(emb, threshold=0.9, num_planes=10)
+    out = embedding_near_dup(emb, threshold=0.4, num_planes=4).to_pandas()
     out["cos"] = out["cos"].round(6)
-    return out
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_embedding_cos_pairs(sf_dir: str):
+    """EXACT all-pairs cosine ≥ 0.4 (brute-force distributed matmul —
+    the baseline ``embedding_near_dup`` approximates; full DuckDB
+    oracle via list_cosine_similarity)."""
+    from ..data_ops.ann import cosine_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = cosine_pairs(emb, threshold=0.4).to_pandas()
+    out["cos"] = out["cos"].round(5)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_events_props_sum(sf_dir: str):

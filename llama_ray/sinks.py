@@ -71,46 +71,104 @@ def print_adjacency(edges: rd.Dataset, lo: int, hi: int | None = None) -> dict[i
 
 def resumable_write_parquet(ds: rd.Dataset, root: str) -> dict:
     """Partitioned, resumable Parquet sink: one ``part_%05d/`` dir per
-    input block, each committed atomically (data file first, `_DONE`
-    marker last). A re-run after failure skips every partition whose
-    marker exists — never one giant file, never a restart from zero
-    (the at-scale output posture of the brief).
+    input block, each committed atomically (data file first, manifest +
+    `_DONE` marker last). A re-run after failure skips every partition
+    whose manifest matches the current block — never one giant file,
+    never a restart from zero (the at-scale output posture of the
+    brief).
+
+    Resume is validated, not positional: each part's manifest records
+    its row count, column names and total part count; a re-run whose
+    dataset materializes with a DIFFERENT block layout (changed
+    parallelism, upstream ordering, dynamic splitting) fails
+    validation and rewrites instead of silently mixing stale parts
+    with fresh ones. A root ``_MANIFEST.json`` pins the part count so
+    stale higher-numbered parts from an older, wider layout are
+    removed rather than read back.
 
     Returns {"written": n, "skipped": n, "parts": total}.
     """
+    import glob
+    import json
     import os
+    import shutil
 
     import ray
 
     os.makedirs(root, exist_ok=True)
     refs = ds.to_arrow_refs()
+    parts = len(refs)
+
+    root_mf = os.path.join(root, "_MANIFEST.json")
+    if os.path.exists(root_mf):
+        try:
+            with open(root_mf) as f:
+                old_parts = int(json.load(f).get("parts", -1))
+        except Exception:
+            old_parts = -1
+        if old_parts != parts:
+            # layout changed: every positional skip is suspect — drop
+            # all commit markers (forces rewrite) and stale extra dirs
+            for d in glob.glob(os.path.join(root, "part_*")):
+                shutil.rmtree(d, ignore_errors=True)
+    with open(root_mf, "w") as f:
+        json.dump({"parts": parts}, f)
 
     @ray.remote
-    def _write(t: pa.Table, part_dir: str):
+    def _write_or_skip(t: pa.Table, part_dir: str, parts: int):
+        mf_path = os.path.join(part_dir, "manifest.json")
+        done_path = os.path.join(part_dir, "_DONE")
+        expect = {
+            "rows": t.num_rows,
+            "columns": list(t.schema.names),
+            "parts": parts,
+        }
+        if os.path.exists(done_path) and os.path.exists(mf_path):
+            try:
+                with open(mf_path) as f:
+                    got = json.load(f)
+            except Exception:
+                got = None
+            if got == expect:
+                return 0  # committed and still matches this block
+            os.remove(done_path)  # stale — force rewrite
         os.makedirs(part_dir, exist_ok=True)
         pq.write_table(t, os.path.join(part_dir, "data.parquet"))
-        with open(os.path.join(part_dir, "_DONE"), "w") as f:
+        with open(mf_path, "w") as f:
+            json.dump(expect, f)
+        with open(done_path, "w") as f:
             f.write("ok")
         return 1
 
-    futs = []
-    skipped = 0
-    for i, r in enumerate(refs):
-        part_dir = os.path.join(root, f"part_{i:05d}")
-        if os.path.exists(os.path.join(part_dir, "_DONE")):
-            skipped += 1
-            continue
-        futs.append(_write.remote(r, part_dir))
-    written = int(sum(ray.get(futs))) if futs else 0
-    return {"written": written, "skipped": skipped, "parts": len(refs)}
+    outs = ray.get(
+        [
+            _write_or_skip.remote(r, os.path.join(root, f"part_{i:05d}"), parts)
+            for i, r in enumerate(refs)
+        ]
+    )
+    written = int(sum(outs))
+    return {"written": written, "skipped": parts - written, "parts": parts}
 
 
 def read_resumable_parquet(root: str) -> rd.Dataset:
-    """Read back only the committed partitions of a resumable sink."""
+    """Read back only the committed partitions of a resumable sink,
+    bounded by the root manifest's part count (stale higher-numbered
+    parts from an older layout are ignored)."""
     import glob
+    import json
     import os
 
+    parts = None
+    root_mf = os.path.join(root, "_MANIFEST.json")
+    if os.path.exists(root_mf):
+        try:
+            with open(root_mf) as f:
+                parts = int(json.load(f)["parts"])
+        except Exception:
+            parts = None
     done = sorted(
         os.path.dirname(m) for m in glob.glob(os.path.join(root, "part_*", "_DONE"))
     )
+    if parts is not None:
+        done = [d for d in done if int(os.path.basename(d).split("_")[1]) < parts]
     return rd.read_parquet([os.path.join(d, "data.parquet") for d in done])

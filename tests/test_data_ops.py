@@ -117,7 +117,7 @@ def test_embedding_near_dup():
             }
         )
     )
-    out = embedding_near_dup(ds, threshold=0.99)
+    out = embedding_near_dup(ds, threshold=0.99).to_pandas()
     assert set(zip(out["a"], out["b"])) == {(0, 1)}
 
 
