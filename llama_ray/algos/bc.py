@@ -19,6 +19,13 @@ level instead of per source per level:
 
 Per-edge work is O(E × depth) total for all K sources. Keys pack as
 ``dst * K + source`` (K ≤ a few hundred ⇒ no overflow concerns).
+
+Memory: (K, N) float64 state is K×8 bytes per vertex. To keep exact
+BC (``num_sources=None`` — the reference's every-source ``bc_adj``
+mode) usable beyond toy graphs, sources run in chunks of
+``source_batch`` (default 64) and per-chunk deltas accumulate into a
+single length-N vector — peak state is O(source_batch × N), never
+O(N²), at the cost of one edge-scan sweep per chunk per level.
 """
 
 from __future__ import annotations
@@ -37,10 +44,15 @@ def betweenness_centrality(
     num_sources: int | None = 16,
     seed: int = 42,
     sources: np.ndarray | None = None,
+    source_batch: int = 64,
 ) -> np.ndarray:
     """BC scores (unnormalized, reference semantics). ``sources=None``
     with ``num_sources=None`` runs every vertex (exact ``bc_adj``);
-    otherwise K seeded-random distinct sources (``bc_random``)."""
+    otherwise K seeded-random distinct sources (``bc_random``).
+
+    Sources run in chunks of ``source_batch`` so peak state is
+    O(source_batch × N) regardless of K — exact mode never allocates
+    (N, N)."""
     n = graph.num_vertices
     if n == 0:
         return np.empty(0)
@@ -51,6 +63,16 @@ def betweenness_centrality(
             rng = np.random.default_rng(seed)
             sources = rng.choice(n, size=num_sources, replace=False)
     sources = np.asarray(sources, np.int64)
+    bc = np.zeros(n, np.float64)
+    for lo in range(0, len(sources), source_batch):
+        bc += _bc_source_chunk(graph, sources[lo : lo + source_batch])
+    return bc
+
+
+def _bc_source_chunk(graph: Graph, sources: np.ndarray) -> np.ndarray:
+    """One Brandes sweep for ≤ ``source_batch`` simultaneous sources;
+    returns the summed per-vertex delta contribution of this chunk."""
+    n = graph.num_vertices
     K = len(sources)
 
     dist = np.full((K, n), -1, np.int64)

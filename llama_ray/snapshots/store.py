@@ -36,7 +36,14 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..common import batch_to_numpy, pairs_member_mask, sorted_pair_struct
+from ..common import (
+    batch_to_numpy,
+    check_boundary_size,
+    pair_struct,
+    pairs_member_mask,
+    per_block_results,
+    sorted_pair_struct,
+)
 from ..ingest.canonicalize import dedup_edges
 
 
@@ -70,6 +77,8 @@ class SnapshotStore:
         deletes: rd.Dataset | None = None,
         nodes: rd.Dataset | None = None,
         node_deletes: rd.Dataset | None = None,
+        node_props: "dict[str, rd.Dataset] | None" = None,
+        edge_props: "dict[str, rd.Dataset] | None" = None,
     ) -> int:
         """Checkpoint a delta into the next immutable level. Written
         atomically: data lands in the dir first, manifest last (a dir
@@ -98,11 +107,23 @@ class SnapshotStore:
             nd = os.path.join(d, "node_deletes")
             os.makedirs(nd, exist_ok=True)
             node_deletes.select_columns(["node"]).write_parquet(nd)
+        for kind, props, key_cols in (
+            ("node_props", node_props, ["node"]),
+            ("edge_props", edge_props, ["src", "dst"]),
+        ):
+            for name, ds in (props or {}).items():
+                if "/" in name or name.startswith("."):
+                    raise ValueError(f"bad property name: {name!r}")
+                pd_ = os.path.join(d, kind, name)
+                os.makedirs(pd_, exist_ok=True)
+                ds.select_columns(key_cols + ["value"]).write_parquet(pd_)
         manifest = {
             "level": level,
             "num_edges": edges.count(),
             "num_deletes": n_deletes,
             "num_nodes": n_nodes,
+            "node_props": sorted((node_props or {}).keys()),
+            "edge_props": sorted((edge_props or {}).keys()),
             "created": time.time(),
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
@@ -211,6 +232,127 @@ class SnapshotStore:
             return rd.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
         return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
+    # ------------------------------------------------------- properties
+    #
+    # Multiversioned named node/edge properties — the reference lazily
+    # creates property arrays and COW-writes them per level
+    # (`ll_mlcsr_properties.h:56-97`, writer :728-770; FGF load path
+    # `ll_load_fgf.h:694-727`). Ray-native: each level carries a
+    # property *delta* (key, value) Parquet dir; a read at level L
+    # resolves last-writer-wins over all deltas ≤ L — the same
+    # visibility rule as COW page chains, expressed as a distributed
+    # sort + run-first dedup instead of pointer chasing. Old levels
+    # are immutable, so reads at an earlier level are unaffected by
+    # later writes (snapshot isolation).
+
+    def _prop_levels(self, kind: str, name: str, at_level: int | None) -> list[int]:
+        levels = self.levels()
+        if not levels:
+            return []
+        if at_level is None:
+            at_level = levels[-1]
+        return [
+            lv
+            for lv in levels
+            if lv <= at_level
+            and os.path.isdir(os.path.join(self._level_dir(lv), kind, name))
+        ]
+
+    def property_names(self, kind: str = "node_props", *, at_level: int | None = None) -> list[str]:
+        """Names of properties visible at ``at_level`` (``kind`` is
+        ``'node_props'`` or ``'edge_props'``)."""
+        levels = self.levels()
+        if at_level is None and levels:
+            at_level = levels[-1]
+        names: set[str] = set()
+        for lv in levels:
+            if lv > at_level:
+                break
+            kd = os.path.join(self._level_dir(lv), kind)
+            if os.path.isdir(kd):
+                names.update(os.listdir(kd))
+        return sorted(names)
+
+    def _latest_per_key(self, parts, key_cols: list[str]) -> rd.Dataset:
+        """Resolve last-writer-wins over per-level deltas: tag each
+        delta with ``-level``, distributed sort by (key, -level), keep
+        the first row of each key run (vectorized per block; runs
+        spanning block edges resolved in a tiny boundary pass)."""
+        out_cols = key_cols + ["value"]
+        tagged = []
+        for lv, ds in parts:
+            def tag(batch: pa.Table, _lv=lv) -> pa.Table:
+                return batch.append_column(
+                    "_nlv", pa.array(np.full(batch.num_rows, -_lv, np.int64))
+                )
+
+            tagged.append(ds.map_batches(tag, batch_format="pyarrow"))
+        allp = tagged[0] if len(tagged) == 1 else tagged[0].union(*tagged[1:])
+        srt = allp.sort(key_cols + ["_nlv"]).materialize()
+
+        def keys_of(tbl: pa.Table) -> np.ndarray:
+            ks = [
+                tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+                for c in key_cols
+            ]
+            return ks[0] if len(ks) == 1 else pair_struct(ks[0], ks[1])
+
+        def interior(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.select(out_cols)
+            k = keys_of(batch)
+            first = np.ones(len(k), bool)
+            first[1:] = k[1:] != k[:-1]
+            keep = first & ~((k == k[0]) | (k == k[-1]))
+            return batch.filter(pa.array(keep)).select(out_cols)
+
+        resolved = srt.map_batches(interior, batch_format="pyarrow")
+
+        def edge_rows(tbl: pa.Table):
+            if tbl.num_rows == 0:
+                return None
+            k = keys_of(tbl)
+            return tbl.filter(pa.array((k == k[0]) | (k == k[-1])))
+
+        bparts = [
+            t for t in per_block_results(srt, edge_rows) if t is not None and t.num_rows
+        ]
+        if bparts:
+            # block order preserves the global (key, -level) order, so
+            # first-of-run in the concatenation is the latest write
+            bt = pa.concat_tables(bparts)
+            check_boundary_size(bt.num_rows, "SnapshotStore._latest_per_key")
+            k = keys_of(bt)
+            first = np.ones(len(k), bool)
+            first[1:] = k[1:] != k[:-1]
+            bt = bt.filter(pa.array(first)).select(out_cols)
+            resolved = resolved.union(rd.from_arrow(bt))
+        return resolved
+
+    def node_property(self, name: str, *, at_level: int | None = None) -> rd.Dataset:
+        """(node, value) rows — each node's latest write at or before
+        ``at_level``. Raises KeyError for an unknown property."""
+        use = self._prop_levels("node_props", name, at_level)
+        if not use:
+            raise KeyError(f"unknown node property: {name!r}")
+        parts = [
+            (lv, rd.read_parquet(os.path.join(self._level_dir(lv), "node_props", name)))
+            for lv in use
+        ]
+        return self._latest_per_key(parts, ["node"])
+
+    def edge_property(self, name: str, *, at_level: int | None = None) -> rd.Dataset:
+        """(src, dst, value) rows — each edge's latest write at or
+        before ``at_level``."""
+        use = self._prop_levels("edge_props", name, at_level)
+        if not use:
+            raise KeyError(f"unknown edge property: {name!r}")
+        parts = [
+            (lv, rd.read_parquet(os.path.join(self._level_dir(lv), "edge_props", name)))
+            for lv in use
+        ]
+        return self._latest_per_key(parts, ["src", "dst"])
+
     # --------------------------------------------------------- mutation
 
     def delete_edges(self, deletes: rd.Dataset) -> int:
@@ -239,7 +381,21 @@ class SnapshotStore:
         column (streaming weights-instead-of-duplicate-edges)."""
         merged = dedup_edges(self.edges(), weights=weights).sort(["src", "dst"])
         old = self.levels()
-        new_level = self.ingest_batch(merged)
+        # carry resolved properties forward — the compacted level is
+        # the new base, so each property's latest values must survive
+        node_props = {
+            n: self.node_property(n).materialize()
+            for n in self.property_names("node_props")
+        }
+        edge_props = {
+            n: self.edge_property(n).materialize()
+            for n in self.property_names("edge_props")
+        }
+        new_level = self.ingest_batch(
+            merged,
+            node_props=node_props or None,
+            edge_props=edge_props or None,
+        )
         for lv in old:
             self.delete_level(lv)
         return new_level

@@ -36,6 +36,11 @@ class WritableGraph:
         self._bulk: list[rd.Dataset] = []
         self._del_pairs: list[tuple[int, int]] = []
         self._del_nodes: list[int] = []
+        # name -> {key: value}; dict keying gives last-write-wins
+        # within the pending delta (reference property writer
+        # semantics, `ll_mlcsr_properties.h:728-770`)
+        self._node_props: dict[str, dict[int, object]] = {}
+        self._edge_props: dict[str, dict[tuple[int, int], object]] = {}
 
     # ------------------------------------------------------- mutations
 
@@ -65,6 +70,31 @@ class WritableGraph:
         # resolved at checkpoint: delta is deduped against the frozen set
         self._add_src.append(src)
         self._add_dst.append(dst)
+
+    def set_node_property(self, name: str, node: int, value) -> None:
+        """Buffer a named per-node property write; visible after
+        ``checkpoint()`` via ``store.node_property(name)``. Properties
+        are lazily created on first write (reference
+        ``ll_mlcsr_properties.h:56-97``) and versioned per level —
+        reads at an earlier level see the earlier value."""
+        self._node_props.setdefault(name, {})[int(node)] = value
+
+    def set_node_properties(self, name: str, nodes, values) -> None:
+        """Bulk vectorized form of :meth:`set_node_property`."""
+        buf = self._node_props.setdefault(name, {})
+        for n, v in zip(nodes, values):
+            buf[int(n)] = v
+
+    def set_edge_property(self, name: str, src: int, dst: int, value) -> None:
+        """Buffer a named per-edge property write (keyed by the
+        (src, dst) pair), versioned per level like node properties."""
+        self._edge_props.setdefault(name, {})[(int(src), int(dst))] = value
+
+    def set_edge_properties(self, name: str, src, dst, values) -> None:
+        """Bulk vectorized form of :meth:`set_edge_property`."""
+        buf = self._edge_props.setdefault(name, {})
+        for s, d, v in zip(src, dst, values):
+            buf[(int(s), int(d))] = v
 
     def delete_edge(self, src: int, dst: int) -> None:
         self._del_pairs.append((src, dst))
@@ -112,7 +142,13 @@ class WritableGraph:
         set of frozen edges is ever built (scales to stores that dwarf
         driver memory)."""
         if not (
-            self._add_src or self._bulk or self._add_nodes or self._del_pairs or self._del_nodes
+            self._add_src
+            or self._bulk
+            or self._add_nodes
+            or self._del_pairs
+            or self._del_nodes
+            or self._node_props
+            or self._edge_props
         ):
             return None
 
@@ -197,8 +233,40 @@ class WritableGraph:
             node_deletes = rd.from_arrow(
                 pa.table({"node": pa.array(sorted(set(self._del_nodes)), pa.int64())})
             )
+        node_props = None
+        if self._node_props:
+            node_props = {
+                name: rd.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array(list(buf.keys()), pa.int64()),
+                            "value": pa.array(list(buf.values())),
+                        }
+                    )
+                )
+                for name, buf in self._node_props.items()
+            }
+        edge_props = None
+        if self._edge_props:
+            edge_props = {
+                name: rd.from_arrow(
+                    pa.table(
+                        {
+                            "src": pa.array([k[0] for k in buf], pa.int64()),
+                            "dst": pa.array([k[1] for k in buf], pa.int64()),
+                            "value": pa.array(list(buf.values())),
+                        }
+                    )
+                )
+                for name, buf in self._edge_props.items()
+            }
         level = self.store.ingest_batch(
-            adds, deletes=deletes, nodes=nodes, node_deletes=node_deletes
+            adds,
+            deletes=deletes,
+            nodes=nodes,
+            node_deletes=node_deletes,
+            node_props=node_props,
+            edge_props=edge_props,
         )
         self._add_src.clear()
         self._add_dst.clear()
@@ -206,6 +274,8 @@ class WritableGraph:
         self._bulk.clear()
         self._del_pairs.clear()
         self._del_nodes.clear()
+        self._node_props.clear()
+        self._edge_props.clear()
         return level
 
     # ------------------------------------------------------------ read

@@ -64,6 +64,23 @@ def test_bc_exact_matches_brandes(name):
     assert np.allclose(got, expect, atol=1e-9), (got, expect)
 
 
+def test_bc_exact_source_batched():
+    # Exact BC must be identical regardless of chunk size: chunked
+    # accumulation (source_batch < K) is the O(source_batch*N)-memory
+    # path that makes num_sources=None usable at real V.
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 30, 150)
+    dst = rng.integers(0, 30, 150)
+    g = build_graph(
+        rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    )
+    ids = np.unique(np.concatenate([src, dst]))
+    expect = brandes_np(np.searchsorted(ids, src), np.searchsorted(ids, dst), len(ids))
+    for sb in (1, 5, 7, 1000):
+        got = betweenness_centrality(g, num_sources=None, source_batch=sb)
+        assert np.allclose(got, expect, atol=1e-9), sb
+
+
 def test_bc_random_subset():
     rng = np.random.default_rng(5)
     src = rng.integers(0, 40, 200)

@@ -189,3 +189,68 @@ def test_add_node_and_bulk_edges(tmp_path):
     w.delete_node(8)
     w.checkpoint()
     assert (7, 8) not in edge_set(w.ro_edges()) and (8, 9) not in edge_set(w.ro_edges())
+
+
+def _prop_dict(ds, key="node"):
+    t = ds.to_pandas()
+    if key == "node":
+        return dict(zip(t["node"], t["value"]))
+    return {(s, d): v for s, d, v in zip(t["src"], t["dst"], t["value"])}
+
+
+def test_property_write_versioned(tmp_path):
+    # write -> checkpoint -> overwrite -> checkpoint: reads at the
+    # old level see the old value (COW property semantics,
+    # ll_mlcsr_properties.h:56-97)
+    st = SnapshotStore(str(tmp_path))
+    w = WritableGraph(st)
+    w.add_edges([0, 1, 2], [1, 2, 3])
+    w.set_node_property("rank", 0, 0.5)
+    w.set_node_property("rank", 1, 0.25)
+    w.set_edge_property("etype", 0, 1, "calls")
+    lv0 = w.checkpoint()
+
+    w.set_node_property("rank", 1, 0.75)  # overwrite
+    w.set_node_property("rank", 2, 0.1)  # new key
+    w.set_edge_property("etype", 0, 1, "imports")
+    lv1 = w.checkpoint()
+
+    assert st.property_names("node_props") == ["rank"]
+    assert st.property_names("edge_props") == ["etype"]
+    # latest view: last writer wins per key
+    assert _prop_dict(st.node_property("rank")) == {0: 0.5, 1: 0.75, 2: 0.1}
+    assert _prop_dict(st.edge_property("etype"), key="edge") == {(0, 1): "imports"}
+    # snapshot isolation: the old level is unchanged
+    assert _prop_dict(st.node_property("rank", at_level=lv0)) == {0: 0.5, 1: 0.25}
+    assert _prop_dict(st.edge_property("etype", at_level=lv0), key="edge") == {
+        (0, 1): "calls"
+    }
+    assert lv1 > lv0
+    with pytest.raises(KeyError):
+        st.node_property("nope")
+
+
+def test_property_within_batch_last_write_wins(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    w = WritableGraph(st)
+    w.add_edge(0, 1)
+    w.set_node_property("x", 5, 1)
+    w.set_node_property("x", 5, 2)  # same pending delta: last wins
+    w.set_node_properties("x", [6, 7], [10, 11])
+    w.checkpoint()
+    assert _prop_dict(st.node_property("x")) == {5: 2, 6: 10, 7: 11}
+
+
+def test_property_survives_flatten(tmp_path):
+    st = SnapshotStore(str(tmp_path))
+    w = WritableGraph(st)
+    w.add_edges([0, 0, 1], [1, 1, 2])  # dup edge for flatten to merge
+    w.set_node_property("score", 0, 1.0)
+    w.checkpoint()
+    w.set_node_property("score", 0, 2.0)
+    w.set_edge_properties("w8", [0], [1], [3.5])
+    w.checkpoint()
+    st.flatten()
+    assert len(st.levels()) == 1
+    assert _prop_dict(st.node_property("score")) == {0: 2.0}
+    assert _prop_dict(st.edge_property("w8"), key="edge") == {(0, 1): 3.5}
