@@ -97,9 +97,29 @@ def run_benchmark() -> dict:
     )
     timings["pagerank_10iter"] = pagerank_sec
 
+    # forced multi-node paths: on one node `build='auto'` picks the
+    # plasma-scan CSR build and `probe='auto'` the broadcast probe, so
+    # the cluster-shaped variants (range-sort build, shuffle probe)
+    # would otherwise never run under the driver's eye. Timed here with
+    # a parity assert against the default-path results.
+    import numpy as np
+
+    sec_sort, pr_sortbuild = best_of(
+        lambda: pagerank(g, max_iters=10, engine="bsp", bsp_build="sort"), 2
+    )
+    timings["pagerank_bsp_sortbuild_setup_plus_10iter"] = sec_sort
+    timings["pagerank_10iter_bsp_sortbuild"] = pr_sortbuild.total_seconds
+    assert np.allclose(
+        pr_sortbuild.state["rank"], pr_bsp.state["rank"], rtol=1e-9, atol=1e-15
+    ), "build='sort' PageRank diverged from build='scan'"
+
     timings["wcc"], wcc = best_of(lambda: weakly_connected_components(g), 2)
 
     timings["triangle_count"], tc = best_of(lambda: triangle_count(g), 2)
+    timings["triangle_count_shuffle"], tc_shuffle = best_of(
+        lambda: triangle_count(g, probe="shuffle"), 2
+    )
+    assert tc_shuffle == tc, f"probe='shuffle' TC {tc_shuffle} != broadcast {tc}"
 
     # canonicalize in dense space from the already-built graph (the
     # derive+dedup of the raw table is already counted in graph_build)

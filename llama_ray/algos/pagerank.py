@@ -61,6 +61,7 @@ def pagerank(
     engine: str = "dataset",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    bsp_build: str = "auto",
 ) -> SuperstepResult:
     """Returns SuperstepResult with ``state['rank']`` (float64, dense
     vertex order — ``graph.ids[i]`` ↔ ``rank[i]``).
@@ -72,6 +73,11 @@ def pagerank(
     range shuffle, then supersteps are broadcast + parallel reduceat;
     the scaling path. Both produce identical float64 sums up to
     addition order within a dst's in-edge run.
+
+    ``bsp_build``: reverse-CSR build strategy for the BSP engines —
+    ``'scan'`` (single-node: P parallel zero-copy plasma scans),
+    ``'sort'`` (multi-node: range-sort by dst so each actor fetches
+    only its contiguous blocks), or ``'auto'`` (pick by cluster size).
     """
     if mode not in ("pull", "push"):
         raise ValueError(f"unknown mode {mode}")
@@ -96,7 +102,7 @@ def pagerank(
             raise ValueError("bsp_sharded does not support checkpointing")
         from ..engine.bsp import BSPGather
 
-        g = BSPGather(graph)
+        g = BSPGather(graph, build=bsp_build)
         try:
             rank, iters, converged, metrics = g.run_pagerank_sharded(
                 inv_deg, damping=damping, max_iters=max_iters, tol=tol, num_edges=num_edges
@@ -109,7 +115,7 @@ def pagerank(
     if engine == "bsp":
         from ..engine.bsp import BSPGather
 
-        gatherer = BSPGather(graph)
+        gatherer = BSPGather(graph, build=bsp_build)
 
     def init_state():
         return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}
