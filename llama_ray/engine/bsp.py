@@ -42,28 +42,64 @@ import ray
 from ..graph import Graph
 
 
+def _sort_block_by_dst(t):
+    """Stable within-block sort by dst (build-time, one parallel pass)."""
+    if t.num_rows == 0:
+        return t
+    dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(dst, kind="stable")
+    # already sorted (e.g. re-built pools over sorted snapshots): skip the take
+    if order[0] == 0 and np.array_equal(order, np.arange(len(order))):
+        return t
+    return t.take(order)
+
+
 class _GatherPartition:
     """One contiguous dst-range of the reverse CSR, pinned in an actor."""
 
-    def __init__(self, table_refs, lo: int, hi: int, weighted: bool, presorted: bool):
+    def __init__(
+        self,
+        table_refs,
+        lo: int,
+        hi: int,
+        weighted: bool,
+        presorted: bool,
+        block_sorted: bool = False,
+    ):
         srcs, dsts, ws = [], [], []
+        # Per-chunk zero-copy views: combine_chunks() COPIES the whole
+        # column even when it already has one chunk (measured: the
+        # copy, × P actors × all blocks, dominated pool setup), while
+        # chunk(i).to_numpy() on a no-null primitive column is a view.
         for r in table_refs:
             t = ray.get(r)
             if t.num_rows == 0:
                 continue
-            src = t.column("src").combine_chunks().to_numpy(zero_copy_only=False)
-            dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-            w = (
-                t.column("weight").combine_chunks().to_numpy(zero_copy_only=False)
-                if weighted
-                else None
-            )
-            m = (dst >= lo) & (dst < hi)
-            if m.any():
-                srcs.append(src[m])
-                dsts.append(dst[m])
-                if w is not None:
-                    ws.append(w[m])
+            sc = t.column("src")
+            dc = t.column("dst")
+            wc = t.column("weight") if weighted else None
+            for ci in range(dc.num_chunks):
+                dst = dc.chunk(ci).to_numpy(zero_copy_only=False)
+                if len(dst) == 0:
+                    continue
+                if block_sorted or presorted:
+                    # chunks sorted by dst (one parallel pass at build,
+                    # or Ray's range sort): binary-search the range and
+                    # slice — O(rows kept) instead of an O(chunk) mask
+                    # scan per actor (P× redundant work).
+                    i0 = int(np.searchsorted(dst, lo))
+                    i1 = int(np.searchsorted(dst, hi))
+                    if i1 <= i0:
+                        continue
+                    sel = slice(i0, i1)
+                else:
+                    sel = (dst >= lo) & (dst < hi)
+                    if not sel.any():
+                        continue
+                srcs.append(sc.chunk(ci).to_numpy(zero_copy_only=False)[sel])
+                dsts.append(dst[sel])
+                if wc is not None:
+                    ws.append(wc.chunk(ci).to_numpy(zero_copy_only=False)[sel])
         if srcs:
             self.src = np.concatenate(srcs)
             self.dst = np.concatenate(dsts)
@@ -467,16 +503,32 @@ class BSPGather:
         # — observed as deadlock in small sessions. Parallelism is
         # governed by the actor count, not the reservation.
         Actor = ray.remote(num_cpus=0)(_GatherPartition)
+        block_sorted = False
         if build == "sort":
             sorted_ds = graph.edges.select_columns(cols).sort("dst").materialize()
             refs = sorted_ds.to_arrow_refs()
             presorted = True
         else:
-            refs = graph.edges.select_columns(cols).materialize().to_arrow_refs()
+            # sort each block by dst ONCE in parallel (stable, so the
+            # per-actor edge order — and therefore FP reduction order —
+            # is identical to the mask-scan path), then every actor
+            # binary-searches its range out of each block instead of
+            # re-scanning all E rows (P× redundant work before).
+            refs = (
+                graph.edges.select_columns(cols)
+                .map_batches(
+                    _sort_block_by_dst, batch_format="pyarrow", batch_size=None
+                )
+                .materialize()
+                .to_arrow_refs()
+            )
             presorted = False
+            block_sorted = True
         self.bounds = bounds
         self.actors = [
-            Actor.remote(refs, bounds[p], bounds[p + 1], weighted, presorted)
+            Actor.remote(
+                refs, bounds[p], bounds[p + 1], weighted, presorted, block_sorted
+            )
             for p in range(P)
         ]
         # block until every partition is built: constructor work (the

@@ -27,6 +27,7 @@ ingests (the reference needs COW page tables for the same property).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -45,6 +46,15 @@ from ..common import (
     sorted_pair_struct,
 )
 from ..ingest.canonicalize import dedup_edges
+
+_logger = logging.getLogger(__name__)
+
+# Rows per level past which the tombstone driver-broadcast warns: the
+# delete filter collects every level's deletion vector to the driver
+# and ships it to each filter task, which only holds when deletes are
+# deltas (the reference's assumption too — deletion vectors live
+# per-level, ll_mlcsr_helpers.h:90-107).
+TOMBSTONE_BROADCAST_WARN = 5_000_000
 
 
 class SnapshotStore:
@@ -136,14 +146,28 @@ class SnapshotStore:
         """(del_level, src, dst) arrays for every deletion vector at or
         before ``level``. Collected to the driver and broadcast —
         tombstone sets are deltas, small relative to the edge set; at
-        extreme scale the same filter runs as a sort-merge anti-join."""
+        extreme scale the same filter runs as a sort-merge anti-join.
+        A mass-delete level that breaks the "deltas are small" premise
+        is caught by a size guard (loud warning past
+        ``TOMBSTONE_BROADCAST_WARN`` rows) instead of silently eating
+        driver memory."""
         out = []
         for lv in self.levels():
             if lv > level:
                 break
             del_dir = os.path.join(self._level_dir(lv), "deletes")
             if os.path.isdir(del_dir):
-                t = rd.read_parquet(del_dir).to_pandas()
+                ds = rd.read_parquet(del_dir)
+                n = ds.count()
+                if n > TOMBSTONE_BROADCAST_WARN:
+                    _logger.warning(
+                        "snapshot level %d carries %d tombstones — the "
+                        "driver-broadcast delete filter assumes small deltas; "
+                        "consider flatten() to compact deletes away",
+                        lv,
+                        n,
+                    )
+                t = ds.to_pandas()
                 out.append(
                     (lv, t["src"].to_numpy(np.int64), t["dst"].to_numpy(np.int64))
                 )
