@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "pagerank_top10": q.q_pagerank_top10,
         "wcc": q.q_wcc,
+        "core_numbers": q.q_core_numbers,
         "scc": q.q_scc,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangle_count,
@@ -76,6 +77,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": o.pagerank_sql(),
         "pagerank_top10": o.pagerank_top10_sql(),
         "wcc": o.wcc_sql(),
+        "core_numbers": o.core_numbers_sql(),
         "label_propagation": o.label_propagation_sql(),
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),

@@ -26,7 +26,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llama_ray")
     p.add_argument(
         "algorithm",
-        choices=["pagerank", "wcc", "scc", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
+        choices=["pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
     )
@@ -135,6 +135,25 @@ def main(argv=None) -> int:
         res = strongly_connected_components(g)
         arrays["component"] = res.state["label"]
         summary.update(supersteps=res.iterations, components=int(len(set(res.state["label"]))))
+    elif args.algorithm == "kcore":
+        from .algos.kcore import core_numbers
+        from .graph import canonical_undirected
+
+        cg = canonical_undirected(g)
+        res = core_numbers(
+            cg, checkpoint_dir=args.checkpoint_dir, resume=args.resume
+        )
+        import numpy as _np
+
+        # cg.ids ⊆ g.ids (vertices with only self-loops drop out of the
+        # canonical set and keep core 0); vectorized id→core map
+        core = _np.zeros(len(g.ids), _np.int64)
+        pos = _np.searchsorted(cg.ids, g.ids)
+        pos_c = _np.minimum(pos, max(len(cg.ids) - 1, 0))
+        valid = (len(cg.ids) > 0) & (cg.ids[pos_c] == g.ids)
+        core[valid] = res.state["core"][pos_c[valid]]
+        arrays["core"] = core
+        summary.update(iterations=res.iterations, max_core=int(res.state["core"].max(initial=0)))
     elif args.algorithm == "label_propagation":
         res = label_propagation(
             g,

@@ -222,6 +222,29 @@ class _GatherPartition:
         out[self.local_dst[gr[first]]] = grp_lab[o2][first]
         return out
 
+    def gather_hindex(self, value):
+        """H-index of {value[src]} per dst in this actor's slice: the
+        largest h such that at least h in-neighbors have value ≥ h;
+        0 where no in-edge. The k-core combine (H-index iteration from
+        degree init converges to coreness — Lü et al. 2016). One
+        segment lexsort per call; nothing per-edge reaches the driver."""
+        out = np.zeros(self.hi - self.lo, np.int64)
+        m = len(self.src)
+        if m == 0:
+            return out
+        v = value[self.src]
+        run_len = np.diff(np.append(self.run_starts, m))
+        run_id = np.repeat(np.arange(len(self.run_starts)), run_len)
+        order = np.lexsort((-v, run_id))
+        vs = v[order]
+        # rank within run (1-based); descending values make the
+        # indicator (vs >= rank) monotone, so its segment count IS the
+        # H-index
+        pos = np.arange(m) - np.repeat(self.run_starts, run_len)
+        ind = vs >= (pos + 1)
+        out[self.local_dst] = np.add.reduceat(ind, self.run_starts)
+        return out
+
     def gather_min_plus(self, dist, active):
         """min over active src of dist[src] + weight (or +1) for this
         actor's dst slice; inf where no message."""
@@ -563,6 +586,13 @@ class BSPGather:
         v_ref = ray.put(value)
         parts = ray.get([a.gather_mode.remote(v_ref) for a in self.actors])
         return np.concatenate(parts) if parts else np.full(self.num_vertices, -1, np.int64)
+
+    def gather_hindex(self, value: np.ndarray) -> np.ndarray:
+        """Dense per-dst H-index of value[src] (0 = no in-edge) — the
+        k-core combine."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_hindex.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.zeros(self.num_vertices, np.int64)
 
     def gather_min_plus(self, dist: np.ndarray, active: np.ndarray) -> np.ndarray:
         """Dense min-relax vector (inf = no message)."""

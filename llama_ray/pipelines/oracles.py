@@ -16,6 +16,7 @@ DAMPING = 0.85
 BFS_ROOT = 1
 WCC_ROUNDS = 24  # ≥ graph diameter (≈12); fixpoint verified in tests
 LP_ROUNDS = 4
+CORE_ROUNDS = 24  # ≥ H-index iterations to fixpoint (measured ≤8 at sf0.01)
 
 
 def edge_list_sql() -> str:
@@ -142,6 +143,37 @@ ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
 cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 {body}
 SELECT id AS vertex, label FROM p{rounds}"""
+
+
+def core_numbers_sql(rounds: int = CORE_ROUNDS) -> str:
+    """H-index iteration from degree init, unrolled ``rounds`` times
+    over the canonical undirected simple graph (same ``cu``/``ue``
+    CTEs as label propagation). Per round each vertex's value becomes
+    the H-index of its neighbors' values: rank neighbors by value
+    descending, h = max rank with value ≥ rank. Extra rounds past the
+    fixpoint are no-ops, so ``rounds`` only needs to exceed the
+    convergence count."""
+    steps = [
+        "c0 AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS core FROM ue GROUP BY a)"
+    ]
+    for k in range(rounds):
+        steps.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT c{k}.id, LEAST(c{k}.core, COALESCE(h.h, 0)) AS core
+  FROM c{k} LEFT JOIN (
+    SELECT id, MAX(CASE WHEN val >= rn THEN rn ELSE 0 END) AS h FROM (
+      SELECT ue.b AS id, c.core AS val,
+             ROW_NUMBER() OVER (PARTITION BY ue.b ORDER BY c.core DESC) AS rn
+      FROM ue JOIN c{k} c ON c.id = ue.a
+    ) GROUP BY id
+  ) h ON h.id = c{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+{body}
+SELECT id AS vertex, core FROM c{rounds}"""
 
 
 def wcc_sizes_sql(rounds: int = WCC_ROUNDS) -> str:

@@ -150,6 +150,17 @@ def q_label_propagation(sf_dir: str):
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
 
 
+def q_core_numbers(sf_dir: str):
+    """k-core decomposition over the canonical undirected simple
+    graph (H-index iteration to fixpoint — see
+    :mod:`llama_ray.algos.kcore`)."""
+    from ..algos.kcore import core_numbers
+
+    g = _cached_canonical_graph(sf_dir)
+    res = core_numbers(g)
+    return pa.table({"vertex": g.ids, "core": res.state["core"]})
+
+
 def q_scc(sf_dir: str):
     """True strongly connected components (trim + forward-backward
     coloring; no SQL oracle — verified against an iterative Tarjan in

@@ -172,3 +172,35 @@ def tarjan_scc_np(src, dst, n):
     mins = np.full(n_comps[0], n, dtype=np.int64)
     np.minimum.at(mins, comp, np.arange(n))
     return mins[comp]
+
+
+def core_numbers_np(src, dst, n):
+    """Exact coreness by bucket peeling over the undirected simple
+    graph given as canonical (u < v) edge arrays."""
+    adj = [[] for _ in range(n)]
+    for a, b in zip(np.asarray(src), np.asarray(dst)):
+        adj[int(a)].append(int(b))
+        adj[int(b)].append(int(a))
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    k = 0
+    remaining = n
+    while remaining:
+        peel = [v for v in range(n) if alive[v] and deg[v] <= k]
+        if not peel:
+            k += 1
+            continue
+        while peel:
+            v = peel.pop()
+            if not alive[v]:
+                continue
+            core[v] = k
+            alive[v] = False
+            remaining -= 1
+            for u in adj[v]:
+                if alive[u]:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core

@@ -253,3 +253,38 @@ def test_triangle_count_shuffle_probe(name):
 def test_triangle_count_shuffle_probe_rmat():
     g = build_graph(rmat(9, 8, seed=4))
     assert triangle_count(g, probe="shuffle") == triangle_count(g)
+
+
+def test_core_numbers_matches_peeling_oracle():
+    from llama_ray.algos.kcore import core_numbers
+    from llama_ray.graph import canonical_undirected
+    from np_oracles import core_numbers_np
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 60
+        m = 240
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        g = canonical_undirected(build_graph(edges_ds(src, dst)))
+        res = core_numbers(g)
+        assert res.converged
+        cs = g.edges.to_pandas()
+        ids = g.ids
+        s = np.searchsorted(ids, ids[cs["src"].to_numpy()])
+        d = np.searchsorted(ids, ids[cs["dst"].to_numpy()])
+        expect = core_numbers_np(s, d, g.num_vertices)
+        assert np.array_equal(res.state["core"], expect)
+
+
+def test_core_numbers_fixture():
+    from llama_ray.algos.kcore import core_numbers
+    from llama_ray.graph import canonical_undirected
+
+    # triangle 0-1-2 with pendant 3 and isolated-ish chain 4-5
+    g = canonical_undirected(
+        build_graph(edges_ds([0, 1, 2, 2, 4], [1, 2, 0, 3, 5]))
+    )
+    res = core_numbers(g)
+    got = dict(zip(g.ids.tolist(), res.state["core"].tolist()))
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1}
