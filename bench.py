@@ -87,9 +87,25 @@ def run_benchmark() -> dict:
 
     timings["pagerank_10iter_dataset"], pr = best_of(lambda: pagerank(g, max_iters=10), 2)
 
-    sec, pr_bsp = best_of(lambda: pagerank(g, max_iters=10, engine="bsp"), 2)
+    from llama_ray.engine.bsp import release_pools
+
+    def fresh_pools(fn):
+        # gather pools are now cached on the graph (shared_pool); the
+        # setup_plus timings must still measure a cold reverse-CSR build
+        def run():
+            release_pools(g)
+            return fn()
+
+        return run
+
+    sec, pr_bsp = best_of(fresh_pools(lambda: pagerank(g, max_iters=10, engine="bsp")), 2)
     timings["pagerank_bsp_setup_plus_10iter"] = sec
     timings["pagerank_10iter_bsp"] = pr_bsp.total_seconds
+    # pool already built by the last call above: the steady-state wall
+    # time repeated analytics on one graph actually pay
+    timings["pagerank_bsp_warmpool_wall"], _ = best_of(
+        lambda: pagerank(g, max_iters=10, engine="bsp"), 2
+    )
     _, pr_sh = best_of(lambda: pagerank(g, max_iters=10, engine="bsp_sharded"), 3)
     timings["pagerank_10iter_bsp_sharded"] = pr_sh.total_seconds
     pagerank_sec = min(
@@ -105,7 +121,7 @@ def run_benchmark() -> dict:
     import numpy as np
 
     sec_sort, pr_sortbuild = best_of(
-        lambda: pagerank(g, max_iters=10, engine="bsp", bsp_build="sort"), 2
+        fresh_pools(lambda: pagerank(g, max_iters=10, engine="bsp", bsp_build="sort")), 2
     )
     timings["pagerank_bsp_sortbuild_setup_plus_10iter"] = sec_sort
     timings["pagerank_10iter_bsp_sortbuild"] = pr_sortbuild.total_seconds

@@ -107,9 +107,9 @@ def weakly_connected_components(
             raise ValueError("bsp_sharded does not support checkpointing")
         if np.abs(graph.ids).max(initial=0) >= (1 << 53):
             raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
-        from ..engine.bsp import BSPGather, UndirectedView
+        from ..engine.bsp import shared_pool
 
-        gat = BSPGather(UndirectedView(graph))
+        gat = shared_pool(graph, view="undirected")
         try:
             labs, iters, conv, metrics = gat.run_min_label_sharded(
                 graph.ids.astype(np.float64),
@@ -124,10 +124,10 @@ def weakly_connected_components(
     if engine == "bsp":
         if np.abs(graph.ids).max(initial=0) >= (1 << 53):
             raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
-        from ..engine.bsp import BSPGather, reversed_view
+        from ..engine.bsp import shared_pool
 
-        gat_fwd = BSPGather(graph)
-        gat_bwd = BSPGather(reversed_view(graph))
+        gat_fwd = shared_pool(graph)
+        gat_bwd = shared_pool(graph, view="reversed")
 
     def init_state():
         return {"label": graph.ids.copy()}
@@ -221,10 +221,10 @@ def strongly_connected_components(
     inner_cap = (n + 1) if max_inner is None else max_inner
     outer_cap = (n + 1) if max_outer is None else max_outer
 
-    from ..engine.bsp import BSPGather, reversed_view
+    from ..engine.bsp import shared_pool
 
-    fwd = BSPGather(graph)  # dst-range pools: per-dst gathers over in-edges
-    bwd = BSPGather(reversed_view(graph))  # per-src gathers over out-edges
+    fwd = shared_pool(graph)  # dst-range pools: per-dst gathers over in-edges
+    bwd = shared_pool(graph, view="reversed")  # per-src gathers over out-edges
     try:
         comp = np.full(n, -1, np.int64)  # dense root index per assigned vertex
         active = np.ones(n, bool)
@@ -377,9 +377,9 @@ def label_propagation(
             engine = "dataset"
 
     if engine in ("bsp", "bsp_sharded"):
-        from ..engine.bsp import BSPGather, UndirectedView
+        from ..engine.bsp import shared_pool
 
-        gat = BSPGather(UndirectedView(graph))
+        gat = shared_pool(graph, view="undirected")
         num_edges2 = 2 * graph.num_edges
 
         if engine == "bsp_sharded":

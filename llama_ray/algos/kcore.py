@@ -54,11 +54,10 @@ def core_numbers(
     if n == 0:
         return SuperstepResult({"core": np.empty(0, np.int64)}, 0, True, [])
 
-    from ..engine.bsp import BSPGather, UndirectedView
+    from ..engine.bsp import UndirectedView, shared_pool
 
-    view = UndirectedView(graph)
-    deg = view.in_degrees().astype(np.int64)
-    gat = BSPGather(view)
+    deg = UndirectedView(graph).in_degrees().astype(np.int64)
+    gat = shared_pool(graph, view="undirected")
     num_edges2 = 2 * graph.num_edges
 
     def init_state():

@@ -100,9 +100,9 @@ def pagerank(
         # support — state never visits the driver mid-run
         if checkpoint_dir is not None:
             raise ValueError("bsp_sharded does not support checkpointing")
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
-        g = BSPGather(graph, build=bsp_build)
+        g = shared_pool(graph, build=bsp_build)
         try:
             rank, iters, converged, metrics = g.run_pagerank_sharded(
                 inv_deg, damping=damping, max_iters=max_iters, tol=tol, num_edges=num_edges
@@ -113,9 +113,9 @@ def pagerank(
 
     gatherer = None
     if engine == "bsp":
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
-        gatherer = BSPGather(graph, build=bsp_build)
+        gatherer = shared_pool(graph, build=bsp_build)
 
     def init_state():
         return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}

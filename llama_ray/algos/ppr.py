@@ -58,11 +58,11 @@ def personalized_pagerank(
     if engine == "bsp_sharded":
         if checkpoint_dir is not None:
             raise ValueError("bsp_sharded does not support checkpointing")
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
         init = np.zeros((n, K))
         init[seed_idx, np.arange(K)] = 1.0
-        g = BSPGather(graph)
+        g = shared_pool(graph)
         try:
             rank, iters, converged, metrics = g.run_ppr_sharded(
                 inv_deg,
@@ -79,9 +79,9 @@ def personalized_pagerank(
 
     gatherer = None
     if engine == "bsp":
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
-        gatherer = BSPGather(graph)
+        gatherer = shared_pool(graph)
     edges = graph.edges
     num_edges = graph.num_edges
 

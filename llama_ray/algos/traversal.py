@@ -80,9 +80,9 @@ def sssp(
     if engine == "bsp_sharded":
         if checkpoint_dir is not None:
             raise ValueError("bsp_sharded does not support checkpointing")
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
-        gat = BSPGather(graph, weighted=weighted)
+        gat = shared_pool(graph, weighted=weighted)
         dist0 = np.full(n, UNREACHED, dtype=np.float64)
         dist0[root] = 0.0
         active0 = np.zeros(n, dtype=bool)
@@ -97,9 +97,9 @@ def sssp(
 
     gatherer = None
     if engine == "bsp":
-        from ..engine.bsp import BSPGather
+        from ..engine.bsp import shared_pool
 
-        gatherer = BSPGather(graph, weighted=weighted)
+        gatherer = shared_pool(graph, weighted=weighted)
 
     def init_state():
         dist = np.full(n, UNREACHED, dtype=np.float64)

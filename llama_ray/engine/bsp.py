@@ -841,6 +841,70 @@ class BSPGather:
         return dist, k, converged, metrics
 
     def shutdown(self):
+        """Kill the partition actors. For pools handed out by
+        :func:`shared_pool` this is a no-op — shared pools live as long
+        as their graph (release with :func:`release_pools`)."""
+        if getattr(self, "shared", False):
+            return
+        self._shutdown_now()
+
+    def _shutdown_now(self):
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def shared_pool(
+    graph: Graph,
+    *,
+    view: str = "forward",
+    weighted: bool = False,
+    build: str = "auto",
+) -> BSPGather:
+    """Memoized gather pool per (view, weighted, build), cached on the
+    graph — the reference's posture of building the in-CSR once per
+    graph and letting every task iterate on it (``needs_reverse_edges``,
+    ``benchmark.cc:871-876``; ``make_reverse_edges`` runs once,
+    ``ll_mlcsr_graph.h:955-1059``). A WCC followed by an LP, or repeated
+    PageRank calls, pay the reverse-CSR build once instead of per call.
+
+    ``view``: ``'forward'`` (dst-range in-CSR), ``'undirected'``
+    (doubled simple-message view), ``'reversed'`` (src-range out-CSR).
+    Pools are owned by the graph: their ``shutdown()`` is a no-op; call
+    :func:`release_pools` to free the actors early, otherwise they are
+    reclaimed when the graph is garbage-collected.
+    """
+    cache = getattr(graph, "_bsp_pools", None)
+    if cache is None:
+        cache = {}
+        try:
+            graph._bsp_pools = cache
+        except AttributeError:  # view objects without settable attrs
+            return BSPGather(
+                _resolve_view(graph, view), weighted=weighted, build=build
+            )
+    key = (view, weighted, build)
+    pool = cache.get(key)
+    if pool is None or not pool.actors:
+        pool = BSPGather(_resolve_view(graph, view), weighted=weighted, build=build)
+        pool.shared = True
+        cache[key] = pool
+    return pool
+
+
+def _resolve_view(graph: Graph, view: str):
+    if view == "forward":
+        return graph
+    if view == "undirected":
+        return UndirectedView(graph)
+    if view == "reversed":
+        return reversed_view(graph)
+    raise ValueError(f"unknown view {view!r}")
+
+
+def release_pools(graph: Graph) -> None:
+    """Free every shared gather pool cached on ``graph``."""
+    cache = getattr(graph, "_bsp_pools", None) or {}
+    for pool in cache.values():
+        pool._shutdown_now()
+    cache.clear()

@@ -109,3 +109,43 @@ def test_salted_shuffle_aggregate_matches_driver():
     ks, vs = aggregate_messages(msgs, "min", mode="shuffle", salt=4)
     o = np.argsort(ks)
     assert np.array_equal(kd, ks[o]) and np.array_equal(vd, vs[o])
+
+
+def test_shared_pool_reused_across_algorithms():
+    """Gather pools are cached on the graph (the reference builds its
+    in-CSR once and every task iterates on it): repeated calls and
+    sibling algorithms must reuse the same partition actors, and
+    release_pools must actually free them."""
+    from llama_ray.algos.components import label_propagation, weakly_connected_components
+    from llama_ray.algos.pagerank import pagerank
+    from llama_ray.engine.bsp import release_pools, shared_pool
+    from llama_ray.graph import build_graph, canonical_undirected
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    src = np.array([0, 1, 2, 3, 4, 0])
+    dst = np.array([1, 2, 3, 4, 0, 2])
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    g = canonical_undirected(build_graph(edges))
+
+    r1 = pagerank(g, max_iters=5, engine="bsp")
+    pool_after_first = shared_pool(g)
+    actors_first = list(pool_after_first.actors)
+    r2 = pagerank(g, max_iters=5, engine="bsp")
+    assert list(shared_pool(g).actors) == actors_first  # reused, not rebuilt
+    assert np.array_equal(r1.state["rank"], r2.state["rank"])
+
+    und = shared_pool(g, view="undirected")
+    wcc = weakly_connected_components(g, engine="bsp")
+    lp = label_propagation(g, iterations=3, engine="bsp")
+    assert list(shared_pool(g, view="undirected").actors) == list(und.actors)
+    assert wcc.converged and lp.iterations == 3
+
+    release_pools(g)
+    assert not pool_after_first.actors and not und.actors
+    # next call transparently rebuilds
+    r3 = pagerank(g, max_iters=5, engine="bsp")
+    assert np.array_equal(r3.state["rank"], r1.state["rank"])
