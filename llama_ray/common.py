@@ -68,6 +68,18 @@ def sparse_partial_min(keys: np.ndarray, values: np.ndarray):
     return k[first], v[first]
 
 
+def sort_block_by_column(t: pa.Table, col: str) -> pa.Table:
+    """Stable within-block sort by one int column (build-time, one
+    parallel pass). Skips the take when the block is already sorted."""
+    if t.num_rows == 0:
+        return t
+    v = t.column(col).combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="stable")
+    if order[0] == 0 and np.array_equal(order, np.arange(len(order))):
+        return t
+    return t.take(order)
+
+
 def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     """Zero-copy-when-possible extraction of a column as numpy."""
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)

@@ -44,14 +44,33 @@ from ..graph import Graph
 
 def _sort_block_by_dst(t):
     """Stable within-block sort by dst (build-time, one parallel pass)."""
-    if t.num_rows == 0:
-        return t
-    dst = t.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-    order = np.argsort(dst, kind="stable")
-    # already sorted (e.g. re-built pools over sorted snapshots): skip the take
-    if order[0] == 0 and np.array_equal(order, np.arange(len(order))):
-        return t
-    return t.take(order)
+    from ..common import sort_block_by_column
+
+    return sort_block_by_column(t, "dst")
+
+
+def _split_block_by_ranges(tbl, bounds, cols):
+    """Slice one dst-sorted block into the P dst-range sub-tables (the
+    map side of a manual range shuffle, run as one Ray task per block
+    with ``num_returns=P``): each gather actor then fetches only its
+    own ~E/P rows instead of mapping every full block — at E=268M the
+    P× full-block mapping dominated pool setup."""
+    P = len(bounds) - 1
+    if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+        # empty block — schema may be an upstream stage's; actors skip
+        # zero-row tables without reading columns
+        return tuple(tbl.slice(0, 0) for _ in range(P))
+    tbl = tbl.select(cols)
+    cuts = np.zeros(len(bounds), np.int64)
+    dc = tbl.column("dst")
+    for ci in range(dc.num_chunks):
+        d = dc.chunk(ci).to_numpy(zero_copy_only=False)
+        # block sorted by dst ⇒ per-chunk positions accumulate to the
+        # table-level row offset of each bound
+        cuts += np.searchsorted(d, bounds)
+    return tuple(
+        tbl.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p])) for p in range(P)
+    )
 
 
 class _GatherPartition:
@@ -193,56 +212,75 @@ class _GatherPartition:
             out[self.local_dst[r:r_end]] = sums
         return out
 
-    def gather_mode(self, value):
+    def gather_mode(self, value, chunk: int = 1 << 18):
         """Most-frequent value[src] per dst in this actor's slice, ties
         to the smallest value; -1 where no in-edge. The label-propagation
         combine — counting and mode selection run inside the actor
         (P-way parallel lexsorts), nothing per-(vertex,label) ever
-        reaches the driver."""
+        reaches the driver. Run-aligned chunks bound the sort
+        transients (whole-slice lexsorts allocated ~1.5 GB × P actors
+        at E=268M — memory-pressure territory, measured ~75 s/superstep
+        vs seconds chunked); runs never split, so chunk results are
+        exact."""
         out = np.full(self.hi - self.lo, -1, np.int64)
         m = len(self.src)
         if m == 0:
             return out
-        lab = value[self.src]
-        run_len = np.diff(np.append(self.run_starts, m))
-        run_id = np.repeat(np.arange(len(self.run_starts)), run_len)
-        order = np.lexsort((lab, run_id))
-        rl = run_id[order]
-        ll = lab[order]
-        new = np.ones(m, bool)
-        new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
-        starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, m))
-        grp_run = rl[starts]
-        grp_lab = ll[starts]
-        o2 = np.lexsort((grp_lab, -counts, grp_run))
-        gr = grp_run[o2]
-        first = np.ones(len(gr), bool)
-        first[1:] = gr[1:] != gr[:-1]
-        out[self.local_dst[gr[first]]] = grp_lab[o2][first]
+        cbounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(cbounds[:-1], cbounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            n_e = e1 - e0
+            lab = value[self.src[e0:e1]]
+            rs = self.run_starts[r:r_end] - e0
+            run_len = np.diff(np.append(rs, n_e))
+            run_id = np.repeat(np.arange(len(rs)), run_len)
+            order = np.lexsort((lab, run_id))
+            rl = run_id[order]
+            ll = lab[order]
+            new = np.ones(n_e, bool)
+            new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, n_e))
+            grp_run = rl[starts]
+            grp_lab = ll[starts]
+            o2 = np.lexsort((grp_lab, -counts, grp_run))
+            gr = grp_run[o2]
+            first = np.ones(len(gr), bool)
+            first[1:] = gr[1:] != gr[:-1]
+            out[self.local_dst[r:r_end][gr[first]]] = grp_lab[o2][first]
         return out
 
-    def gather_hindex(self, value):
+    def gather_hindex(self, value, chunk: int = 1 << 18):
         """H-index of {value[src]} per dst in this actor's slice: the
         largest h such that at least h in-neighbors have value ≥ h;
         0 where no in-edge. The k-core combine (H-index iteration from
-        degree init converges to coreness — Lü et al. 2016). One
-        segment lexsort per call; nothing per-edge reaches the driver."""
+        degree init converges to coreness — Lü et al. 2016). Chunked
+        run-aligned like gather_mode; nothing per-edge reaches the
+        driver."""
         out = np.zeros(self.hi - self.lo, np.int64)
         m = len(self.src)
         if m == 0:
             return out
-        v = value[self.src]
-        run_len = np.diff(np.append(self.run_starts, m))
-        run_id = np.repeat(np.arange(len(self.run_starts)), run_len)
-        order = np.lexsort((-v, run_id))
-        vs = v[order]
-        # rank within run (1-based); descending values make the
-        # indicator (vs >= rank) monotone, so its segment count IS the
-        # H-index
-        pos = np.arange(m) - np.repeat(self.run_starts, run_len)
-        ind = vs >= (pos + 1)
-        out[self.local_dst] = np.add.reduceat(ind, self.run_starts)
+        cbounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(cbounds[:-1], cbounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            n_e = e1 - e0
+            v = value[self.src[e0:e1]]
+            rs = self.run_starts[r:r_end] - e0
+            run_len = np.diff(np.append(rs, n_e))
+            run_id = np.repeat(np.arange(len(rs)), run_len)
+            order = np.lexsort((-v, run_id))
+            vs = v[order]
+            # rank within run (1-based); descending values make the
+            # indicator (vs >= rank) monotone, so its segment count IS
+            # the H-index
+            pos = np.arange(n_e) - np.repeat(rs, run_len)
+            ind = vs >= (pos + 1)
+            out[self.local_dst[r:r_end]] = np.add.reduceat(ind, rs)
         return out
 
     def gather_min_plus(self, dist, active):
@@ -527,16 +565,30 @@ class BSPGather:
         # governed by the actor count, not the reservation.
         Actor = ray.remote(num_cpus=0)(_GatherPartition)
         block_sorted = False
+        use_split = False
         if build == "sort":
             sorted_ds = graph.edges.select_columns(cols).sort("dst").materialize()
             refs = sorted_ds.to_arrow_refs()
             presorted = True
+        elif getattr(graph, "_dst_sorted", False):
+            # build_graph already leaves every pinned block internally
+            # sorted by dst: actors binary-search the graph's own
+            # blocks — zero extra copies, setup is pure slicing
+            refs = graph.edge_block_refs()
+            presorted = False
+            block_sorted = True
+            # split applies here only: the blocks already exist, so the
+            # transient sub-table copy is the sole extra allocation (a
+            # view path would stack it on top of its sorted copy —
+            # measured plasma-spill territory at 2E=537M)
+            use_split = True
         else:
-            # sort each block by dst ONCE in parallel (stable, so the
-            # per-actor edge order — and therefore FP reduction order —
-            # is identical to the mask-scan path), then every actor
-            # binary-searches its range out of each block instead of
-            # re-scanning all E rows (P× redundant work before).
+            # view / unsorted input: sort each block by dst ONCE in
+            # parallel (stable, so the per-actor edge order — and
+            # therefore FP reduction order — is identical to the
+            # mask-scan path), then every actor binary-searches its
+            # range out of each block instead of re-scanning all E rows
+            # (P× redundant work before).
             refs = (
                 graph.edges.select_columns(cols)
                 .map_batches(
@@ -548,9 +600,22 @@ class BSPGather:
             presorted = False
             block_sorted = True
         self.bounds = bounds
+        if use_split and P > 1 and refs:
+            # manual range-shuffle map stage: one task per block slices
+            # it into P dst-range sub-tables; actor p then fetches only
+            # its own rows (sub-tables stay dst-sorted, so the actor
+            # code path is unchanged)
+            barr = np.asarray(bounds, np.int64)
+            split = ray.remote(_split_block_by_ranges)
+            per_block = [
+                split.options(num_returns=P).remote(r, barr, cols) for r in refs
+            ]
+            actor_refs = [[pb[p] for pb in per_block] for p in range(P)]
+        else:
+            actor_refs = [refs for _ in range(P)]
         self.actors = [
             Actor.remote(
-                refs, bounds[p], bounds[p + 1], weighted, presorted, block_sorted
+                actor_refs[p], bounds[p], bounds[p + 1], weighted, presorted, block_sorted
             )
             for p in range(P)
         ]

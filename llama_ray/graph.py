@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .common import SRC, DST, batch_to_numpy
+from .common import SRC, DST, batch_to_numpy, sort_block_by_column
 
 
 def collect_column_numpy(ds: rd.Dataset, col: str, dtype=None) -> np.ndarray:
@@ -98,6 +98,10 @@ class Graph:
     num_edges: int = 0
     _ids_ref: Optional["ray.ObjectRef"] = field(default=None, repr=False)
     _in_degrees: Optional[np.ndarray] = field(default=None, repr=False)
+    # True when every materialized edge block is internally sorted by
+    # dst (build_graph's final pass) — lets gather pools slice the
+    # graph's own blocks instead of building a sorted copy
+    _dst_sorted: bool = field(default=False, repr=False)
 
     @property
     def num_vertices(self) -> int:
@@ -281,7 +285,19 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
 
     dense = edges.map_batches(remap, batch_format="pyarrow", batch_size=None)
     if materialize:
-        dense = dense.repartition(target_num_blocks(num_edges)).materialize()
+        # block-internal dst sort after the coalescing repartition: the
+        # BSP gather pools then binary-search the graph's own pinned
+        # blocks directly — no per-pool sorted copy of the edge table
+        # (engine/bsp.py builds one otherwise)
+        dense = (
+            dense.repartition(target_num_blocks(num_edges))
+            .map_batches(
+                lambda t: sort_block_by_column(t, DST),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .materialize()
+        )
 
     return Graph(
         edges=dense,
@@ -290,6 +306,7 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
         num_edges=num_edges,
         _ids_ref=ids_ref,
         _in_degrees=in_deg,
+        _dst_sorted=materialize,
     )
 
 
