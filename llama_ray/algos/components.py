@@ -78,16 +78,16 @@ def weakly_connected_components(
       so big runs degrade to the scalable engine instead of
       crashing the session.
 
-    bsp engines carry labels as float64 through the min-gather
-    (original int64 ids are exactly representable below 2^53; for
-    full-range hash ids the dataset engine keeps exact int64 math).
+    bsp engines iterate on dense indices (int32 when V ≤ 2^31) and map
+    back through the sorted ``graph.ids`` — exact integer math for the
+    full int64 id range in every engine.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
 
     if engine == "auto":
-        if n >= AUTO_SHARD_VERTICES and np.abs(graph.ids).max(initial=0) < (1 << 53):
+        if n >= AUTO_SHARD_VERTICES:
             logger.warning(
                 "wcc: V=%d ≥ %d — auto-selecting engine='bsp_sharded' "
                 "(actor-resident labels; the dataset engine's driver merge "
@@ -102,45 +102,69 @@ def weakly_connected_components(
     edges = graph.edges
     num_edges = graph.num_edges
 
+    # bsp engines iterate on DENSE indices, not original ids: graph.ids
+    # is sorted, so the min dense index in a component maps to the min
+    # original id via ids[idx] — exact for the full int64 range (no
+    # float64 carry), and int32 indices halve the exchange + gather
+    # bandwidth when V < 2^31.
+    idx_dtype = np.int32 if n <= (1 << 31) else np.int64
+
     if engine == "bsp_sharded":
         if checkpoint_dir is not None:
             raise ValueError("bsp_sharded does not support checkpointing")
-        if np.abs(graph.ids).max(initial=0) >= (1 << 53):
-            raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
         from ..engine.bsp import shared_pool
 
         gat = shared_pool(graph, view="undirected")
         try:
             labs, iters, conv, metrics = gat.run_min_label_sharded(
-                graph.ids.astype(np.float64),
+                np.arange(n, dtype=idx_dtype),
                 max_iters=max_iters,
                 num_edges=num_edges,
             )
         finally:
             gat.shutdown()
-        return SuperstepResult({"label": labs.astype(np.int64)}, iters, conv, metrics)
+        return SuperstepResult(
+            {"label": graph.ids[labs.astype(np.int64)]}, iters, conv, metrics
+        )
 
     gat_fwd = gat_bwd = None
     if engine == "bsp":
-        if np.abs(graph.ids).max(initial=0) >= (1 << 53):
-            raise NotImplementedError("bsp WCC carries labels as float64; ids ≥ 2^53 need the dataset engine")
         from ..engine.bsp import shared_pool
 
         gat_fwd = shared_pool(graph)
         gat_bwd = shared_pool(graph, view="reversed")
 
+        def init_state_bsp():
+            return {"label_idx": np.arange(n, dtype=idx_dtype)}
+
+        def step_bsp(state, k):
+            lab = state["label_idx"]
+            m1 = gat_fwd.gather_min(lab)
+            m2 = gat_bwd.gather_min(lab)
+            new = np.minimum(lab, np.minimum(m1, m2))
+            changed = int((new != lab).sum())
+            return {"label_idx": new}, float(changed), num_edges
+
+        loop = SuperstepLoop(
+            graph,
+            algorithm="wcc",
+            max_iters=max_iters,
+            tol=0.0,
+            checkpoint_dir=checkpoint_dir,
+            resume=resume,
+        )
+        try:
+            res = loop.run(init_state_bsp, step_bsp)
+        finally:
+            gat_fwd.shutdown()
+            gat_bwd.shutdown()
+        res.state["label"] = graph.ids[res.state.pop("label_idx").astype(np.int64)]
+        return res
+
     def init_state():
         return {"label": graph.ids.copy()}
 
     def step(state, k):
-        if gat_fwd is not None:
-            lab = state["label"].astype(np.float64)
-            m1 = gat_fwd.gather_min(lab)
-            m2 = gat_bwd.gather_min(lab)
-            new_f = np.minimum(lab, np.minimum(m1, m2))
-            new = new_f.astype(np.int64)
-            changed = int((new != state["label"]).sum())
-            return {"label": new}, float(changed), num_edges
         lab_ref = ray.put(state["label"])
 
         def scatter(batch: pa.Table):
@@ -167,12 +191,7 @@ def weakly_connected_components(
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
-    try:
-        return loop.run(init_state, step)
-    finally:
-        if gat_fwd is not None:
-            gat_fwd.shutdown()
-            gat_bwd.shutdown()
+    return loop.run(init_state, step)
 
 
 def strongly_connected_components(
@@ -387,18 +406,23 @@ def label_propagation(
                 raise ValueError("bsp_sharded does not support checkpointing")
             try:
                 labs, iters, conv, metrics = gat.run_mode_label_sharded(
-                    np.arange(n, dtype=np.int64),
+                    np.arange(n, dtype=np.int32 if n <= (1 << 31) else np.int64),
                     iterations=iterations,
                     num_edges=num_edges2,
                 )
             finally:
                 gat.shutdown()
+            labs = labs.astype(np.int64)
             return SuperstepResult(
                 {"dense_label": labs, "label": graph.ids[labs]}, iters, conv, metrics
             )
 
         def init_state_bsp():
-            return {"dense_label": np.arange(n, dtype=np.int64)}
+            return {
+                "dense_label": np.arange(
+                    n, dtype=np.int32 if n <= (1 << 31) else np.int64
+                )
+            }
 
         def step_bsp(state, k):
             mode = gat.gather_mode(state["dense_label"])

@@ -38,6 +38,7 @@ def core_numbers(
     graph: Graph,
     *,
     max_iters: int = 200,
+    engine: str = "auto",
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -49,6 +50,13 @@ def core_numbers(
     graphs converge in tens of rounds, and hitting the cap raises
     rather than returning a non-fixpoint (the values would silently
     overestimate coreness).
+
+    ``engine='bsp_sharded'`` (the ``'auto'`` default when not
+    checkpointing) keeps core estimates actor-resident and recomputes
+    only dst runs with a changed source per round — H-index iteration
+    is monotone, so unchanged neighborhoods cannot move; late rounds
+    touch a shrinking frontier instead of all 2E edges. Bit-identical
+    to ``'bsp'`` (exact integer math in both).
     """
     n = graph.num_vertices
     if n == 0:
@@ -56,9 +64,31 @@ def core_numbers(
 
     from ..engine.bsp import UndirectedView, shared_pool
 
+    if engine == "auto":
+        engine = "bsp" if checkpoint_dir is not None else "bsp_sharded"
+
     deg = UndirectedView(graph).in_degrees().astype(np.int64)
     gat = shared_pool(graph, view="undirected")
     num_edges2 = 2 * graph.num_edges
+
+    if engine == "bsp_sharded":
+        if checkpoint_dir is not None:
+            raise ValueError("bsp_sharded does not support checkpointing")
+        init = deg if n > (1 << 31) else deg.astype(np.int32)
+        try:
+            core, iters, conv, metrics = gat.run_hindex_sharded(
+                init, max_iters=max_iters, num_edges=num_edges2
+            )
+        finally:
+            gat.shutdown()
+        if not conv:
+            raise RuntimeError(
+                f"core_numbers hit max_iters={max_iters} before the H-index "
+                "fixpoint; values may overestimate coreness — raise max_iters"
+            )
+        return SuperstepResult(
+            {"core": core.astype(np.int64)}, iters, conv, metrics
+        )
 
     def init_state():
         return {"core": deg.copy()}

@@ -49,13 +49,14 @@ def _sort_block_by_dst(t):
     return sort_block_by_column(t, "dst")
 
 
-def _swap_sort_block(t):
+def _swap_sort_block(t, compact: bool = False):
     """Reversed direction of one dst-sorted edge block, self-loops
     dropped, re-sorted by the NEW dst (= original src): the only half
     of the undirected doubled view that needs materializing — the
     forward half is the graph's own dst-sorted blocks, reused
     zero-copy (measured 16× cheaper than doubling + re-sorting 2E
-    rows at E=268M)."""
+    rows at E=268M). ``compact`` stores ids as int32 (dense ids
+    < 2^31): halves plasma, actor heap, and gather bandwidth."""
     import pyarrow as pa
 
     if t.num_rows == 0:
@@ -65,25 +66,42 @@ def _swap_sort_block(t):
     keep = src != dst
     s, d = dst[keep], src[keep]  # swapped
     order = np.argsort(d, kind="stable")
-    cols = {"src": s[order], "dst": d[order]}
+    s, d = s[order], d[order]
+    if compact:
+        s, d = s.astype(np.int32), d.astype(np.int32)
+    cols = {"src": s, "dst": d}
     if "weight" in t.schema.names:
         w = t.column("weight").combine_chunks().to_numpy(zero_copy_only=False)
         cols["weight"] = w[keep][order]
     return pa.table(cols)
 
 
-def _split_block_by_ranges(tbl, bounds, cols):
+def _split_block_by_ranges(tbl, bounds, cols, compact: bool = False):
     """Slice one dst-sorted block into the P dst-range sub-tables (the
     map side of a manual range shuffle, run as one Ray task per block
     with ``num_returns=P``): each gather actor then fetches only its
     own ~E/P rows instead of mapping every full block — at E=268M the
-    P× full-block mapping dominated pool setup."""
+    P× full-block mapping dominated pool setup. ``compact`` casts id
+    columns to int32 once per block so every sub-table (and the actor
+    arrays built from them) is half-width."""
+    import pyarrow as pa
+
     P = len(bounds) - 1
     if tbl.num_rows == 0 or "src" not in tbl.schema.names:
         # empty block — schema may be an upstream stage's; actors skip
         # zero-row tables without reading columns
         return tuple(tbl.slice(0, 0) for _ in range(P))
     tbl = tbl.select(cols)
+    if compact and tbl.schema.field("src").type == pa.int64():
+        new_cols = {}
+        for name in tbl.schema.names:
+            col = tbl.column(name)
+            if name in ("src", "dst"):
+                arr = col.combine_chunks().to_numpy(zero_copy_only=False)
+                new_cols[name] = arr.astype(np.int32)
+            else:
+                new_cols[name] = col
+        tbl = pa.table(new_cols)
     cuts = np.zeros(len(bounds), np.int64)
     dc = tbl.column("dst")
     for ci in range(dc.num_chunks):
@@ -94,6 +112,56 @@ def _split_block_by_ranges(tbl, bounds, cols):
     return tuple(
         tbl.slice(int(cuts[p]), int(cuts[p + 1] - cuts[p])) for p in range(P)
     )
+
+
+def _split_undirected_block(tbl, bounds, cols, compact: bool = False):
+    """Fused map side of the undirected pool build: ONE task per
+    dst-sorted base block emits, for each of the P dst ranges, a table
+    whose two chunks are (a) the block's forward rows with dst in the
+    range and (b) the swapped rows (dst, src) whose NEW dst falls in
+    the range — each chunk internally dst-sorted, self-loops dropped.
+    Replaces materializing the swapped half + a second split pass:
+    the block is read once and never rewritten whole to plasma."""
+    import pyarrow as pa
+
+    P = len(bounds) - 1
+    if tbl.num_rows == 0 or "src" not in tbl.schema.names:
+        return tuple(tbl.slice(0, 0) for _ in range(P))
+    src_c = tbl.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+    dst_c = tbl.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+    keep = src_c != dst_c
+    f_src, f_dst = src_c[keep], dst_c[keep]  # forward, still dst-sorted
+    order = np.argsort(f_src, kind="stable")
+    s_src, s_dst = f_dst[order], f_src[order]  # swapped, sorted by new dst
+    if compact:
+        f_src, f_dst = f_src.astype(np.int32), f_dst.astype(np.int32)
+        s_src, s_dst = s_src.astype(np.int32), s_dst.astype(np.int32)
+    w = sw_w = None
+    if "weight" in cols and "weight" in tbl.schema.names:
+        w = tbl.column("weight").combine_chunks().to_numpy(zero_copy_only=False)[keep]
+        sw_w = w[order]
+    f_cuts = np.searchsorted(f_dst, bounds)
+    s_cuts = np.searchsorted(s_dst, bounds)
+    outs = []
+    for p in range(P):
+        f0, f1 = int(f_cuts[p]), int(f_cuts[p + 1])
+        s0, s1 = int(s_cuts[p]), int(s_cuts[p + 1])
+        data = {
+            "src": pa.chunked_array(
+                [a for a in (f_src[f0:f1], s_src[s0:s1]) if len(a)]
+                or [f_src[:0]]
+            ),
+            "dst": pa.chunked_array(
+                [a for a in (f_dst[f0:f1], s_dst[s0:s1]) if len(a)]
+                or [f_dst[:0]]
+            ),
+        }
+        if w is not None:
+            data["weight"] = pa.chunked_array(
+                [a for a in (w[f0:f1], sw_w[s0:s1]) if len(a)] or [w[:0]]
+            )
+        outs.append(pa.table(data))
+    return tuple(outs)
 
 
 class _GatherPartition:
@@ -108,7 +176,9 @@ class _GatherPartition:
         presorted: bool,
         block_sorted: bool = False,
         drop_loops: bool = False,
+        compact: bool = False,
     ):
+        idt = np.int32 if compact else np.int64
         srcs, dsts, ws = [], [], []
         # Per-chunk zero-copy views: combine_chunks() COPIES the whole
         # column even when it already has one chunk (measured: the
@@ -159,6 +229,10 @@ class _GatherPartition:
                             w_part = w_part[nl]
                 if len(d_part) == 0:
                     continue
+                if s_part.dtype != idt:
+                    s_part = s_part.astype(idt)
+                if d_part.dtype != idt:
+                    d_part = d_part.astype(idt)
                 srcs.append(s_part)
                 dsts.append(d_part)
                 if w_part is not None:
@@ -174,8 +248,8 @@ class _GatherPartition:
                 if self.w is not None:
                     self.w = self.w[order]
         else:
-            self.src = np.empty(0, np.int64)
-            self.dst = np.empty(0, np.int64)
+            self.src = np.empty(0, idt)
+            self.dst = np.empty(0, idt)
             self.w = None
         self.lo = lo
         self.hi = hi
@@ -218,8 +292,14 @@ class _GatherPartition:
 
     def gather_min(self, value, chunk: int = 1 << 16):
         """Dense min of value[src] per dst for this actor's slice
-        (+inf where no in-edge) — the WCC/label min-combine."""
-        out = np.full(self.hi - self.lo, np.inf)
+        (+inf / int max where no in-edge) — the WCC/label min-combine.
+        Integer inputs stay integer: exact for the full int64 range
+        (and int32 dense indices halve the gather bandwidth)."""
+        if np.issubdtype(value.dtype, np.floating):
+            fill = np.inf
+        else:
+            fill = np.iinfo(value.dtype).max
+        out = np.full(self.hi - self.lo, fill, value.dtype)
         m = len(self.src)
         if m == 0:
             return out
@@ -266,7 +346,8 @@ class _GatherPartition:
         at E=268M — memory-pressure territory, measured ~75 s/superstep
         vs seconds chunked); runs never split, so chunk results are
         exact."""
-        out = np.full(self.hi - self.lo, -1, np.int64)
+        odt = value.dtype if np.issubdtype(value.dtype, np.signedinteger) else np.int64
+        out = np.full(self.hi - self.lo, -1, odt)
         m = len(self.src)
         if m == 0:
             return out
@@ -421,6 +502,79 @@ class _GatherPartition:
 
     def get_labels(self):
         return self._lab
+
+    def init_hindex(self, core_slice):
+        """Sharded k-core state: this actor owns the core estimates of
+        its dst range. Returns (value slice ref, changed slice ref) —
+        every vertex starts dirty so round 0 computes all runs."""
+        self._hx = np.asarray(core_slice)
+        return ray.put(self._hx), ray.put(np.ones(len(self._hx), bool))
+
+    def _hindex_for_runs(self, value, run_idx, chunk: int = 1 << 18):
+        """H-index of value[src] for the selected runs only (indices
+        into ``run_starts``) — the dirty-run re-gather: work is
+        O(edges of changed-neighbor vertices), not O(E)."""
+        ends_all = np.append(self.run_starts, len(self.src))
+        starts = self.run_starts[run_idx]
+        lens = (ends_all[run_idx + 1] - starts).astype(np.int64)
+        out = np.empty(len(run_idx), np.int64)
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        # chunk boundaries in (selected) run space, run-aligned
+        bpos = [0]
+        nruns = len(run_idx)
+        while bpos[-1] < nruns:
+            nxt = int(np.searchsorted(cum, cum[bpos[-1]] + chunk))
+            bpos.append(min(max(nxt, bpos[-1] + 1), nruns))
+        for r0, r1 in zip(bpos[:-1], bpos[1:]):
+            l = lens[r0:r1]
+            st = starts[r0:r1]
+            tot = int(l.sum())
+            if tot == 0:
+                out[r0:r1] = 0
+                continue
+            rs = np.concatenate([[0], np.cumsum(l)[:-1]])
+            base = np.repeat(st - rs, l)
+            idx = base + np.arange(tot)
+            v = value[self.src[idx]]
+            run_id = np.repeat(np.arange(r1 - r0), l)
+            lo_v = int(v.min())
+            hi_v = int(v.max())
+            span = hi_v - lo_v + 1
+            if np.issubdtype(v.dtype, np.integer) and (r1 - r0) * span < (1 << 62):
+                key = run_id * np.int64(span) + (np.int64(hi_v) - v)
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((-v, run_id))
+            vs = v[order]
+            pos_in = np.arange(tot) - np.repeat(rs, l)
+            ind = vs >= (pos_in + 1)
+            out[r0:r1] = np.add.reduceat(ind, rs)
+        return out
+
+    def hindex_step(self, v_refs, c_refs):
+        """One k-core superstep with actor-resident core estimates:
+        recompute the H-index ONLY for dst runs with ≥1 changed
+        source (H-index iteration is monotone, so unchanged
+        neighborhoods cannot move). Returns (value ref, changed ref,
+        #changed)."""
+        value = np.concatenate(ray.get(list(v_refs)))
+        changed = np.concatenate(ray.get(list(c_refs)))
+        new = self._hx
+        if len(self.run_starts):
+            dirty = np.logical_or.reduceat(changed[self.src], self.run_starts)
+            run_idx = np.flatnonzero(dirty)
+            if len(run_idx):
+                h = self._hindex_for_runs(value, run_idx)
+                tgt = self.local_dst[run_idx]
+                upd = np.minimum(self._hx[tgt], h.astype(self._hx.dtype))
+                new = self._hx.copy()
+                new[tgt] = upd
+        changed_out = new != self._hx
+        self._hx = new
+        return ray.put(new), ray.put(changed_out), int(changed_out.sum())
+
+    def get_hindex(self):
+        return self._hx
 
     def init_sssp(self, dist_slice, active_slice):
         self._dist = np.asarray(dist_slice, np.float64)
@@ -640,6 +794,10 @@ class BSPGather:
         block_sorted = False
         use_split = False
         drop_loops = False
+        # dense ids < n: int32 storage when they fit — halves actor
+        # heap, plasma footprint of the transient tables, and the
+        # per-superstep src-index read bandwidth
+        compact = n <= (1 << 31)
         base = getattr(graph, "_base_graph", None)
         if build == "sort":
             sorted_ds = graph.edges.select_columns(cols).sort("dst").materialize()
@@ -658,24 +816,35 @@ class BSPGather:
             # measured plasma-spill territory at 2E=537M)
             use_split = True
         elif base is not None and getattr(base, "_dst_sorted", False):
-            # undirected view over a dst-sorted graph: reuse the
-            # graph's own blocks as the forward half (zero extra copy;
-            # self-loops masked during actor init) and materialize
-            # ONLY the swapped half, filtered + block-sorted in one
-            # fused pass — vs doubling and re-sorting all 2E rows
-            # (measured 96 s → 6 s at E=268M)
-            swapped = (
-                base.edges.select_columns(cols)
-                .map_batches(
-                    _swap_sort_block, batch_format="pyarrow", batch_size=None
+            # undirected view over a dst-sorted graph: ONE fused task
+            # per base block emits both halves (forward slice +
+            # swapped-and-sorted slice) per dst range — the block is
+            # read once, the swapped half is never rewritten whole to
+            # plasma (vs doubling + re-sorting 2E rows: measured 96 s
+            # → 6 s, and the fused form removes another full
+            # write+read of the swapped half at E=268M)
+            if P > 1:
+                refs = base.edge_block_refs()
+                use_split = "undirected"
+                drop_loops = False  # dropped inside the fused split task
+            else:
+                # single partition: no ranges to split — materialize
+                # the swapped half and hand the actor both block sets
+                swapped = (
+                    base.edges.select_columns(cols)
+                    .map_batches(
+                        lambda t, _c=compact: _swap_sort_block(t, compact=_c),
+                        batch_format="pyarrow",
+                        batch_size=None,
+                    )
+                    .materialize()
                 )
-                .materialize()
-            )
-            refs = list(base.edge_block_refs()) + list(swapped.to_arrow_refs())
+                refs = list(base.edge_block_refs()) + list(
+                    swapped.to_arrow_refs()
+                )
+                drop_loops = True
             presorted = False
             block_sorted = True
-            use_split = True
-            drop_loops = True
         else:
             # view / unsorted input: sort each block by dst ONCE in
             # parallel (stable, so the per-actor edge order — and
@@ -700,9 +869,14 @@ class BSPGather:
             # its own rows (sub-tables stay dst-sorted, so the actor
             # code path is unchanged)
             barr = np.asarray(bounds, np.int64)
-            split = ray.remote(_split_block_by_ranges)
+            split = ray.remote(
+                _split_undirected_block
+                if use_split == "undirected"
+                else _split_block_by_ranges
+            )
             per_block = [
-                split.options(num_returns=P).remote(r, barr, cols) for r in refs
+                split.options(num_returns=P).remote(r, barr, cols, compact)
+                for r in refs
             ]
             actor_refs = [[pb[p] for pb in per_block] for p in range(P)]
         else:
@@ -716,6 +890,7 @@ class BSPGather:
                 presorted,
                 block_sorted,
                 drop_loops,
+                compact,
             )
             for p in range(P)
         ]
@@ -964,6 +1139,51 @@ class BSPGather:
             )
         labels = np.concatenate(ray.get([a.get_labels.remote() for a in self.actors]))
         return labels, iterations, False, metrics
+
+    def run_hindex_sharded(self, init_core: np.ndarray, *, max_iters: int, num_edges: int):
+        """k-core H-index fixpoint with actor-resident core estimates
+        and dirty-run re-gather: per superstep the driver moves P value
+        refs + P changed-mask refs + P counts; after the first round
+        each actor touches only the edges of vertices whose neighbors
+        changed — the shrinking-frontier shape classic peeling has,
+        with the H-index iteration's round count."""
+        import time as _time
+
+        outs = ray.get(
+            [
+                a.init_hindex.remote(sl)
+                for a, sl in zip(self.actors, self._slices(init_core))
+            ]
+        )
+        v_refs = [o[0] for o in outs]
+        c_refs = [o[1] for o in outs]
+        metrics = []
+        converged = False
+        k = 0
+        while k < max_iters:
+            t0 = _time.perf_counter()
+            outs = ray.get(
+                [a.hindex_step.remote(v_refs, c_refs) for a in self.actors]
+            )
+            v_refs = [o[0] for o in outs]
+            c_refs = [o[1] for o in outs]
+            changed = int(sum(o[2] for o in outs))
+            dt = _time.perf_counter() - t0
+            metrics.append(
+                {
+                    "iteration": k,
+                    "diff": float(changed),
+                    "edges_processed": num_edges,
+                    "seconds": dt,
+                    "edges_per_sec": num_edges / dt if dt > 0 else 0.0,
+                }
+            )
+            k += 1
+            if changed == 0:
+                converged = True
+                break
+        core = np.concatenate(ray.get([a.get_hindex.remote() for a in self.actors]))
+        return core, k, converged, metrics
 
     def run_sssp_sharded(self, dist0: np.ndarray, active0: np.ndarray, *, max_iters: int, num_edges: int):
         """BFS / Bellman-Ford with actor-resident (dist, frontier)."""

@@ -277,6 +277,20 @@ def test_core_numbers_matches_peeling_oracle():
         assert np.array_equal(res.state["core"], expect)
 
 
+def test_core_numbers_engines_bit_identical():
+    from llama_ray.algos.kcore import core_numbers
+    from llama_ray.graph import canonical_undirected
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 200, 900)
+    dst = rng.integers(0, 200, 900)
+    g = canonical_undirected(build_graph(edges_ds(src, dst)))
+    a = core_numbers(g, engine="bsp")
+    b = core_numbers(g, engine="bsp_sharded")
+    assert np.array_equal(a.state["core"], b.state["core"])
+    assert a.iterations == b.iterations
+
+
 def test_core_numbers_fixture():
     from llama_ray.algos.kcore import core_numbers
     from llama_ray.graph import canonical_undirected
