@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": q.q_events_props_sum,
         "doc_fingerprints": q.q_doc_fingerprints,
         "knn_lsh": q.q_knn_lsh,
+        "knn_ivf": q.q_knn_ivf,
         "doc_exact_dedup": q.q_doc_exact_dedup,
         "doc_minhash_clusters": q.q_doc_minhash_clusters,
         "doc_ngram_jaccard": q.q_doc_ngram_jaccard,

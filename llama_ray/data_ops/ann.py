@@ -79,6 +79,93 @@ def _probe_masks(num_planes: int, num_probes: int) -> np.ndarray:
     return masks[pop <= num_probes]
 
 
+def _query_bucketed(refs, lo, hi, probe, qrow, Qn, qids, k, exclude_self):
+    """Shared probe fan-out for bucket-partitioned indexes (LSH sign
+    buckets, IVF lists): map (query row, bucket) pairs to only the
+    blocks whose bucket range intersects, score candidates inside
+    those blocks, merge per-query top-k on the driver (rows =
+    q×k×touched-blocks, never the corpus)."""
+    b0 = np.searchsorted(hi, probe, side="left")
+    b1 = np.searchsorted(lo, probe, side="right")
+    counts = np.maximum(b1 - b0, 0)
+    pairs_q = np.repeat(qrow, counts)
+    pairs_bucket = np.repeat(probe, counts)
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    pairs_blk = np.repeat(b0, counts) + (
+        np.arange(int(counts.sum())) - np.repeat(cum[:-1], counts)
+    )
+
+    @ray.remote
+    def probe_block(tbl: pa.Table, qrows, buckets, Qn_, qids_, kk, excl):
+        b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        vecs = tbl.column("vec").to_pylist()
+        V = None
+        oq, on, os_ = [], [], []
+        for qr in np.unique(qrows):
+            bks = buckets[qrows == qr]
+            sel = []
+            for bk in bks:
+                l = np.searchsorted(b, bk, side="left")
+                h = np.searchsorted(b, bk, side="right")
+                if h > l:
+                    sel.append(np.arange(l, h))
+            if not sel:
+                continue
+            rows = np.concatenate(sel)
+            if V is None:
+                V = np.stack([np.frombuffer(v, np.float64) for v in vecs])
+            cand_ids = ids[rows]
+            s = V[rows] @ Qn_[qr]
+            if excl:
+                s[cand_ids == qids_[qr]] = -np.inf
+            t = min(kk, len(s))
+            top = np.argpartition(-s, t - 1)[:t]
+            oq.append(np.full(t, qids_[qr], np.int64))
+            on.append(cand_ids[top])
+            os_.append(s[top])
+        if not oq:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        return np.concatenate(oq), np.concatenate(on), np.concatenate(os_)
+
+    futs = []
+    for bi in np.unique(pairs_blk):
+        m = pairs_blk == bi
+        futs.append(
+            probe_block.remote(
+                refs[bi], pairs_q[m], pairs_bucket[m], Qn, qids, k, exclude_self
+            )
+        )
+    oq, on, os_ = [], [], []
+    for q_, n_, s_ in ray.get(futs):
+        oq.append(q_)
+        on.append(n_)
+        os_.append(s_)
+    if not oq:
+        return pd.DataFrame(
+            {
+                "qid": np.empty(0, np.int64),
+                "neighbor_id": np.empty(0, np.int64),
+                "sim": np.empty(0),
+            }
+        )
+    parts = pd.DataFrame(
+        {
+            "qid": np.concatenate(oq),
+            "neighbor_id": np.concatenate(on),
+            "sim": np.concatenate(os_),
+        }
+    )
+    parts = parts.sort_values(
+        ["qid", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    return parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
+
+
 class LSHIndex:
     """Random-hyperplane LSH index with a bucket-partitioned layout.
 
@@ -157,77 +244,9 @@ class LSHIndex:
         # so each probe maps to the full block range [lo..hi] covering it
         probe = (base[:, None] ^ masks[None, :]).ravel()
         qrow = np.repeat(np.arange(len(qids)), len(masks))
-        b0 = np.searchsorted(self.hi, probe, side="left")
-        b1 = np.searchsorted(self.lo, probe, side="right")
-        counts = np.maximum(b1 - b0, 0)
-        pairs_q = np.repeat(qrow, counts)
-        pairs_bucket = np.repeat(probe, counts)
-        cum = np.concatenate([[0], np.cumsum(counts)])
-        pairs_blk = np.repeat(b0, counts) + (np.arange(int(counts.sum())) - np.repeat(cum[:-1], counts))
-
-        @ray.remote
-        def probe_block(tbl: pa.Table, qrows, buckets, Qn_, qids_, kk, excl):
-            b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
-            ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-            vecs = tbl.column("vec").to_pylist()
-            V = None
-            oq, on, os_ = [], [], []
-            for qrow in np.unique(qrows):
-                bks = buckets[qrows == qrow]
-                sel = []
-                for bk in bks:
-                    lo = np.searchsorted(b, bk, side="left")
-                    hi = np.searchsorted(b, bk, side="right")
-                    if hi > lo:
-                        sel.append(np.arange(lo, hi))
-                if not sel:
-                    continue
-                rows = np.concatenate(sel)
-                if V is None:
-                    V = np.stack([np.frombuffer(v, np.float64) for v in vecs])
-                cand_ids = ids[rows]
-                s = V[rows] @ Qn_[qrow]
-                if excl:
-                    s[cand_ids == qids_[qrow]] = -np.inf
-                t = min(kk, len(s))
-                top = np.argpartition(-s, t - 1)[:t]
-                oq.append(np.full(t, qids_[qrow], np.int64))
-                on.append(cand_ids[top])
-                os_.append(s[top])
-            if not oq:
-                return (
-                    np.empty(0, np.int64),
-                    np.empty(0, np.int64),
-                    np.empty(0, np.float64),
-                )
-            return np.concatenate(oq), np.concatenate(on), np.concatenate(os_)
-
-        futs = []
-        for bi in np.unique(pairs_blk):
-            m = pairs_blk == bi
-            futs.append(
-                probe_block.remote(
-                    self.refs[bi], pairs_q[m], pairs_bucket[m], Qn, qids, k, exclude_self
-                )
-            )
-        oq, on, os_ = [], [], []
-        for q_, n_, s_ in ray.get(futs):
-            oq.append(q_)
-            on.append(n_)
-            os_.append(s_)
-        if not oq:
-            return pd.DataFrame(
-                {"qid": np.empty(0, np.int64), "neighbor_id": np.empty(0, np.int64), "sim": np.empty(0)}
-            )
-        parts = pd.DataFrame(
-            {
-                "qid": np.concatenate(oq),
-                "neighbor_id": np.concatenate(on),
-                "sim": np.concatenate(os_),
-            }
+        return _query_bucketed(
+            self.refs, self.lo, self.hi, probe, qrow, Qn, qids, k, exclude_self
         )
-        parts = parts.sort_values(["qid", "sim", "neighbor_id"], ascending=[True, False, True])
-        return parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
 
 
 def knn_lsh(
@@ -247,6 +266,173 @@ def knn_lsh(
     hold the index for repeated query batches)."""
     idx = LSHIndex(emb, id_col=id_col, vec_col=vec_col, num_planes=num_planes, seed=seed)
     return idx.query(queries, query_ids, k=k, num_probes=num_probes, exclude_self=exclude_self)
+
+
+def kmeans_spherical(
+    emb: rd.Dataset,
+    num_clusters: int,
+    *,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed spherical k-means (cosine Lloyd's): per Lloyd round
+    every block assigns its (normalized) vectors to the nearest
+    centroid by one matmul and emits a (K, d) partial sum + (K,)
+    counts; the driver reduces the tiny partials and renormalizes.
+    O(K·d) driver state, corpus never leaves the blocks — the coarse
+    quantizer for :class:`IVFIndex`. Deterministic for a given seed
+    and block layout (init is a seeded draw from the first blocks)."""
+    from ..common import per_block_results
+
+    emb = emb.materialize() if not _is_materialized(emb) else emb
+    sample = emb.limit(max(4 * num_clusters, 64)).to_pandas()
+    V0 = np.stack([np.asarray(v, np.float64) for v in sample[vec_col].to_numpy()])
+    V0 = V0 / np.maximum(np.linalg.norm(V0, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(V0), size=min(num_clusters, len(V0)), replace=False)
+    C = V0[pick]
+    if len(C) < num_clusters:  # tiny corpus: pad with random directions
+        pad = rng.standard_normal((num_clusters - len(C), C.shape[1]))
+        pad /= np.linalg.norm(pad, axis=1, keepdims=True)
+        C = np.vstack([C, pad])
+    K, d = C.shape
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(tbl: pa.Table):
+            if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+                return None
+            n = tbl.num_rows
+            V = _as_matrix(tbl, vec_col, n)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            A = np.argmax(Vn @ ray.get(c_ref).T, axis=1)
+            order = np.argsort(A, kind="stable")
+            As = A[order]
+            first = np.ones(n, bool)
+            first[1:] = As[1:] != As[:-1]
+            starts = np.flatnonzero(first)
+            S = np.zeros((K, d))
+            S[As[starts]] = np.add.reduceat(Vn[order], starts, axis=0)
+            cnt = np.bincount(A, minlength=K).astype(np.int64)
+            return S, cnt
+
+        S = np.zeros((K, d))
+        cnt = np.zeros(K, np.int64)
+        for p in per_block_results(emb, partial):
+            if p is not None:
+                S += p[0]
+                cnt += p[1]
+        norms = np.linalg.norm(S, axis=1, keepdims=True)
+        nonempty = (cnt > 0) & (norms[:, 0] > 1e-30)
+        C = np.where(nonempty[:, None], S / np.maximum(norms, 1e-30), C)
+    return C
+
+
+def _is_materialized(ds: rd.Dataset) -> bool:
+    try:
+        return isinstance(ds, rd.dataset.MaterializedDataset)
+    except Exception:
+        return False
+
+
+class IVFIndex:
+    """IVF (inverted-file) cosine index — the classic ANN scale path
+    (coarse k-means quantizer + per-centroid inverted lists; the
+    structure behind FAISS IVFFlat). Build: train
+    :func:`kmeans_spherical`, assign every vector to its nearest
+    centroid in ``map_batches``, range-sort the corpus by list id and
+    pin it; the driver keeps the (K, d) centroids + per-block list
+    bounds. Query: rank centroids by dot product, probe the top
+    ``nprobe`` lists through the same block fan-out as
+    :class:`LSHIndex` — only intersecting blocks are touched. Recall
+    grows with ``nprobe`` (= K recovers exact brute force)."""
+
+    def __init__(
+        self,
+        emb: rd.Dataset,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_clusters: int = 16,
+        train_iters: int = 10,
+        seed: int = 42,
+    ):
+        emb = emb.materialize() if not _is_materialized(emb) else emb
+        self.centroids = kmeans_spherical(
+            emb, num_clusters, vec_col=vec_col, iters=train_iters, seed=seed
+        )
+        c_ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table):
+            ids = batch_to_numpy(batch, id_col)
+            V = _as_matrix(batch, vec_col, len(ids))
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            bucket = np.argmax(Vn @ ray.get(c_ref).T, axis=1).astype(np.int64)
+            return {"bucket": bucket, "id": ids, "vec": [v.tobytes() for v in Vn]}
+
+        self.ds = (
+            emb.map_batches(assign, batch_format="pyarrow")
+            .sort("bucket")
+            .materialize()
+        )
+        refs = self.ds.to_arrow_refs()
+        from ..common import per_block_results
+
+        def bounds(t: pa.Table):
+            if t.num_rows == 0 or "bucket" not in t.schema.names:
+                return None
+            b = t.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+            return (int(b[0]), int(b[-1]))
+
+        bs = per_block_results(self.ds, bounds)
+        keep = [i for i, bo in enumerate(bs) if bo is not None]
+        self.refs = [refs[i] for i in keep]
+        self.lo = np.array([bs[i][0] for i in keep], np.int64)
+        self.hi = np.array([bs[i][1] for i in keep], np.int64)
+
+    def query(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        *,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+    ) -> pd.DataFrame:
+        Q = np.asarray(queries, np.float64)
+        qids = np.asarray(query_ids, np.int64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        sims = Qn @ self.centroids.T
+        npb = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        probe = top.astype(np.int64).ravel()
+        qrow = np.repeat(np.arange(len(qids)), npb)
+        return _query_bucketed(
+            self.refs, self.lo, self.hi, probe, qrow, Qn, qids, k, exclude_self
+        )
+
+
+def knn_ivf(
+    emb: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Build an :class:`IVFIndex` and query it (one-shot convenience;
+    hold the index for repeated query batches)."""
+    idx = IVFIndex(
+        emb, id_col=id_col, vec_col=vec_col, num_clusters=num_clusters, seed=seed
+    )
+    return idx.query(queries, query_ids, k=k, nprobe=nprobe, exclude_self=exclude_self)
 
 
 def cosine_pairs(

@@ -606,6 +606,31 @@ def q_knn_lsh(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     return out
 
 
+def q_knn_ivf(sf_dir: str, *, n_queries: int = 5, k: int = 10):
+    """Approximate ANN via IVF (spherical k-means coarse quantizer +
+    inverted lists, the FAISS-IVFFlat structure; rows-only — recall vs
+    brute force tested in tests/test_data_ops.py)."""
+    from ..data_ops.ann import knn_ivf
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
+    dim = len(qt.column("embedding")[0])
+    Q = np.asarray(
+        qt.column("embedding").combine_chunks().flatten().to_numpy(), np.float64
+    ).reshape(-1, dim)
+    out = knn_ivf(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]),
+        Q,
+        qt.column("vec_id").to_numpy(),
+        k=k,
+        num_clusters=16,
+        nprobe=4,
+    )
+    out["sim"] = out["sim"].round(5)
+    return out
+
+
 # ------------------------------------------------------------- embeddings
 
 

@@ -199,6 +199,54 @@ def test_knn_lsh_reasonable_recall():
     assert recall / 5 >= 0.5  # probes cover most near buckets
 
 
+def test_knn_ivf_reasonable_recall():
+    from llama_ray.data_ops.ann import knn_ivf
+
+    ds, V = emb_ds(n=200, dim=16, seed=2)
+    Q = V[:5].astype(np.float64)
+    exact = knn_brute_force(ds, Q, np.arange(5), k=10)
+    approx = knn_ivf(ds, Q, np.arange(5), k=10, num_clusters=8, nprobe=3)
+    recall = 0.0
+    for q in range(5):
+        e = set(exact[exact["qid"] == q]["neighbor_id"])
+        a = set(approx[approx["qid"] == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.5
+    # nprobe=K probes every list == exact brute force
+    full = knn_ivf(ds, Q, np.arange(5), k=10, num_clusters=8, nprobe=8)
+    for q in range(5):
+        e = set(exact[exact["qid"] == q]["neighbor_id"])
+        f = set(full[full["qid"] == q]["neighbor_id"])
+        assert f == e
+
+
+def test_kmeans_spherical_partitions_separated_clusters():
+    from llama_ray.data_ops.ann import kmeans_spherical
+
+    rng = np.random.default_rng(5)
+    # two well-separated direction clusters on the sphere
+    a = rng.standard_normal((100, 8)) * 0.05 + np.eye(8)[0]
+    b = rng.standard_normal((100, 8)) * 0.05 + np.eye(8)[1]
+    V = np.vstack([a, b]).astype(np.float32)
+    order = rng.permutation(len(V))
+    V = V[order]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(V)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+            }
+        )
+    )
+    C = kmeans_spherical(ds, 2, iters=8, seed=1)
+    Vn = V.astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    assign = np.argmax(Vn @ C.T, axis=1)
+    truth = (order >= 100).astype(int)
+    agree = max((assign == truth).mean(), (assign != truth).mean())
+    assert agree == 1.0  # clusters are cleanly separable
+
+
 def test_multimodal_plumbing():
     payloads = [bytes(range(64)), b"\x10" * 64, b"abc"]
     ds = rd.from_arrow(
