@@ -508,6 +508,7 @@ class _GatherPartition:
         its dst range. Returns (value slice ref, changed slice ref) —
         every vertex starts dirty so round 0 computes all runs."""
         self._hx = np.asarray(core_slice)
+        self._run_lens = np.diff(np.append(self.run_starts, len(self.src)))
         return ray.put(self._hx), ray.put(np.ones(len(self._hx), bool))
 
     def _hindex_for_runs(self, value, run_idx, chunk: int = 1 << 18):
@@ -561,7 +562,14 @@ class _GatherPartition:
         changed = np.concatenate(ray.get(list(c_refs)))
         new = self._hx
         if len(self.run_starts):
-            dirty = np.logical_or.reduceat(changed[self.src], self.run_starts)
+            # a changed source whose NEW value is still ≥ this dst's
+            # current H leaves the count at threshold H unchanged, and
+            # the iteration is monotone — so H stays put. Only sources
+            # that CROSSED below the dst's H dirty the run (hubs decay
+            # for many rounds before crossing a small neighbor's H).
+            thr = np.repeat(self._hx[self.local_dst], self._run_lens)
+            dirty_e = changed[self.src] & (value[self.src] < thr)
+            dirty = np.logical_or.reduceat(dirty_e, self.run_starts)
             run_idx = np.flatnonzero(dirty)
             if len(run_idx):
                 h = self._hindex_for_runs(value, run_idx)
