@@ -247,6 +247,54 @@ def test_kmeans_spherical_partitions_separated_clusters():
     assert agree == 1.0  # clusters are cleanly separable
 
 
+def _wav_bytes(x: np.ndarray, rate: int, channels: int = 1, bits: int = 16) -> bytes:
+    import struct
+
+    if bits == 16:
+        raw = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        raw = ((np.clip(x, -1, 1) * 127) + 128).astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_and_featurize():
+    from llama_ray.data_ops.multimodal import decode_wav, featurize_audio
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, r = decode_wav(_wav_bytes(sine, rate))
+    assert r == rate and len(x) == rate
+    assert np.allclose(x, sine, atol=2 / 32767)
+    # stereo averages to mono
+    stereo = np.stack([sine, -sine], axis=1).ravel()
+    xs, _ = decode_wav(_wav_bytes(stereo, rate, channels=2))
+    assert np.abs(xs).max() < 2 / 32767
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "clip_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array(
+                    [_wav_bytes(sine, rate), _wav_bytes(0.25 * sine, rate, bits=8)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = featurize_audio(ds, batch_size=2, concurrency=2).to_pandas().sort_values("clip_id")
+    assert np.allclose(out["duration_s"], 1.0)
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); zcr = 2*440/8000
+    assert abs(out["rms"].iloc[0] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out["zcr"].iloc[0] - 2 * 440 / rate) < 0.01
+    assert abs(out["rms"].iloc[1] - 0.125 / np.sqrt(2)) < 5e-3
+
+
 def test_multimodal_plumbing():
     payloads = [bytes(range(64)), b"\x10" * 64, b"abc"]
     ds = rd.from_arrow(
