@@ -164,6 +164,14 @@ def _split_undirected_block(tbl, bounds, cols, compact: bool = False):
     return tuple(outs)
 
 
+# Dirty-run recompute switches to the contiguous full gather above
+# this fraction of dirty runs: the selected-run path materializes
+# edge indices and pays a fancy gather per edge, which loses to the
+# straight run-aligned sweep once most runs need recomputing
+# (measured: LP at E=268M, where most labels flip every round).
+_DIRTY_FULL_FRAC = 0.5
+
+
 class _GatherPartition:
     """One contiguous dst-range of the reverse CSR, pinned in an actor."""
 
@@ -474,31 +482,58 @@ class _GatherPartition:
 
     def init_labels(self, init_slice):
         """Sharded label state (WCC min-label / LP mode): this actor
-        owns the labels of its dst range. Returns the slice ref that
-        seeds the first exchange round."""
+        owns the labels of its dst range. Returns (label slice ref,
+        changed slice ref) — every vertex starts dirty so round 0
+        computes all runs."""
         self._lab = np.asarray(init_slice)
-        return ray.put(self._lab)
+        return ray.put(self._lab), ray.put(np.ones(len(self._lab), bool))
 
-    def min_label_step(self, refs):
+    def min_label_step(self, refs, c_refs):
         """One WCC superstep: fetch all label slices (zero-copy on a
         node; O(V) over the network on a cluster), min-combine over
-        this range's in-edges, keep the state here. Returns (new slice
-        ref, #changed)."""
+        ONLY the runs with a changed source (a run's min cannot move
+        otherwise, and labels are non-increasing), keep the state
+        here. Returns (label ref, changed ref, #changed)."""
         value = np.concatenate(ray.get(list(refs)))
-        new = np.minimum(self._lab, self.gather_min(value))
-        changed = int((new != self._lab).sum())
+        changed = np.concatenate(ray.get(list(c_refs)))
+        new = self._lab
+        if len(self.run_starts):
+            dirty = np.logical_or.reduceat(changed[self.src], self.run_starts)
+            run_idx = np.flatnonzero(dirty)
+            if len(run_idx) > _DIRTY_FULL_FRAC * len(self.run_starts):
+                # mostly dirty: the contiguous full gather beats the
+                # selected-run index gather (no edge-index materialize)
+                new = np.minimum(self._lab, self.gather_min(value))
+            elif len(run_idx):
+                m = self._min_for_runs(value, run_idx)
+                tgt = self.local_dst[run_idx]
+                new = self._lab.copy()
+                new[tgt] = np.minimum(self._lab[tgt], m)
+        changed_out = new != self._lab
         self._lab = new
-        return ray.put(new), changed
+        return ray.put(new), ray.put(changed_out), int(changed_out.sum())
 
-    def mode_label_step(self, refs):
+    def mode_label_step(self, refs, c_refs):
         """One LP superstep: per-dst neighbor-label mode (ties →
-        smallest), computed entirely inside the actor."""
+        smallest) over ONLY the runs with a changed source (the mode
+        depends on nothing else), computed entirely inside the
+        actor. Returns (label ref, changed ref, #changed)."""
         value = np.concatenate(ray.get(list(refs)))
-        mode = self.gather_mode(value)
-        new = np.where(mode >= 0, mode, self._lab)
-        changed = int((new != self._lab).sum())
+        changed = np.concatenate(ray.get(list(c_refs)))
+        new = self._lab
+        if len(self.run_starts):
+            dirty = np.logical_or.reduceat(changed[self.src], self.run_starts)
+            run_idx = np.flatnonzero(dirty)
+            if len(run_idx) > _DIRTY_FULL_FRAC * len(self.run_starts):
+                mode = self.gather_mode(value)
+                new = np.where(mode >= 0, mode.astype(self._lab.dtype), self._lab)
+            elif len(run_idx):
+                mode = self._mode_for_runs(value, run_idx)
+                new = self._lab.copy()
+                new[self.local_dst[run_idx]] = mode
+        changed_out = new != self._lab
         self._lab = new
-        return ray.put(new), changed
+        return ray.put(new), ray.put(changed_out), int(changed_out.sum())
 
     def get_labels(self):
         return self._lab
@@ -511,16 +546,16 @@ class _GatherPartition:
         self._run_lens = np.diff(np.append(self.run_starts, len(self.src)))
         return ray.put(self._hx), ray.put(np.ones(len(self._hx), bool))
 
-    def _hindex_for_runs(self, value, run_idx, chunk: int = 1 << 18):
-        """H-index of value[src] for the selected runs only (indices
-        into ``run_starts``) — the dirty-run re-gather: work is
-        O(edges of changed-neighbor vertices), not O(E)."""
+    def _run_chunks(self, run_idx, chunk):
+        """Yield run-aligned chunks (r0, r1, idx, rs, lens) over the
+        SELECTED runs (indices into ``run_starts``): ``idx`` are the
+        global edge indices of runs [r0, r1), packed contiguously with
+        local run offsets ``rs`` — the shared edge-gather for all
+        dirty-run recomputes."""
         ends_all = np.append(self.run_starts, len(self.src))
         starts = self.run_starts[run_idx]
         lens = (ends_all[run_idx + 1] - starts).astype(np.int64)
-        out = np.empty(len(run_idx), np.int64)
         cum = np.concatenate([[0], np.cumsum(lens)])
-        # chunk boundaries in (selected) run space, run-aligned
         bpos = [0]
         nruns = len(run_idx)
         while bpos[-1] < nruns:
@@ -531,12 +566,59 @@ class _GatherPartition:
             st = starts[r0:r1]
             tot = int(l.sum())
             if tot == 0:
-                out[r0:r1] = 0
                 continue
             rs = np.concatenate([[0], np.cumsum(l)[:-1]])
-            base = np.repeat(st - rs, l)
-            idx = base + np.arange(tot)
+            idx = np.repeat(st - rs, l) + np.arange(tot)
+            yield r0, r1, idx, rs, l
+
+    def _min_for_runs(self, value, run_idx, chunk: int = 1 << 16):
+        """min value[src] for the selected runs only."""
+        out = np.empty(len(run_idx), value.dtype)
+        for r0, r1, idx, rs, _l in self._run_chunks(run_idx, chunk):
+            out[r0:r1] = np.minimum.reduceat(value[self.src[idx]], rs)
+        return out
+
+    def _mode_for_runs(self, value, run_idx, chunk: int = 1 << 18):
+        """Mode of value[src] (ties → smallest) for the selected runs
+        only — the dirty-run LP combine (packed-key radix sort as in
+        :meth:`gather_mode`)."""
+        odt = value.dtype if np.issubdtype(value.dtype, np.signedinteger) else np.int64
+        out = np.empty(len(run_idx), odt)
+        for r0, r1, idx, rs, l in self._run_chunks(run_idx, chunk):
             v = value[self.src[idx]]
+            tot = len(v)
+            run_id = np.repeat(np.arange(r1 - r0), l)
+            lo_l = int(v.min())
+            hi_l = int(v.max())
+            span = hi_l - lo_l + 1
+            if np.issubdtype(v.dtype, np.integer) and (r1 - r0) * span < (1 << 62):
+                key = run_id * np.int64(span) + (v - lo_l)
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((v, run_id))
+            rl = run_id[order]
+            ll = v[order]
+            new = np.ones(tot, bool)
+            new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, tot))
+            grp_run = rl[starts]
+            grp_lab = ll[starts]
+            o2 = np.lexsort((grp_lab, -counts, grp_run))
+            gr = grp_run[o2]
+            first = np.ones(len(gr), bool)
+            first[1:] = gr[1:] != gr[:-1]
+            out[r0:r1][gr[first]] = grp_lab[o2][first]
+        return out
+
+    def _hindex_for_runs(self, value, run_idx, chunk: int = 1 << 18):
+        """H-index of value[src] for the selected runs only (indices
+        into ``run_starts``) — the dirty-run re-gather: work is
+        O(edges of changed-neighbor vertices), not O(E)."""
+        out = np.zeros(len(run_idx), np.int64)
+        for r0, r1, idx, rs, l in self._run_chunks(run_idx, chunk):
+            v = value[self.src[idx]]
+            tot = len(v)
             run_id = np.repeat(np.arange(r1 - r0), l)
             lo_v = int(v.min())
             hi_v = int(v.max())
@@ -571,7 +653,10 @@ class _GatherPartition:
             dirty_e = changed[self.src] & (value[self.src] < thr)
             dirty = np.logical_or.reduceat(dirty_e, self.run_starts)
             run_idx = np.flatnonzero(dirty)
-            if len(run_idx):
+            if len(run_idx) > _DIRTY_FULL_FRAC * len(self.run_starts):
+                h = self.gather_hindex(value)
+                new = np.minimum(self._hx, h.astype(self._hx.dtype))
+            elif len(run_idx):
                 h = self._hindex_for_runs(value, run_idx)
                 tgt = self.local_dst[run_idx]
                 upd = np.minimum(self._hx[tgt], h.astype(self._hx.dtype))
@@ -1084,24 +1169,30 @@ class BSPGather:
     def run_min_label_sharded(self, init_labels: np.ndarray, *, max_iters: int, num_edges: int):
         """WCC-style min-label fixpoint with actor-resident labels:
         per superstep the driver moves P slice refs + P change counts,
-        never an O(V) vector. Bit-identical to the driver-held engines
-        (min is exact; see the float64 id guard at the call site)."""
+        never an O(V) vector. Dirty-run recompute (only runs with a
+        changed source re-gather). Bit-identical to the driver-held
+        engines — min over integers is exact."""
         import time as _time
 
-        refs = ray.get(
+        outs = ray.get(
             [
                 a.init_labels.remote(sl)
                 for a, sl in zip(self.actors, self._slices(init_labels))
             ]
         )
+        refs = [o[0] for o in outs]
+        c_refs = [o[1] for o in outs]
         metrics = []
         converged = False
         k = 0
         while k < max_iters:
             t0 = _time.perf_counter()
-            outs = ray.get([a.min_label_step.remote(refs) for a in self.actors])
+            outs = ray.get(
+                [a.min_label_step.remote(refs, c_refs) for a in self.actors]
+            )
             refs = [o[0] for o in outs]
-            changed = int(sum(o[1] for o in outs))
+            c_refs = [o[1] for o in outs]
+            changed = int(sum(o[2] for o in outs))
             dt = _time.perf_counter() - t0
             metrics.append(
                 {
@@ -1120,21 +1211,28 @@ class BSPGather:
         return labels, k, converged, metrics
 
     def run_mode_label_sharded(self, init_labels: np.ndarray, *, iterations: int, num_edges: int):
-        """Label propagation (fixed rounds) with actor-resident labels."""
+        """Label propagation (fixed rounds) with actor-resident labels
+        and dirty-run recompute (a run's mode depends only on its
+        sources' labels, so unchanged neighborhoods keep their label)."""
         import time as _time
 
-        refs = ray.get(
+        outs = ray.get(
             [
                 a.init_labels.remote(sl)
                 for a, sl in zip(self.actors, self._slices(init_labels))
             ]
         )
+        refs = [o[0] for o in outs]
+        c_refs = [o[1] for o in outs]
         metrics = []
         for k in range(iterations):
             t0 = _time.perf_counter()
-            outs = ray.get([a.mode_label_step.remote(refs) for a in self.actors])
+            outs = ray.get(
+                [a.mode_label_step.remote(refs, c_refs) for a in self.actors]
+            )
             refs = [o[0] for o in outs]
-            changed = int(sum(o[1] for o in outs))
+            c_refs = [o[1] for o in outs]
+            changed = int(sum(o[2] for o in outs))
             dt = _time.perf_counter() - t0
             metrics.append(
                 {
