@@ -465,7 +465,7 @@ def label_propagation(
             dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
             keep = src != dst  # self-loops ignored, matching the bsp
             src, dst = src[keep], dst[keep]  # engines' doubled view
-            nodes = np.concatenate([dst, src])
+            nodes = np.concatenate([dst, src]).astype(np.int64)
             labels = np.concatenate([lab[src], lab[dst]])
             packed = nodes * n + labels
             u, counts = np.unique(packed, return_counts=True)

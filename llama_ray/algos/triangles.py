@@ -65,9 +65,14 @@ def _pairs_multirun(run_ids: np.ndarray):
 
 
 def _orient_pairs(x, y, deg):
-    """Orient each (x, y) pair by the (degree, id) comparator."""
+    """Orient each (x, y) pair by the (degree, id) comparator.
+    Returns int64 so ``x * n + y`` key packing never overflows when
+    the graph stores int32 dense edges."""
     fwd = (deg[x] < deg[y]) | ((deg[x] == deg[y]) & (x < y))
-    return np.where(fwd, x, y), np.where(fwd, y, x)
+    return (
+        np.where(fwd, x, y).astype(np.int64),
+        np.where(fwd, y, x).astype(np.int64),
+    )
 
 
 def _probe_count(wk: np.ndarray, refs, bounds_hi: np.ndarray, n: int, cache: dict) -> int:

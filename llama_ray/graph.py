@@ -272,11 +272,16 @@ def build_graph(edges: rd.Dataset, *, materialize: bool = True) -> Graph:
         num_edges = 0
     ids_ref = ray.put(ids)
 
+    # dense indices < V: int32 edge storage when they fit — halves the
+    # pinned table, the repartition shuffle, and every downstream
+    # consumer's read bandwidth (pool builds skip their own cast)
+    idt = np.int32 if len(ids) <= (1 << 31) else np.int64
+
     def remap(batch: pa.Table) -> pa.Table:
         idx = ray.get(ids_ref)
         src = np.searchsorted(idx, batch_to_numpy(batch, SRC))
         dst = np.searchsorted(idx, batch_to_numpy(batch, DST))
-        cols = {SRC: src.astype(np.int64), DST: dst.astype(np.int64)}
+        cols = {SRC: src.astype(idt), DST: dst.astype(idt)}
         out = pa.table(cols)
         for name in batch.schema.names:
             if name not in (SRC, DST):
@@ -334,8 +339,8 @@ def canonical_undirected(parent: Graph) -> Graph:
     def keyed(batch: pa.Table):
         s = batch_to_numpy(batch, SRC)
         d = batch_to_numpy(batch, DST)
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
+        lo = np.minimum(s, d).astype(np.int64)
+        hi = np.maximum(s, d).astype(np.int64)
         keep = lo != hi
         return {"key": np.unique(lo[keep] * n + hi[keep])}
 
@@ -346,12 +351,14 @@ def canonical_undirected(parent: Graph) -> Graph:
         .materialize()
     )
 
+    cidt = np.int32 if n <= (1 << 31) else np.int64
+
     def interior(tbl: pa.Table):
         k = batch_to_numpy(tbl, "key")
         if len(k) == 0:
-            return {SRC: k, DST: k}
+            return {SRC: k.astype(cidt), DST: k.astype(cidt)}
         kk = np.unique(k[(k != k[0]) & (k != k[-1])])
-        return {SRC: kk // n, DST: kk % n}
+        return {SRC: (kk // n).astype(cidt), DST: (kk % n).astype(cidt)}
 
     def boundary_block(tbl: pa.Table):
         if tbl.num_rows == 0 or "key" not in tbl.schema.names:
@@ -367,7 +374,14 @@ def canonical_undirected(parent: Graph) -> Graph:
         check_boundary_size(sum(len(p) for p in bparts), "canonical_undirected")
         bk = np.unique(np.concatenate(bparts))
         dense = dense.union(
-            rd.from_arrow(pa.table({SRC: pa.array(bk // n), DST: pa.array(bk % n)}))
+            rd.from_arrow(
+                pa.table(
+                    {
+                        SRC: pa.array((bk // n).astype(cidt)),
+                        DST: pa.array((bk % n).astype(cidt)),
+                    }
+                )
+            )
         )
     dense = dense.materialize()
 
@@ -407,8 +421,8 @@ def canonical_undirected(parent: Graph) -> Graph:
     def remap(batch: pa.Table):
         m = ray.get(sub_ref)
         return {
-            SRC: np.searchsorted(m, batch_to_numpy(batch, SRC)),
-            DST: np.searchsorted(m, batch_to_numpy(batch, DST)),
+            SRC: np.searchsorted(m, batch_to_numpy(batch, SRC)).astype(cidt),
+            DST: np.searchsorted(m, batch_to_numpy(batch, DST)).astype(cidt),
         }
 
     dense2 = dense.map_batches(remap, batch_format="pyarrow", batch_size=None).materialize()
