@@ -130,6 +130,24 @@ def run_benchmark() -> dict:
     ), "build='sort' PageRank diverged from build='scan'"
 
     timings["wcc"], wcc = best_of(lambda: weakly_connected_components(g), 2)
+    # forced sharded WCC (auto picks the dataset engine at this V):
+    # keeps the at-scale path under the driver's eye with a parity assert
+    timings["wcc_bsp_sharded"], wcc_sh = best_of(
+        lambda: weakly_connected_components(g, engine="bsp_sharded"), 2
+    )
+    import numpy as _np
+
+    assert _np.array_equal(
+        wcc_sh.state["label"], wcc.state["label"]
+    ), "bsp_sharded WCC diverged from the dataset engine"
+
+    from llama_ray.algos.kcore import core_numbers
+    from llama_ray.graph import canonical_undirected as _canon
+
+    def kcore_run():
+        return core_numbers(_canon(g))
+
+    timings["core_numbers"], _ = best_of(kcore_run, 2)
 
     timings["triangle_count"], tc = best_of(lambda: triangle_count(g), 2)
     timings["triangle_count_shuffle"], tc_shuffle = best_of(

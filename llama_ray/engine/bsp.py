@@ -1345,6 +1345,13 @@ class BSPGather:
         self.actors = []
 
 
+# shared_pool caches pools on the graph only below this estimated
+# actor-heap size; larger pools are built uncached so shutdown() frees
+# them (an idle resident pool at 2^25 measurably slowed the next
+# algorithm family's supersteps 4-10x on one box).
+POOL_CACHE_MAX_BYTES = 6 * 1024**3
+
+
 def shared_pool(
     graph: Graph,
     *,
@@ -1365,6 +1372,23 @@ def shared_pool(
     :func:`release_pools` to free the actors early, otherwise they are
     reclaimed when the graph is garbage-collected.
     """
+    # Size-aware caching: a pinned pool holds ~8–16 B per (doubled)
+    # edge of actor heap for the graph's lifetime. Below the cap that
+    # amortizes beautifully across calls; above it a resident idle
+    # pool measurably starves the NEXT algorithm family's memory on a
+    # single box (BASELINE §3.2f ordering note), so the pool is
+    # returned uncached and its shutdown() really frees the actors.
+    est_bytes = graph.num_edges * (2 if view == "undirected" else 1) * 8
+    if est_bytes > POOL_CACHE_MAX_BYTES:
+        logger = __import__("logging").getLogger(__name__)
+        logger.warning(
+            "shared_pool: estimated pool size %.1f GB exceeds the cache "
+            "cap (%.1f GB) — building an uncached pool; it is freed at "
+            "shutdown() instead of living on the graph",
+            est_bytes / 1e9,
+            POOL_CACHE_MAX_BYTES / 1e9,
+        )
+        return BSPGather(_resolve_view(graph, view), weighted=weighted, build=build)
     cache = getattr(graph, "_bsp_pools", None)
     if cache is None:
         cache = {}
