@@ -39,6 +39,24 @@ def dense(src, dst):
     return np.searchsorted(ids, src), np.searchsorted(ids, dst), ids
 
 
+def test_dense_graph_int32_storage():
+    """Dense graphs store int32 src/dst when V <= 2^31 (halves the
+    pinned table and every downstream read), and canonical graphs
+    keep the compact dtype through the packed-key sort."""
+    import pyarrow as _pa
+    from llama_ray.graph import canonical_undirected
+
+    g = build_graph(edges_ds([5, 7, 9, 5], [7, 9, 5, 5]))
+    sch = g.edges.schema()
+    assert sch.base_schema.field("src").type == _pa.int32()
+    assert sch.base_schema.field("dst").type == _pa.int32()
+    c = canonical_undirected(g)
+    csch = c.edges.schema()
+    assert csch.base_schema.field("src").type == _pa.int32()
+    # original-id mapping stays int64
+    assert g.ids.dtype == np.int64
+
+
 @pytest.mark.parametrize("name", list(FIXTURES))
 def test_pagerank_matches_oracle(name):
     src, dst = map(np.array, FIXTURES[name])
