@@ -149,3 +149,37 @@ def test_shared_pool_reused_across_algorithms():
     # next call transparently rebuilds
     r3 = pagerank(g, max_iters=5, engine="bsp")
     assert np.array_equal(r3.state["rank"], r1.state["rank"])
+
+
+def test_shared_pool_cache_gate_by_size(monkeypatch):
+    """Above the estimated-heap cap, shared_pool returns UNCACHED
+    pools whose shutdown() really frees the actors (an idle resident
+    pool at 2^25 measurably slowed the next algorithm family)."""
+    from llama_ray.engine import bsp as B
+    from llama_ray.graph import build_graph
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3], pa.int64()),
+                "dst": pa.array([1, 2, 3, 0], pa.int64()),
+            }
+        )
+    )
+    g = build_graph(edges)
+    monkeypatch.setattr(B, "POOL_CACHE_MAX_BYTES", 1)  # everything "too big"
+    p1 = B.shared_pool(g)
+    p2 = B.shared_pool(g)
+    assert p1 is not p2  # not cached
+    assert not getattr(p1, "shared", False)
+    a1 = list(p1.actors)
+    p1.shutdown()
+    assert not p1.actors and a1  # shutdown really freed them
+    p2.shutdown()
+    monkeypatch.setattr(B, "POOL_CACHE_MAX_BYTES", 6 * 1024**3)
+    c1 = B.shared_pool(g)
+    assert B.shared_pool(g) is c1  # cached again below the cap
+    B.release_pools(g)
