@@ -18,7 +18,8 @@ level instead of per source per level:
   sigma[src]/sigma[dst] * (1 + delta[dst]) back to src.
 
 Per-edge work is O(E × depth) total for all K sources. Keys pack as
-``dst * K + source`` (K ≤ a few hundred ⇒ no overflow concerns).
+``dst * K + source`` in int64 (edge batches arrive int32 for dense
+graphs — cast before multiplying, n × source_batch can exceed 2^31).
 
 Memory: (K, N) float64 state is K×8 bytes per vertex. To keep exact
 BC (``num_sources=None`` — the reference's every-source ``bc_adj``
@@ -36,6 +37,14 @@ import ray
 
 from ..common import batch_to_numpy, sparse_partial_sum
 from ..graph import Graph
+
+
+def _pack_keys(vid: np.ndarray, ks: np.ndarray, K: int) -> np.ndarray:
+    """Pack (vertex, source-slot) into int64 ``vid * K + ks``.
+
+    ``vid`` arrives int32 for dense graphs; the product must be taken
+    in int64 or it wraps once n × K > 2^31 (n > ~33M at K=64)."""
+    return vid.astype(np.int64, copy=False) * K + ks
 
 
 def betweenness_centrality(
@@ -96,7 +105,7 @@ def _bc_source_chunk(graph: Graph, sources: np.ndarray) -> np.ndarray:
             ks, es = np.nonzero(fr[:, src])  # (source-idx, edge-idx) active
             if len(ks) == 0:
                 return {"key": np.empty(0, np.int64), "v": np.empty(0, np.float64)}
-            keys = dst[es] * K + ks
+            keys = _pack_keys(dst[es], ks, K)
             vals = sg[ks, src[es]]
             u, s = sparse_partial_sum(keys, vals)
             return {"key": u, "v": s}
@@ -138,7 +147,7 @@ def _bc_source_chunk(graph: Graph, sources: np.ndarray) -> np.ndarray:
             if len(ks) == 0:
                 return {"key": np.empty(0, np.int64), "v": np.empty(0, np.float64)}
             contrib = sg[ks, src[es]] / sg[ks, dst[es]] * (1.0 + dl[ks, dst[es]])
-            keys = src[es] * K + ks
+            keys = _pack_keys(src[es], ks, K)
             u, s = sparse_partial_sum(keys, contrib)
             return {"key": u, "v": s}
 

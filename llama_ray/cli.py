@@ -148,10 +148,11 @@ def main(argv=None) -> int:
         # cg.ids ⊆ g.ids (vertices with only self-loops drop out of the
         # canonical set and keep core 0); vectorized id→core map
         core = _np.zeros(len(g.ids), _np.int64)
-        pos = _np.searchsorted(cg.ids, g.ids)
-        pos_c = _np.minimum(pos, max(len(cg.ids) - 1, 0))
-        valid = (len(cg.ids) > 0) & (cg.ids[pos_c] == g.ids)
-        core[valid] = res.state["core"][pos_c[valid]]
+        if len(cg.ids):  # all-self-loop inputs leave the canonical set empty
+            pos = _np.searchsorted(cg.ids, g.ids)
+            pos_c = _np.minimum(pos, len(cg.ids) - 1)
+            valid = cg.ids[pos_c] == g.ids
+            core[valid] = res.state["core"][pos_c[valid]]
         arrays["core"] = core
         summary.update(iterations=res.iterations, max_core=int(res.state["core"].max(initial=0)))
     elif args.algorithm == "label_propagation":

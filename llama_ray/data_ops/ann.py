@@ -187,8 +187,10 @@ class LSHIndex:
         num_planes: int = 8,
         seed: int = 42,
     ):
-        first = emb.take(1)[0]
-        dim = len(first[vec_col])
+        head = emb.take(1)
+        if not head:
+            raise ValueError("LSHIndex: empty embedding dataset — nothing to index")
+        dim = len(head[0][vec_col])
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, num_planes))
         self.num_planes = num_planes
@@ -287,6 +289,8 @@ def kmeans_spherical(
 
     emb = emb.materialize() if not _is_materialized(emb) else emb
     sample = emb.limit(max(4 * num_clusters, 64)).to_pandas()
+    if len(sample) == 0:
+        raise ValueError("kmeans_spherical: empty embedding dataset — nothing to cluster")
     V0 = np.stack([np.asarray(v, np.float64) for v in sample[vec_col].to_numpy()])
     V0 = V0 / np.maximum(np.linalg.norm(V0, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)

@@ -379,7 +379,9 @@ class _GatherPartition:
                 np.issubdtype(lab.dtype, np.integer)
                 and len(rs) * span < (1 << 62)
             ):
-                key = run_id * np.int64(span) + (lab - lo_l)
+                # offset in int64: lab's own dtype can wrap when the
+                # value range exceeds it (e.g. int32 spanning ±2^30)
+                key = run_id * np.int64(span) + (lab.astype(np.int64, copy=False) - lo_l)
                 order = np.argsort(key, kind="stable")
             else:
                 order = np.lexsort((lab, run_id))

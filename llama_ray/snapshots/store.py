@@ -398,21 +398,92 @@ class SnapshotStore:
 
     # ------------------------------------------------------- compaction
 
+    def _dead_keys_for_flatten(self, merged: rd.Dataset):
+        """(dead_node_ids, dead_pair_struct) — tombstoned entities NOT
+        live in the compacted graph. Tombstone sets are small deltas
+        (the store premise), so both candidate sets broadcast; liveness
+        is one streaming scan over ``merged`` / ``nodes()`` with the
+        candidates as the probe side — never an O(E) driver collect."""
+        # candidate dead nodes: every node ever tombstoned
+        cand_nodes: list[np.ndarray] = []
+        for lv in self.levels():
+            nd = os.path.join(self._level_dir(lv), "node_deletes")
+            if os.path.isdir(nd):
+                t = rd.read_parquet(nd).to_pandas()
+                cand_nodes.append(t["node"].to_numpy(np.int64))
+        dead_nodes = np.unique(np.concatenate(cand_nodes)) if cand_nodes else np.empty(0, np.int64)
+        # candidate dead pairs: every pair ever tombstoned
+        tombs = self._tombstones_by_level(self.levels()[-1])
+        if tombs:
+            dead_pairs = np.unique(
+                pair_struct(
+                    np.concatenate([t[1] for t in tombs]),
+                    np.concatenate([t[2] for t in tombs]),
+                )
+            )
+        else:
+            dead_pairs = pair_struct(np.empty(0, np.int64), np.empty(0, np.int64))
+        # a tombstoned entity re-added later is live again: probe the
+        # merged edge set (and explicit nodes) and drop survivors
+        if len(dead_nodes) or len(dead_pairs):
+            node_alive = np.zeros(len(dead_nodes), bool)
+            pair_alive = np.zeros(len(dead_pairs), bool)
+            for b in merged.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                s = batch_to_numpy(b, "src")
+                d = batch_to_numpy(b, "dst")
+                if len(dead_nodes):
+                    node_alive |= np.isin(dead_nodes, s) | np.isin(dead_nodes, d)
+                if len(dead_pairs):
+                    pair_alive |= np.isin(dead_pairs, pair_struct(s.astype(np.int64), d.astype(np.int64)))
+            if len(dead_nodes):
+                for b in self.nodes().iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+                    node_alive |= np.isin(dead_nodes, batch_to_numpy(b, "node"))
+                dead_nodes = dead_nodes[~node_alive]
+            if len(dead_pairs):
+                dead_pairs = dead_pairs[~pair_alive]
+        return dead_nodes, dead_pairs
+
     def flatten(self, *, weights: str = "none") -> int:
         """Full merge of all visible edges into one new level, deduped
         and sorted by (src, dst); older levels are dropped. With
         ``weights='count'`` duplicate multiplicity becomes a weight
         column (streaming weights-instead-of-duplicate-edges)."""
-        merged = dedup_edges(self.edges(), weights=weights).sort(["src", "dst"])
+        merged = dedup_edges(self.edges(), weights=weights).sort(["src", "dst"]).materialize()
         old = self.levels()
         # carry resolved properties forward — the compacted level is
-        # the new base, so each property's latest values must survive
+        # the new base, so each property's latest values must survive.
+        # Values belonging to deleted nodes / deleted-or-compacted-away
+        # edges must NOT: flatten destroys the tombstones that hid
+        # them, so an unfiltered carry would resurrect them.
+        dead_nodes, dead_pairs = self._dead_keys_for_flatten(merged)
+        dn_ref = ray.put(np.sort(dead_nodes))
+        dp_ref = ray.put(np.sort(dead_pairs))
+
+        def drop_dead_nodes(batch: pa.Table) -> pa.Table:
+            dd = ray.get(dn_ref)
+            if len(dd) == 0:
+                return batch
+            return batch.filter(pa.array(~np.isin(batch_to_numpy(batch, "node"), dd)))
+
+        def drop_dead_pairs(batch: pa.Table) -> pa.Table:
+            dd = ray.get(dp_ref)
+            if len(dd) == 0:
+                return batch
+            hit = pairs_member_mask(
+                batch_to_numpy(batch, "src"), batch_to_numpy(batch, "dst"), dd
+            )
+            return batch.filter(pa.array(~hit))
+
         node_props = {
-            n: self.node_property(n).materialize()
+            n: self.node_property(n)
+            .map_batches(drop_dead_nodes, batch_format="pyarrow")
+            .materialize()
             for n in self.property_names("node_props")
         }
         edge_props = {
-            n: self.edge_property(n).materialize()
+            n: self.edge_property(n)
+            .map_batches(drop_dead_pairs, batch_format="pyarrow")
+            .materialize()
             for n in self.property_names("edge_props")
         }
         new_level = self.ingest_batch(

@@ -95,3 +95,20 @@ def test_bc_random_subset():
     got = betweenness_centrality(g, sources=sources)
     expect = brandes_np(ds_, dd_, len(ids), sources=sources.tolist())
     assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_pack_keys_int32_no_wrap():
+    """dst arrives int32 for dense graphs; n * K > 2^31 must not wrap
+    (ADVICE r3: dst[es] * K stayed int32 under NEP-50 weak scalars)."""
+    from llama_ray.algos.bc import _pack_keys
+
+    K = 64
+    vid = np.array([40_000_000, 2**31 // K + 1], np.int32)  # vid*K crosses 2^31
+    ks = np.array([3, 5], np.int64)
+    keys = _pack_keys(vid, ks, K)
+    assert keys.dtype == np.int64
+    assert keys[0] == 40_000_000 * 64 + 3  # > 2^31: would be negative if wrapped
+    assert (keys > 0).all()
+    # round-trips back to (vertex, slot)
+    assert (keys // K == vid.astype(np.int64)).all()
+    assert (keys % K == ks).all()

@@ -183,3 +183,33 @@ def test_shared_pool_cache_gate_by_size(monkeypatch):
     c1 = B.shared_pool(g)
     assert B.shared_pool(g) is c1  # cached again below the cap
     B.release_pools(g)
+
+
+def test_gather_mode_int32_span_exceeding_dtype():
+    """int32 labels spanning ±2^30 make span > 2^31: the packed-key
+    offset must be computed in int64 or runs interleave in the sorted
+    order and counts fragment (ADVICE r3)."""
+    import pyarrow as pa
+    import ray
+
+    from llama_ray.engine.bsp import _GatherPartition
+
+    A, B = -(1 << 30), (1 << 30) + 7  # span = 2^31 + 8 > int32 range
+    # dst 0 in-neighbors carry labels [B, B, A] -> mode B;
+    # dst 1 carries [A, A, B] -> mode A; dst 2 single B.
+    src = np.array([1, 2, 3, 1, 2, 3, 4], np.int64)
+    dst = np.array([0, 0, 0, 1, 1, 1, 2], np.int64)
+    value = np.zeros(5, np.int32)
+    value[1], value[2], value[3], value[4] = B, B, A, B
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    gp = _GatherPartition([ray.put(t)], 0, 3, weighted=False, presorted=False)
+    got = gp.gather_mode(value)
+    # d0: [B,B,A] -> B ; d1: [B,B,A] -> B ; d2: [B] -> B
+    assert got.dtype == np.int32 or got.dtype == np.int64
+    assert got[0] == B and got[1] == B and got[2] == B
+    # now a tie: smallest label wins
+    value2 = np.zeros(5, np.int32)
+    value2[1], value2[2], value2[3], value2[4] = B, A, 5, A
+    got2 = gp.gather_mode(value2)
+    # d0/d1: [B, A, 5] all count 1 -> tie -> smallest = A
+    assert got2[0] == A and got2[1] == A and got2[2] == A

@@ -44,3 +44,14 @@ def test_cli_pagerank_run_and_resume(tmp_path):
     assert resumed["iterations"] == 6
     full = run_cli("pagerank", "--input", "rmat(8,4)", "--max-iters", "6")
     assert abs(full["sum_rank"] - resumed["sum_rank"]) < 1e-12
+
+
+@pytest.mark.slow
+def test_cli_kcore_all_self_loops(tmp_path):
+    """All-self-loop input: the canonical undirected graph is empty;
+    the id-mapping guard must not index into empty cg.ids (ADVICE r3:
+    `&` did not short-circuit)."""
+    net = tmp_path / "loops.net"
+    net.write_text("0 0\n1 1\n2 2\n")
+    out = run_cli("kcore", "--input", str(net))
+    assert out["max_core"] == 0

@@ -362,3 +362,22 @@ def test_real_image_decode_ppm_bmp_and_resize():
     rs = resize_images(decoded, 4, 4, concurrency=1).to_pandas().sort_values("item_id")
     assert rs["height"].tolist() == [4, 4] and rs["width"].tolist() == [4, 4]
     assert all(len(p) == 16 for p in rs["pixels"])
+
+
+def test_ann_empty_corpus_raises_descriptive():
+    """Empty embedding input: a clear ValueError, not np.stack/IndexError
+    internals (ADVICE r3)."""
+    from llama_ray.data_ops.ann import LSHIndex, kmeans_spherical
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_spherical(empty, 4)
+    with pytest.raises(ValueError, match="empty"):
+        LSHIndex(empty)

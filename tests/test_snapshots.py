@@ -154,3 +154,81 @@ def test_resumable_partitioned_sink(tmp_path):
     assert r2["written"] == 1 and r2["skipped"] == 4
     back = read_resumable_parquet(root).to_pandas().sort_values(["src", "dst"])
     assert len(back) == 100
+
+
+def node_ds(ids):
+    return rd.from_arrow(pa.table({"node": pa.array(ids, pa.int64())}))
+
+
+def nprop_ds(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([p[0] for p in pairs], pa.int64()),
+                "value": pa.array([p[1] for p in pairs]),
+            }
+        )
+    )
+
+
+def eprop_ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], pa.int64()),
+                "dst": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def test_flatten_drops_deleted_entity_props(tmp_path):
+    """flatten() compacts tombstones away — properties of deleted
+    nodes / deleted edges must not be resurrected into the new base
+    (ADVICE r3: carried props previously skipped the liveness join)."""
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(
+        ds_of([(0, 1), (1, 2)]),
+        nodes=node_ds([0, 1, 2, 9]),
+        node_props={"age": nprop_ds([(0, 10), (1, 11), (9, 99)])},
+        edge_props={"cap": eprop_ds([(0, 1, 5), (1, 2, 7)])},
+    )
+    st.delete_edges(ds_of([(0, 1)]))
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    st.ingest_batch(empty, node_deletes=node_ds([9]))
+    lvl = st.flatten()
+    assert st.levels() == [lvl]
+    ap = st.node_property("age").to_pandas().sort_values("node")
+    assert ap[["node", "value"]].values.tolist() == [[0, 10], [1, 11]]  # node 9 gone
+    ep = st.edge_property("cap").to_pandas()
+    assert ep[["src", "dst", "value"]].values.tolist() == [[1, 2, 7]]  # (0,1) gone
+
+
+def test_flatten_keeps_readded_entity_props(tmp_path):
+    """Delete then re-add: the entity is live again, so its property
+    survives compaction (max_visible_level semantics carry over)."""
+    st = SnapshotStore(str(tmp_path))
+    st.ingest_batch(
+        ds_of([(0, 1)]),
+        nodes=node_ds([7]),
+        node_props={"age": nprop_ds([(7, 70)])},
+        edge_props={"cap": eprop_ds([(0, 1, 3)])},
+    )
+    st.delete_edges(ds_of([(0, 1)]))
+    st.ingest_batch(
+        ds_of([(0, 1)]),
+        node_deletes=node_ds([7]),
+    )
+    # re-add node 7 explicitly after its delete
+    st.ingest_batch(
+        rd.from_arrow(pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})),
+        nodes=node_ds([7]),
+    )
+    st.flatten()
+    ap = st.node_property("age").to_pandas()
+    assert ap[["node", "value"]].values.tolist() == [[7, 70]]
+    ep = st.edge_property("cap").to_pandas()
+    assert ep[["src", "dst", "value"]].values.tolist() == [[0, 1, 3]]
