@@ -44,6 +44,66 @@ def hash64_batch(arr: "pa.Array | list[str]") -> np.ndarray:
     return out
 
 
+def content_hash_column(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Vectorized signed-64-bit content hash of a string column — the
+    hot loop of exact dedup at scale.
+
+    Fast path: polars' columnar xxhash directly over the Arrow buffers
+    (measured 100k × 300 B docs: 6 ms vs 130 ms for a per-row C blake2b
+    loop and 600 ms for a numpy Horner roll — the numpy version is
+    memory-bound on its 8×-widened uint64 temporaries). Deterministic
+    for a fixed polars version + seed, which is all a transient
+    grouping key needs; NOT stable across library upgrades and NOT the
+    :func:`hash64` family — never persist these values.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # older pyarrow returns ChunkedArray
+        col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if col.null_count:
+        raise ValueError("content_hash_column: null text")
+    try:
+        import polars as pl
+
+        return pl.from_arrow(col).hash(seed=42).to_numpy().view(np.int64)
+    except ImportError:
+        pass
+    bufs = col.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], off_dt, count=n + 1 + col.offset)[col.offset :].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    seg = data[offs[0] : offs[-1]]
+    starts = offs[:-1] - offs[0]
+    lens = offs[1:] - offs[:-1]
+    P = np.uint64(1099511628211)  # FNV prime, odd
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    total = int(offs[-1] - offs[0])
+    if total:
+        maxlen = int(lens.max())
+        pows = np.full(maxlen, P, np.uint64)
+        pows[0] = np.uint64(1)
+        np.multiply.accumulate(pows, out=pows)  # wraps mod 2^64
+        ends = starts + lens
+        rev = np.repeat(ends - 1, lens) - np.arange(total, dtype=np.int64)
+        terms = seg.astype(np.uint64) * pows[rev]
+        t2 = np.append(terms, np.uint64(0))
+        sums = np.add.reduceat(t2, np.minimum(starts, total))[:n]
+        sums[lens == 0] = np.uint64(0)
+    else:
+        sums = np.zeros(n, np.uint64)
+    # salt with length so zero-prefixed payloads can't alias
+    h = sums ^ (lens.astype(np.uint64) * GOLD)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h.view(np.int64)
+
+
 def sparse_partial_sum(keys: np.ndarray, values: np.ndarray):
     """Per-batch partial aggregation: sum ``values`` grouped by ``keys``.
 

@@ -36,7 +36,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..common import batch_to_numpy, hash64
+from ..common import batch_to_numpy, content_hash_column
 
 logger = logging.getLogger(__name__)
 
@@ -138,10 +138,12 @@ def _flat_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
 
 
 def exact_dedup(docs: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Survivors: min id per distinct content hash → (doc_id, copies)."""
+    """Survivors: min id per distinct content hash → (doc_id, copies).
+    The content hash is the vectorized columnar kernel (no per-row
+    Python in this hot path; the hash is an in-run grouping key only)."""
 
     def hash_col(batch: pa.Table):
-        h = np.array([hash64(t) for t in batch.column(text_col).to_pylist()], np.int64)
+        h = content_hash_column(batch.column(text_col))
         return {"h": h, id_col: batch_to_numpy(batch, id_col)}
 
     return (

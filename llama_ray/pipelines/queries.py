@@ -26,7 +26,7 @@ from ..algos.pagerank import pagerank, pagerank_top_k
 from ..algos.stats import degree_distribution as _degree_distribution
 from ..algos.traversal import bfs as _bfs
 from ..algos.triangles import triangle_count as _triangle_count
-from ..common import batch_to_numpy, hash64
+from ..common import batch_to_numpy
 from ..graph import build_graph
 from ..ingest.canonicalize import dedup_edges
 from .tpch_graph import O_NATION, O_REGION, O_SUPP, build_tpch_graph, dedup_edge_list, raw_edges
@@ -284,10 +284,9 @@ def q_top_referenced(sf_dir: str, *, k: int = 20):
         _cached_dedup_edges(sf_dir)
         .groupby("dst")
         .aggregate(Count(alias_name="in_degree"))
+        .sort(["in_degree", "dst"], descending=[True, False])
+        .limit(k)  # distributed top-k — the O(V) degree table stays off the driver
         .to_pandas()
-        .sort_values(["in_degree", "dst"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
     )
     return counts.rename(columns={"dst": "vertex"})[["vertex", "in_degree"]]
 
@@ -390,12 +389,15 @@ def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
 
 def q_doc_exact_dedup(sf_dir: str):
     """Exact dedup by content hash: survivor = min doc_id per distinct
-    text (groupby on a 64-bit blake2b of the text — the content-hash +
-    hash-partition + per-group-first pattern)."""
+    text (groupby on a vectorized 64-bit content hash — the
+    content-hash + hash-partition + per-group-first pattern; no
+    per-row Python in the hash stage)."""
+    from ..common import content_hash_column
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def hash_col(batch: pa.Table):
-        h = np.array([hash64(t) for t in batch.column("text").to_pylist()], np.int64)
+        h = content_hash_column(batch.column("text"))
         return {"h": h, "doc_id": batch_to_numpy(batch, "doc_id")}
 
     out = (
@@ -407,19 +409,18 @@ def q_doc_exact_dedup(sf_dir: str):
 
 
 class _TokenStats:
-    """Actor-pool text stage: per-doc token/char counts (whitespace
-    tokenization; compiled once per actor)."""
+    """Actor-pool text stage: per-doc token/char counts — single Arrow
+    RE2 / length kernels per batch (the QualityScore pattern), no
+    per-row Python; RE2 whitespace matches the DuckDB oracle's."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tokens = np.array([len(t.split()) for t in texts], np.int64)
-        n_chars = np.array([len(t) for t in texts], np.int64)
+        col = batch.column("text")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang": batch.column("lang"),
-                "n_tokens": pa.array(n_tokens),
-                "n_chars": pa.array(n_chars),
+                "n_tokens": pc.count_substring_regex(col, r"\S+").cast(pa.int64()),
+                "n_chars": pc.utf8_length(col).cast(pa.int64()),
             }
         )
 
@@ -519,12 +520,21 @@ def q_doc_language_id(sf_dir: str):
 
 
 def q_doc_quality(sf_dir: str):
+    """Per-doc quality score — returned as a streaming Dataset (the
+    O(docs) result never materializes on the driver; rounding happens
+    in a final map_batches)."""
     from ..data_ops.text import quality_score
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = quality_score(docs).select_columns(["doc_id", "quality"]).to_pandas()
-    out["quality"] = out["quality"].round(6)
-    return out
+    out = quality_score(docs).select_columns(["doc_id", "quality"])
+
+    def rounded(b: pa.Table):
+        return {
+            "doc_id": batch_to_numpy(b, "doc_id"),
+            "quality": np.round(batch_to_numpy(b, "quality"), 6),
+        }
+
+    return out.map_batches(rounded, batch_format="pyarrow")
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -555,19 +565,15 @@ def q_embedding_cos_pairs(sf_dir: str):
 
 def q_events_props_sum(sf_dir: str):
     """Semi-structured extraction: pull the integer out of the JSON-ish
-    ``props`` column and aggregate per event type (vectorized regex in
-    map_batches; mirrors the SQL regexp_extract oracle)."""
-    import re
-
+    ``props`` column and aggregate per event type (one Arrow RE2
+    ``extract_regex`` per batch; mirrors the SQL regexp_extract
+    oracle exactly — both are RE2 first-match)."""
     ev = _read(sf_dir, "events", ["event_type", "props"])
-    pat = re.compile(r"[0-9]+")
 
     def extract(batch: pa.Table):
-        ks = np.array(
-            [int(pat.search(p).group()) if pat.search(p) else 0 for p in batch.column("props").to_pylist()],
-            np.int64,
-        )
-        return pa.table({"event_type": batch.column("event_type"), "k": pa.array(ks)})
+        m = pc.extract_regex(batch.column("props"), r"(?P<k>[0-9]+)")
+        ks = pc.fill_null(pc.struct_field(m, "k"), "0").cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": ks})
 
     out = (
         ev.map_batches(extract, batch_format="pyarrow")
