@@ -83,11 +83,17 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),
         "sssp_weighted": o.sssp_weighted_sql(),
-        # bc_random / doc_minhash_clusters / doc_simhash / doc_language_id /
-        # embedding_near_dup: sketch/heuristic ops, no SQL oracle —
-        # rows-only driver check; verified vs numpy oracles or
-        # constructed fixtures in tests/ (embedding_near_dup's exact
-        # counterpart embedding_cos_pairs IS oracle-checked)
+        # bc_random / knn_ivf: no SQL oracle — bc's backward pass and
+        # IVF's block-layout-dependent k-means aren't SQL-replicable;
+        # both are verified vs numpy oracles in tests/ (rows-only here)
+        "scc": o.scc_sql(),
+        "doc_language_id": o.doc_language_id_sql(),
+        "doc_simhash": o.doc_simhash_sql(),
+        "doc_fingerprints": o.doc_fingerprints_sql(),
+        "doc_ngram_jaccard": o.doc_ngram_jaccard_sql(),
+        "doc_minhash_clusters": o.doc_minhash_clusters_sql(),
+        "embedding_near_dup": o.embedding_near_dup_sql(),
+        "knn_lsh": o.knn_lsh_sql(),
         "doc_quality": o.doc_quality_sql(),
         "embedding_cos_pairs": o.embedding_cos_pairs_sql(),
         "avg_nbr_balance": o.avg_nbr_balance_sql(),

@@ -10,7 +10,6 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..common import hash64
 
 # character-trigram profiles per language (tiny heuristic n-gram
 # language ID — built from common function words; deterministic)
@@ -173,10 +172,13 @@ class Fingerprint:
         t = " ".join(text.split())
         b = np.frombuffer(t.encode("utf-8"), np.uint8)
         if len(b) <= self.k:
-            return format(hash64(t) & ((1 << 64) - 1), "016x")
-        w = np.lib.stride_tricks.sliding_window_view(b, self.k)
+            # short doc: one (possibly empty) window — same hash family
+            # as the main path, so the DuckDB oracle is one code path
+            w = b[None, :]
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(b, self.k)
         h = np.zeros(len(w), np.uint64)
-        for i in range(self.k):
+        for i in range(w.shape[1]):
             h = h * _FNV + w[:, i]
         h = _mix64(h)
         keep = np.partition(h, self.keep - 1)[: self.keep] if len(h) > self.keep else h

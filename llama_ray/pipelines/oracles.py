@@ -350,3 +350,341 @@ SELECT doc_id,
            + least(greatest(stop_ratio * 5, 0), 1) * 0.2
            + least(greatest(1 - abs(mwl - 5) / 5, 0), 1) * 0.2, 6) AS quality
 FROM g ORDER BY doc_id"""
+
+
+def scc_sql() -> str:
+    """True SCC via recursive mutual reachability (component = min id
+    in the SCC — reference partition semantics, tarjan_scc.h:56-206).
+    The link graph is a DAG by construction (edges point up the id
+    offsets), so the closure stays small; the CTE is still the honest
+    independent computation, not a hardcoded singleton map."""
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+reach AS (
+  SELECT id AS a, id AS b FROM v
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+)
+SELECT r1.a AS vertex, CAST(MIN(r1.b) AS BIGINT) AS component
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a"""
+
+
+def doc_language_id_sql() -> str:
+    """Mirror of data_ops.text.LanguageId — the same RE2 token counts
+    over the same double-space-normalized head, the same first-wins
+    argmax cascade, CJK override last."""
+    letter = "a-zäöüßéèêàùâçñ"
+    langs = {
+        "en": "the|and|of|to|in|is|that|with|for",
+        "de": "der|die|und|das|ist|nicht|ein|mit",
+        "es": "el|la|de|que|los|una|por|con",
+        "fr": "le|la|les|des|une|est|dans|pour",
+    }
+    marks = ",\n".join(
+        f"    length(regexp_extract_all(norm, ' ({pats}) ')) AS s_{k}"
+        for k, pats in langs.items()
+    )
+    return f"""WITH f AS (
+  SELECT doc_id,
+    length(regexp_extract_all(substring(text, 1, 400), '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
+    length(substring(text, 1, 400)) AS n400,
+    ' ' || regexp_replace(lower(substring(text, 1, 2000)), '[^{letter}]+', '  ', 'g') || ' ' AS norm
+  FROM documents),
+s AS (
+  SELECT doc_id, cjk, n400,
+    length(regexp_extract_all(norm, '[{letter}]+')) AS n_toks,
+{marks}
+  FROM f),
+p AS (
+  SELECT CASE
+      WHEN cjk > n400 * 0.2 THEN 'zh'
+      WHEN n_toks = 0 THEN 'unknown'
+      WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      WHEN s_es >= s_fr THEN 'es'
+      ELSE 'fr' END AS lang_pred
+  FROM s)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang_pred"""
+
+
+_POW64 = "CAST('18446744073709551616' AS HUGEINT)"
+# nonneg x: x % 2^64 == x & (2^64-1); HUGEINT bit ops measured ~24x
+# faster than HUGEINT division/modulo (13M-row projection: 2.5s -> 0.1s)
+_M64 = "CAST('18446744073709551615' AS HUGEINT)"
+
+
+def _mulmod64(a: str, c: int) -> str:
+    """SQL for ``(a * c) mod 2^64`` with both operands < 2^64 — split
+    the constant so no HUGEINT intermediate exceeds 2^65; shift/mask
+    limb arithmetic (HUGEINT div/mod is 24x slower)."""
+    lo, hi = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"(((({a}) & 4294967295) * {lo}"
+        f" + ((((({a}) & 4294967295) * {hi} + (({a}) >> 32) * {lo}) & 4294967295)"
+        f" << 32)) & {_M64})"
+    )
+
+
+def _mix64_ctes(src_cte: str, keys: str, col: str = "h", prefix: str = "mx") -> str:
+    """CTE chain applying the splitmix64 finalizer (dedup._mix64) to
+    column ``col`` of ``src_cte``; result CTE is ``{prefix}5``."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    p = prefix
+    # every stage MATERIALIZED: DuckDB otherwise inlines the chain into
+    # one expression tree where each mulmod references its input 4x and
+    # each xor 2x — a ~64x recomputation of the upstream pipeline
+    return f"""{p}1 AS MATERIALIZED (SELECT {keys}, xor({col}, {col} >> 30) AS h FROM {src_cte}),
+{p}2 AS MATERIALIZED (SELECT {keys}, {_mulmod64('h', c1)} AS h FROM {p}1),
+{p}3 AS MATERIALIZED (SELECT {keys}, xor(h, h >> 27) AS h FROM {p}2),
+{p}4 AS MATERIALIZED (SELECT {keys}, {_mulmod64('h', c2)} AS h FROM {p}3),
+{p}5 AS MATERIALIZED (SELECT {keys}, xor(h, h >> 31) AS h FROM {p}4)"""
+
+
+# fold h = h*FNV + byte over the 32-byte zero-padded UTF-8 prefix of a
+# token — dedup._token_hashes exactly (FNV < 2^41, so acc*FNV fits
+# HUGEINT with no splitting)
+_TOKEN_FOLD = """list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(range(32), i ->
+          CAST(CASE WHEN i < octet_length(encode(tok))
+               THEN CAST(('0x' || substr(hex(encode(tok)), CAST(2*i+1 AS INT), 2)) AS INT)
+               ELSE 0 END AS HUGEINT))),
+      (h, b) -> (h * 1099511628211 + b) & {m64})""".replace("{m64}", _M64)
+
+
+def doc_simhash_sql() -> str:
+    """Mirror of data_ops.dedup._SimHash: distinct lowered whitespace
+    tokens → 32-byte-padded polynomial token hash → splitmix64 → per-
+    bit majority votes → little-order bit pack, reinterpreted int64."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+  FROM documents),
+raw AS (SELECT doc_id, {_TOKEN_FOLD} AS h FROM toks),
+{_mix64_ctes('raw', 'doc_id')},
+votes AS (
+  SELECT doc_id, b.bit AS bit,
+         SUM(CASE WHEN (h >> CAST(b.bit AS INT)) % 2 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM mx5, (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(CASE WHEN sh.u >= CAST('9223372036854775808' AS HUGEINT)
+                          THEN sh.u - {_POW64} ELSE sh.u END, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id"""
+
+
+def doc_fingerprints_sql() -> str:
+    """Mirror of data_ops.text.Fingerprint: whitespace-normalize, roll
+    a 16-byte polynomial window over the UTF-8 bytes (one short window
+    when the doc is ≤ 16 bytes), splitmix64 each window, keep the 8
+    smallest, fold them sorted with the golden multiplier, hex-format."""
+    gold = 0x9E3779B97F4A7C15
+    fold_lambda = f"(a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})"
+    return f"""WITH nt AS (
+  SELECT doc_id, encode(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS b FROM documents),
+meta AS (SELECT doc_id, octet_length(b) AS L, hex(b) AS hx FROM nt),
+wins AS (
+  SELECT doc_id, L, hx, unnest(range(greatest(L - 15, 1))) AS w FROM meta),
+raw AS (
+  SELECT doc_id, w, list_reduce(
+     list_prepend(CAST(0 AS HUGEINT),
+       list_transform(range(least(16, L - w)), i ->
+         CAST(CAST(('0x' || substr(hx, CAST(2*(w+i)+1 AS INT), 2)) AS INT) AS HUGEINT))),
+     (h, x) -> (h * 1099511628211 + x) & {_M64}) AS h
+  FROM wins),
+{_mix64_ctes('raw', 'doc_id, w')},
+kept AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM mx5),
+fld AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), list(h ORDER BY h)),
+                     {fold_lambda}) AS acc
+  FROM kept WHERE rn <= 8 GROUP BY doc_id)
+SELECT doc_id, lower(lpad(hex(CAST(acc AS UBIGINT)), 16, '0')) AS fingerprint FROM fld"""
+
+
+def doc_ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """Exact word-n-gram Jaccard pairs ≥ threshold — same hashed-gram
+    feature space as data_ops.dedup._word_ngram_hashes (32-byte-padded
+    token polynomial → splitmix64 → GOLD-rolled n-gram → splitmix64 →
+    unique), then a direct pair join on shared grams. Independent of
+    the engine's LSH-prune + sort-merge-verify path (which must find
+    the same pairs: recall of the band scheme at J ≥ τ is 1 − 1e-8)."""
+    gold = 0x9E3779B97F4A7C15
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+g1 AS (
+  SELECT a.doc_id, a.pos, (({_mulmod64('a.h', gold)} + b.h) & {_M64}) AS g
+  FROM tm5 a JOIN tm5 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.ntok >= {n}),
+g2 AS (
+  SELECT a.doc_id, a.pos, (({_mulmod64('a.g', gold)} + b.h) & {_M64}) AS g
+  FROM g1 a JOIN tm5 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+shortg AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), list(h ORDER BY pos)),
+                     (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM tm5 WHERE ntok BETWEEN 1 AND {n - 1} GROUP BY doc_id),
+allg AS (SELECT doc_id, pos, g AS h FROM g2 UNION ALL SELECT doc_id, pos, g AS h FROM shortg),
+{_mix64_ctes('allg', 'doc_id, pos', prefix='gm')},
+ug AS (SELECT DISTINCT doc_id, h FROM gm5),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ug GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM ug x JOIN ug y ON x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT p.a, p.b,
+       ROUND(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.a JOIN sizes sb ON sb.doc_id = p.b
+WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= {threshold}"""
+
+
+def _planes_literals(dim: int, num_planes: int, seed: int = 42) -> list[str]:
+    """The engine's seeded hyperplane matrix as SQL list literals —
+    same numpy draw, full-precision repr (round-trips exactly)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+    return [
+        "[" + ", ".join(repr(float(x)) for x in planes[:, p]) + "]"
+        for p in range(num_planes)
+    ]
+
+
+def embedding_near_dup_sql(threshold: float = 0.4, num_planes: int = 4, dim: int = 64) -> str:
+    """Mirror of data_ops.dedup.embedding_near_dup: same seeded
+    hyperplane buckets (plane p at bit num_planes-1-p), exact cosine
+    within each bucket, canonical a < b."""
+    planes = _planes_literals(dim, num_planes)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(vn, {planes[p]}) > 0 THEN {1 << (num_planes - 1 - p)} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM c),
+b AS (
+  SELECT vec_id, vn, ({bits}) AS bucket FROM n)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_inner_product(x.vn, y.vn), 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE list_inner_product(x.vn, y.vn) >= {threshold}
+ORDER BY a, b"""
+
+
+def knn_lsh_sql(
+    n_queries: int = 5, k: int = 10, num_planes: int = 8, num_probes: int = 3, dim: int = 64
+) -> str:
+    """Mirror of data_ops.ann.knn_lsh: probing every bucket within
+    Hamming ≤ num_probes of the query's bucket ⇔ candidates with
+    popcount(xor(buckets)) ≤ num_probes; top-k by (sim desc, id asc),
+    self excluded."""
+    planes = _planes_literals(dim, num_planes)
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product(vn, {planes[p]}) > 0 THEN {1 << (num_planes - 1 - p)} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    return f"""WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS vn FROM c),
+b AS (
+  SELECT vec_id, vn, ({bits}) AS bucket FROM n),
+q AS (SELECT vec_id AS qid, vn AS qv, bucket AS qb FROM b WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.qid, b.vec_id AS neighbor_id, list_inner_product(b.vn, q.qv) AS sim
+  FROM q JOIN b ON bit_count(xor(q.qb, b.bucket)) <= {num_probes} AND b.vec_id <> q.qid),
+rk AS (
+  SELECT qid, neighbor_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM cand)
+SELECT qid, neighbor_id, ROUND(sim, 5) AS sim FROM rk WHERE rn <= {k}"""
+
+
+def doc_minhash_clusters_sql(
+    num_hashes: int = 128, bands: int = 32, shingle_k: int = 5, threshold: float = 0.8
+) -> str:
+    """Mirror of data_ops.dedup.minhash_lsh_dedup end-to-end: char
+    5-shingle hashes → the same seeded multiply-shift minhash family →
+    GOLD-folded band buckets → candidate pairs → exact hashed-shingle
+    Jaccard ≥ τ → transitive closure (min-id cluster labels)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = (rng.integers(0, 1 << 62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, num_hashes, dtype=np.uint64)
+    alo = "[" + ", ".join(str(int(x) & 0xFFFFFFFF) for x in a) + "]"
+    ahi = "[" + ", ".join(str(int(x) >> 32) for x in a) + "]"
+    bl = "[" + ", ".join(str(int(x)) for x in b) + "]"
+    gold = 0x9E3779B97F4A7C15
+    rows = num_hashes // bands
+    k = shingle_k
+    return f"""WITH RECURSIVE nt AS (
+  SELECT doc_id, encode(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS bb FROM documents),
+meta AS (SELECT doc_id, octet_length(bb) AS L, hex(bb) AS hx FROM nt WHERE octet_length(bb) > 0),
+wins AS (
+  SELECT doc_id, L, hx, unnest(range(greatest(L - {k - 1}, 1))) AS w FROM meta),
+rawsh AS (
+  SELECT doc_id, w, list_reduce(
+     list_prepend(CAST(0 AS HUGEINT),
+       list_transform(range(least({k}, L - w)), i ->
+         CAST(CAST(('0x' || substr(hx, CAST(2*(w+i)+1 AS INT), 2)) AS INT) AS HUGEINT))),
+     (h, x) -> (h * 1099511628211 + x) & {_M64}) AS h
+  FROM wins),
+{_mix64_ctes('rawsh', 'doc_id, w', prefix='sm')},
+ug AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sm5),
+params AS (
+  SELECT unnest(range({num_hashes})) AS i,
+         unnest(CAST({alo} AS HUGEINT[])) AS alo,
+         unnest(CAST({ahi} AS HUGEINT[])) AS ahi,
+         unnest(CAST({bl} AS HUGEINT[])) AS bv),
+sig AS MATERIALIZED (
+  SELECT f.doc_id, p.i,
+         MIN((((p.alo * (f.h & 4294967295)
+              + (((p.alo * (f.h >> 32) + p.ahi * (f.h & 4294967295)) & 4294967295)
+                << 32)) & {_M64}) + p.bv) & {_M64}) AS s
+  FROM ug f CROSS JOIN params p GROUP BY f.doc_id, p.i),
+bandfold AS MATERIALIZED (
+  SELECT doc_id, i // {rows} AS band,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT), list(s ORDER BY i)),
+                     (acc, v) -> (({_mulmod64('acc', gold)} + v) & {_M64})) AS g
+  FROM sig GROUP BY doc_id, i // {rows}),
+bandkey AS MATERIALIZED (
+  SELECT doc_id, band, (({_mulmod64('g', gold)} + band) & {_M64}) AS h FROM bandfold),
+{_mix64_ctes('bandkey', 'doc_id, band', prefix='bm')},
+bmx AS MATERIALIZED (SELECT doc_id, band, h FROM bm5),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bmx x JOIN bmx y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM ug GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, COUNT(*) AS n
+  FROM cand c JOIN ug x ON x.doc_id = c.a JOIN ug y ON y.doc_id = c.b AND y.h = x.h
+  GROUP BY c.a, c.b),
+verified AS MATERIALIZED (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.n AS DOUBLE) / (sa.sz + sb.sz - i.n) >= {threshold}),
+und AS (SELECT a AS id, b AS peer FROM verified UNION SELECT b, a FROM verified),
+cc AS (
+  SELECT id, id AS label FROM (SELECT DISTINCT id FROM und)
+  UNION
+  SELECT u.id, c.label FROM und u JOIN cc c ON c.id = u.peer
+)
+SELECT d.doc_id, CAST(COALESCE(m.lab, d.doc_id) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
+  ON m.id = d.doc_id"""
