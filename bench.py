@@ -24,11 +24,49 @@ and any engine anti-scales).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
 import sys
 import time
+
+
+def _cpu_totals():
+    """(total_jiffies, steal_jiffies) from /proc/stat — hypervisor CPU
+    steal is the measured cause of round-3's bench drift (BASELINE
+    §3.2e); recording it alongside each run separates tenant noise
+    from engine regressions."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
+def _historical_best(sf_dir: str, num_cpus: int) -> dict:
+    """Fastest per-query seconds across committed BENCH_r*.json, only
+    from runs with the SAME scale factor and CPU count (a sf0.01/8cpu
+    smoke must not be graded against sf0.1/32cpu history)."""
+    best: dict[str, float] = {}
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or rec
+            if os.path.basename(os.path.normpath(str(parsed.get("sf", "")))) != sf_name:
+                continue
+            if int(parsed.get("num_cpus", -1)) != num_cpus:
+                continue
+            for k, v in parsed.get("queries", {}).items():
+                if isinstance(v, (int, float)) and (k not in best or v < best[k]):
+                    best[k] = float(v)
+        except Exception:
+            continue
+    return best
 
 
 def run_benchmark() -> dict:
@@ -38,6 +76,7 @@ def run_benchmark() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpu0, steal0 = _cpu_totals()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -183,12 +222,98 @@ def run_benchmark() -> dict:
     ingest_sec = time.perf_counter() - t0
     timings["repo_ingest"] = ingest_sec
 
+    # SCC at depth/scale (VERDICT r3 item 8): rmat(22, 8) ≈ 33M edges
+    # through trim + FB coloring; loud caps mean this row also proves
+    # convergence at scale, not just speed
+    from llama_ray.algos.components import strongly_connected_components
+    from llama_ray.sources.generators import rmat as _rmat
+
+    scc_scale = int(os.environ.get("GRAFT_SCC_SCALE", "22"))
+    g_scc = build_graph(_rmat(scc_scale, 8, seed=42))
+    t0 = time.perf_counter()
+    scc_res = strongly_connected_components(g_scc)
+    timings["scc_rmat22"] = time.perf_counter() - t0
+    n_scc = int(len(set(scc_res.state["label"].tolist())))
+    del g_scc, scc_res
+
+    # exact dedup at 1M docs — the content-hash + groupby(h) + min-id
+    # path (the 100 TB-hot stage, columnar-hash kernel since r4)
+    dedup_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "1000000"))
+    docs_ds = (
+        generate_repo_files(
+            n_repos=max(1, dedup_docs // 400), files_per_repo=400, touches_per_file=1
+        )
+        .map_batches(
+            lambda b: {
+                "doc_id": __import__("numpy").arange(b.num_rows, dtype="int64"),
+                "text": b.column("content"),
+            },
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    from llama_ray.data_ops.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    n_distinct = exact_dedup(docs_ds).count()
+    timings["exact_dedup_1m"] = time.perf_counter() - t0
+    del docs_ds
+
+    # streaming micro-batch loop (reference benchmark.cc:1769-1893:
+    # pull -> checkpoint -> window-advance -> task, per batch)
+    import shutil as _sh
+
+    from llama_ray.snapshots.store import SnapshotStore, stream_ingest
+
+    stream_dir = "/tmp/bench_stream_store"
+    _sh.rmtree(stream_dir, ignore_errors=True)
+    store = SnapshotStore(stream_dir)
+    n_batches, batch_edges, window = 8, 100_000, 4
+    batches = [
+        _rmat(17, 1, seed=100 + k).materialize() for k in range(n_batches)
+    ]  # ~131k-edge micro-batches, pre-generated (pull cost excluded)
+    phase = {"task": 0.0}
+
+    def per_batch(st, lvl):
+        t = time.perf_counter()
+        gw = build_graph(st.edges(at_level=lvl))
+        r = pagerank(gw, max_iters=5)
+        phase["task"] += time.perf_counter() - t
+        return r.iterations
+
+    t0 = time.perf_counter()
+    stream_ingest(store, batches, window=window, on_snapshot=per_batch, overlap=True)
+    stream_sec = time.perf_counter() - t0
+    timings["streaming_pagerank"] = stream_sec
+    timings["streaming_task_phase"] = phase["task"]
+    _sh.rmtree(stream_dir, ignore_errors=True)
+
     edges_processed = g.num_edges * 10
+    cpu1, steal1 = _cpu_totals()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(cpu1 - cpu0, 1), 2) if cpu1 > cpu0 else None
+    )
+    # soft regression gate (reference tests/run-tests.sh:359-379:
+    # >5% over the historical fastest flags a regression) — informative
+    # only, because hypervisor steal (recorded above) can exceed 5%
+    best = _historical_best(sf_dir, num_cpus)
+    regressions = [
+        {"query": k, "sec": round(v, 3), "best": best[k], "ratio": round(v / best[k], 2)}
+        for k, v in timings.items()
+        if k in best and best[k] > 0 and v > best[k] * 1.05
+    ]
     result = {
         "metric": "pagerank_10iter_sec",
         "value": round(pagerank_sec, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "steal_pct": steal_pct,
+        "regressions": regressions,
+        "scc_components": n_scc,
+        "dedup_docs": dedup_docs,
+        "dedup_distinct": n_distinct,
+        "streaming_batches": n_batches,
+        "streaming_window": window,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "vertices": g.num_vertices,

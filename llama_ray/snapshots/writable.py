@@ -102,6 +102,52 @@ class WritableGraph:
     def delete_node(self, node: int) -> None:
         self._del_nodes.append(node)
 
+    # ---------------------------------------------------- transactions
+    #
+    # Reference surface (`ll_writable_graph.h:176-212`): tx_begin hands
+    # out a timestamp, tx_commit decrements a counter, tx_abort calls
+    # abort() — near-no-ops over the batch write store. Here the batch
+    # semantics make them real: begin marks the pending-buffer state,
+    # commit checkpoints (the durability barrier), abort rolls the
+    # buffers back to the mark.
+
+    def tx_begin(self) -> int:
+        """Mark the pending-mutation state; returns a tx id."""
+        self._tx_mark = (
+            len(self._add_src),
+            len(self._add_nodes),
+            len(self._bulk),
+            len(self._del_pairs),
+            len(self._del_nodes),
+            {k: dict(v) for k, v in self._node_props.items()},
+            {k: dict(v) for k, v in self._edge_props.items()},
+        )
+        self._tx_id = getattr(self, "_tx_id", 0) + 1
+        return self._tx_id
+
+    def tx_commit(self) -> int | None:
+        """Checkpoint the pending delta — the commit barrier. Returns
+        the new level (None when nothing was written)."""
+        self._tx_mark = None
+        return self.checkpoint()
+
+    def tx_abort(self) -> None:
+        """Drop every mutation buffered since ``tx_begin`` (immutable
+        levels mean nothing earlier can have been touched)."""
+        mark = getattr(self, "_tx_mark", None)
+        if mark is None:
+            raise RuntimeError("tx_abort without tx_begin")
+        n_add, n_nodes, n_bulk, n_delp, n_deln, nprops, eprops = mark
+        del self._add_src[n_add:]
+        del self._add_dst[n_add:]
+        del self._add_nodes[n_nodes:]
+        del self._bulk[n_bulk:]
+        del self._del_pairs[n_delp:]
+        del self._del_nodes[n_deln:]
+        self._node_props = nprops
+        self._edge_props = eprops
+        self._tx_mark = None
+
     # ------------------------------------------------------ checkpoint
 
     def _probe_store(self, probe_struct: np.ndarray) -> np.ndarray:

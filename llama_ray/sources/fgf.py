@@ -39,8 +39,36 @@ import struct
 import pyarrow as pa
 import ray.data as rd
 
+# full FGF-compatible type-code set (ll_common.h:182-188); values are
+# big-endian via the primitive readers (ll_load_fgf.h:1305-1357):
+# boolean one byte, int16/int32/int64 signed BE, float/double IEEE BE
 _T_STRING = 0x01
+_T_BOOLEAN = 0x10
+_T_INT16 = 0x11
 _T_INT32 = 0x12
+_T_INT64 = 0x13
+_T_FLOAT = 0x20
+_T_DOUBLE = 0x21
+
+_ARROW_OF = {
+    _T_STRING: pa.string(),
+    _T_BOOLEAN: pa.bool_(),
+    _T_INT16: pa.int16(),
+    _T_INT32: pa.int32(),
+    _T_INT64: pa.int64(),
+    _T_FLOAT: pa.float32(),
+    _T_DOUBLE: pa.float64(),
+}
+
+_NAME_OF_CODE = {
+    "string": _T_STRING,
+    "boolean": _T_BOOLEAN,
+    "int16": _T_INT16,
+    "int32": _T_INT32,
+    "int64": _T_INT64,
+    "float": _T_FLOAT,
+    "double": _T_DOUBLE,
+}
 
 
 class _JavaBlockReader:
@@ -90,6 +118,15 @@ class _JavaBlockReader:
     def long(self) -> int:
         return struct.unpack(">q", self.read(8))[0]
 
+    def int16(self) -> int:
+        return struct.unpack(">h", self.read(2))[0]
+
+    def float32(self) -> float:
+        return struct.unpack(">f", self.read(4))[0]
+
+    def float64(self) -> float:
+        return struct.unpack(">d", self.read(8))[0]
+
     def string(self) -> str:
         return self.read(self.short()).decode("utf-8")
 
@@ -108,7 +145,22 @@ def _read_props(r: _JavaBlockReader, prop_types):
     for _ in range(r.compressed()):
         ti = r.compressed()
         name, code = prop_types[ti]
-        out[name] = r.string() if code == _T_STRING else r.int32()
+        if code == _T_STRING:
+            out[name] = r.string()
+        elif code == _T_BOOLEAN:
+            out[name] = r.byte() != 0
+        elif code == _T_INT16:
+            out[name] = r.int16()
+        elif code == _T_INT32:
+            out[name] = r.int32()
+        elif code == _T_INT64:
+            out[name] = r.long()
+        elif code == _T_FLOAT:
+            out[name] = r.float32()
+        elif code == _T_DOUBLE:
+            out[name] = r.float64()
+        else:  # unreachable: codes validated at ATTR parse
+            raise ValueError(f"unsupported FGF property type 0x{code:x}")
     return out
 
 
@@ -162,7 +214,7 @@ def read_fgf(path: str):
         for _ in range(num_prop_types):
             name = string()
             (code,) = struct.unpack(">H", f.read(2))
-            if code not in (_T_STRING, _T_INT32):
+            if code not in _ARROW_OF:
                 raise ValueError(f"unsupported FGF property type 0x{code:x}")
             prop_types.append((name, code))
 
@@ -209,8 +261,7 @@ def read_fgf(path: str):
             elif k == "kind":
                 arrays[k] = pa.array(vals, pa.string())
             else:
-                code = dict(prop_types)[k]
-                arrays[k] = pa.array(vals, pa.string() if code == _T_STRING else pa.int32())
+                arrays[k] = pa.array(vals, _ARROW_OF[dict(prop_types)[k]])
         return pa.table(arrays)
 
     nodes_t = table(node_rows, ["node", "kind"])
@@ -257,6 +308,15 @@ class _JavaBlockWriter:
     def long(self, v):
         self.write(struct.pack(">q", v))
 
+    def int16(self, v):
+        self.write(struct.pack(">h", v))
+
+    def float32(self, v):
+        self.write(struct.pack(">f", v))
+
+    def float64(self, v):
+        self.write(struct.pack(">d", v))
+
     def string(self, s: str):
         b = s.encode("utf-8")
         self.short(len(b))
@@ -291,9 +351,11 @@ def write_fgf(
     edge_type: str = "edge",
 ) -> None:
     """Minimal conformant FGF v1 writer (round-trip tests; also handy
-    to hand data back to reference tooling)."""
+    to hand data back to reference tooling). ``prop_types`` maps
+    names to any of the 7 FGF type names: string, boolean, int16,
+    int32, int64, float, double."""
     prop_types = prop_types or []
-    codes = [( n, _T_STRING if t == "string" else _T_INT32) for n, t in prop_types]
+    codes = [(n, _NAME_OF_CODE[t]) for n, t in prop_types]
     idx = {n: i for i, (n, _) in enumerate(codes)}
     vertex_props = vertex_props or [{} for _ in range(num_vertices)]
 
@@ -323,10 +385,21 @@ def write_fgf(
             w.compressed(len(props))
             for k, val in props.items():
                 w.compressed(idx[k])
-                if codes[idx[k]][1] == _T_STRING:
+                code = codes[idx[k]][1]
+                if code == _T_STRING:
                     w.string(str(val))
-                else:
+                elif code == _T_BOOLEAN:
+                    w.byte(1 if val else 0)
+                elif code == _T_INT16:
+                    w.int16(int(val))
+                elif code == _T_INT32:
                     w.int32(int(val))
+                elif code == _T_INT64:
+                    w.long(int(val))
+                elif code == _T_FLOAT:
+                    w.float32(float(val))
+                else:
+                    w.float64(float(val))
 
         w = _JavaBlockWriter(f)
         w.write(b"NODE")

@@ -320,3 +320,35 @@ def test_core_numbers_fixture():
     res = core_numbers(g)
     got = dict(zip(g.ids.tolist(), res.state["core"].tolist()))
     assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 1}
+
+
+@pytest.mark.slow
+def test_scc_long_cycle_in_rmat_background():
+    """A diameter-10^4+ cycle embedded in an R-MAT background must
+    CONVERGE through the FB-coloring inner loops (the r2 fix raises on
+    cap exhaustion instead of truncating — this proves realistic-depth
+    inputs never hit the caps), and the labels must match Tarjan."""
+    from llama_ray.algos.components import strongly_connected_components
+    from llama_ray.sources.generators import rmat
+    from np_oracles import tarjan_scc_np
+
+    bg = rmat(12, 4, seed=7).to_pandas()  # 4096-vertex background
+    L = 12_000  # cycle diameter >> any R-MAT path length
+    base = 1 << 20  # disjoint id range
+    cyc_src = np.arange(L, dtype=np.int64) + base
+    cyc_dst = np.concatenate([cyc_src[1:], cyc_src[:1]])
+    # a few bridges background -> cycle (keeps it one weak component,
+    # still exactly one giant SCC = the cycle)
+    bridge_src = np.array([0, 1, 2], np.int64)
+    bridge_dst = np.array([base, base + 5, base + 11_000], np.int64)
+    src = np.concatenate([bg["src"].to_numpy(), cyc_src, bridge_src])
+    dst = np.concatenate([bg["dst"].to_numpy(), cyc_dst, bridge_dst])
+    g = build_graph(edges_ds(src, dst))
+    res = strongly_connected_components(g)  # raises if any cap is hit
+    s = np.searchsorted(g.ids, src)
+    d = np.searchsorted(g.ids, dst)
+    expect = g.ids[tarjan_scc_np(s, d, g.num_vertices)]
+    assert np.array_equal(res.state["label"], expect)
+    # the cycle is one SCC labeled by its min id
+    cyc_pos = np.searchsorted(g.ids, cyc_src)
+    assert (res.state["label"][cyc_pos] == base).all()

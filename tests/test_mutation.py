@@ -254,3 +254,34 @@ def test_property_survives_flatten(tmp_path):
     assert len(st.levels()) == 1
     assert _prop_dict(st.node_property("score")) == {0: 2.0}
     assert _prop_dict(st.edge_property("w8"), key="edge") == {(0, 1): 3.5}
+
+
+def test_tx_begin_commit_abort(tmp_path):
+    """tx shim over the batch write store (reference surface
+    ll_writable_graph.h:176-212): commit = checkpoint barrier, abort
+    rolls pending buffers back to the tx_begin mark."""
+    from llama_ray.snapshots.store import SnapshotStore
+    from llama_ray.snapshots.writable import WritableGraph
+
+    g = WritableGraph(SnapshotStore(str(tmp_path)))
+    g.add_edge(0, 1)
+    tx = g.tx_begin()
+    assert tx > 0
+    g.add_edge(1, 2)
+    g.set_node_property("age", 5, 50)
+    g.tx_abort()  # drops (1,2) and the prop write, keeps pre-tx (0,1)
+    lvl = g.tx_commit()
+    assert lvl is not None
+    df = g.ro_edges().to_pandas()
+    assert df[["src", "dst"]].values.tolist() == [[0, 1]]
+    assert "age" not in g.store.property_names("node_props")
+    # commit path: mutations inside the tx land
+    g.tx_begin()
+    g.add_edge(1, 2)
+    g.tx_commit()
+    assert sorted(map(tuple, g.ro_edges().to_pandas()[["src", "dst"]].values.tolist())) == [(0, 1), (1, 2)]
+    # abort without begin is an error
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        g.tx_abort()

@@ -108,3 +108,46 @@ def test_fgf_roundtrip(tmp_path):
     assert out["meta"]["edge_types"] == [("edge", len(edges))]
     # registry dispatch by extension
     assert load_edges(p).count() == len(edges)
+
+
+def test_fgf_all_seven_property_types(tmp_path):
+    """Round-trip every FGF type code (ll_common.h:182-188): string,
+    boolean, int16, int32, int64, float, double."""
+    import numpy as np
+
+    from llama_ray.sources.fgf import read_fgf, write_fgf
+
+    path = str(tmp_path / "types.fgf")
+    props = [
+        ("name", "string"), ("flag", "boolean"), ("small", "int16"),
+        ("mid", "int32"), ("big", "int64"), ("ratio", "float"), ("score", "double"),
+    ]
+    vp = [
+        {"name": "a", "flag": True, "small": -123, "mid": 1 << 20,
+         "big": -(1 << 40), "ratio": 1.5, "score": 2.25e-3},
+        {"name": "b", "flag": False, "small": 32767, "mid": -(1 << 31),
+         "big": (1 << 62), "ratio": -0.25, "score": -1e100},
+        {},  # no props — nulls in every property column
+    ]
+    edges = [(0, 1, {"score": 0.125, "flag": True}), (1, 2, {"big": 7})]
+    write_fgf(path, num_vertices=3, edges=edges, vertex_props=vp, prop_types=props)
+    out = read_fgf(path)
+    nd = out["nodes"].to_pandas().sort_values("node").reset_index(drop=True)
+    assert nd["name"].tolist()[:2] == ["a", "b"] and nd["name"].isna().tolist() == [False, False, True]
+    assert nd["flag"].tolist()[:2] == [True, False]
+    assert nd["small"].tolist()[:2] == [-123, 32767]
+    assert nd["mid"].tolist()[:2] == [1 << 20, -(1 << 31)]
+    assert nd["big"].tolist()[:2] == [-(1 << 40), 1 << 62]
+    assert np.isclose(nd["ratio"][0], 1.5) and np.isclose(nd["ratio"][1], -0.25)
+    assert nd["score"][1] == -1e100  # double keeps full range
+    ed = out["edges"].to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert ed[["src", "dst"]].values.tolist() == [[0, 1], [1, 2]]
+    assert ed["score"][0] == 0.125 and ed["flag"][0] == True  # noqa: E712
+    assert ed["big"][1] == 7
+    # arrow schema carries the exact types
+    sch = out["nodes"].schema()
+    import pyarrow as pa
+    types = dict(zip(sch.names, sch.types))
+    assert types["flag"] == pa.bool_() and types["small"] == pa.int16()
+    assert types["big"] == pa.int64() and types["ratio"] == pa.float32()
+    assert types["score"] == pa.float64()
