@@ -83,9 +83,11 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),
         "sssp_weighted": o.sssp_weighted_sql(),
-        # bc_random / knn_ivf: no SQL oracle — bc's backward pass and
-        # IVF's block-layout-dependent k-means aren't SQL-replicable;
-        # both are verified vs numpy oracles in tests/ (rows-only here)
+        # knn_ivf is the single rows-only query left: its spherical
+        # k-means centroids depend on Ray's block layout (per-block
+        # float partial sums), which SQL cannot replicate bit-exactly;
+        # recall/exactness are pytest-verified instead
+        "bc_random": o.bc_random_sql(),
         "scc": o.scc_sql(),
         "doc_language_id": o.doc_language_id_sql(),
         "doc_simhash": o.doc_simhash_sql(),

@@ -688,3 +688,52 @@ cc AS (
 SELECT d.doc_id, CAST(COALESCE(m.lab, d.doc_id) AS BIGINT) AS cluster
 FROM documents d LEFT JOIN (SELECT id, MIN(label) AS lab FROM cc GROUP BY id) m
   ON m.id = d.doc_id"""
+
+
+def bc_random_sql(k_sources: int = 16, max_depth: int = 12) -> str:
+    """Unrolled multi-source Brandes (mirror of algos/bc.py over the
+    16 smallest vertex ids): forward level-synchronous BFS with
+    shortest-path counts, then the backward dependency accumulation
+    level by level (deepest first). ``max_depth`` unrolls past the
+    link graph's diameter; empty levels are no-ops, so parity only
+    needs max_depth >= true depth."""
+    steps = [
+        f"srcs AS MATERIALIZED (SELECT id AS s FROM v ORDER BY id LIMIT {k_sources})",
+        "f0 AS MATERIALIZED (SELECT s, s AS id, 0 AS dist, CAST(1 AS DOUBLE) AS sigma FROM srcs)",
+        "a0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for l in range(max_depth):
+        steps.append(
+            f"""f{l + 1} AS MATERIALIZED (
+  SELECT f.s, e.dst AS id, {l + 1} AS dist, SUM(f.sigma) AS sigma
+  FROM f{l} f JOIN e ON e.src = f.id
+  LEFT JOIN a{l} seen ON seen.s = f.s AND seen.id = e.dst
+  WHERE seen.id IS NULL
+  GROUP BY f.s, e.dst)"""
+        )
+        steps.append(
+            f"a{l + 1} AS MATERIALIZED (SELECT * FROM a{l} UNION ALL SELECT * FROM f{l + 1})"
+        )
+    A = f"a{max_depth}"
+    # backward: delta at level l uses only deltas at level l+1
+    steps.append(
+        f"d{max_depth} AS MATERIALIZED (SELECT s, id, CAST(0 AS DOUBLE) AS delta FROM {A} WHERE FALSE)"
+    )
+    for l in range(max_depth - 1, 0, -1):
+        steps.append(
+            f"""d{l} AS MATERIALIZED (
+  SELECT av.s, av.id,
+         SUM(av.sigma / aw.sigma * (1 + COALESCE(dw.delta, 0))) AS delta
+  FROM {A} av JOIN e ON e.src = av.id
+  JOIN {A} aw ON aw.s = av.s AND aw.id = e.dst AND aw.dist = {l + 1}
+  LEFT JOIN d{l + 1} dw ON dw.s = av.s AND dw.id = e.dst
+  WHERE av.dist = {l}
+  GROUP BY av.s, av.id)"""
+        )
+    deltas = " UNION ALL ".join(f"SELECT * FROM d{l}" for l in range(1, max_depth + 1))
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body},
+alld AS (SELECT id, SUM(delta) AS bc FROM ({deltas}) GROUP BY id)
+SELECT v.id AS vertex, ROUND(COALESCE(alld.bc, 0), 6) AS bc
+FROM v LEFT JOIN alld ON alld.id = v.id"""

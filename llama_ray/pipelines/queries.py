@@ -292,13 +292,16 @@ def q_top_referenced(sf_dir: str, *, k: int = 20):
 
 
 def q_bc_random(sf_dir: str):
-    """Approximate betweenness from 16 seeded sources (reference
-    bc_random semantics; no SQL oracle — verified vs the Brandes
-    numpy oracle in tests)."""
+    """Approximate betweenness from 16 sources (reference bc_random
+    shape, `bc_random.h:120-220`). Sources are the 16 smallest vertex
+    ids — the random pick isn't semantic, and a deterministic set
+    makes the unrolled-Brandes DuckDB oracle possible; the seeded-
+    random mode stays covered by the numpy Brandes tests."""
     from ..algos.bc import betweenness_centrality
 
     g = _cached_tpch_graph(sf_dir)
-    bc = betweenness_centrality(g, num_sources=16, seed=42)
+    # g.ids is sorted, so dense indices 0..15 are the 16 smallest ids
+    bc = betweenness_centrality(g, sources=np.arange(min(16, g.num_vertices)))
     return pa.table({"vertex": g.ids, "bc": np.round(bc, 6)})
 
 
