@@ -145,8 +145,34 @@ class ExtractLinkEdges:
 
 
 def add_sha256(batch: pa.Table) -> pa.Table:
-    """sha256(content) column (the ingest invariant)."""
-    digests = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in batch.column("content").to_pylist()]
+    """sha256(content) column (the ingest invariant).
+
+    The digest itself is inherently per-row, but the bytes are hashed
+    straight out of the Arrow data buffer (offset slicing of a
+    ``memoryview``) — no Python ``str`` materialization, no UTF-8
+    re-encode, no ``to_pylist``.  At 100 TB the hash is then the only
+    per-row cost left in this stage.
+    """
+    col = batch.column("content").combine_chunks()
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    digests: list[str] = []
+    for chunk in chunks:
+        if len(chunk) == 0:
+            continue
+        if chunk.null_count:
+            # rare path: fall back to per-value access for null handling
+            digests.extend(
+                None if v is None else hashlib.sha256(v.encode("utf-8")).hexdigest()
+                for v in chunk.to_pylist()
+            )
+            continue
+        arr = chunk.cast(pa.large_string()) if chunk.type == pa.string() else chunk
+        buf_off = memoryview(arr.buffers()[1])
+        data = memoryview(arr.buffers()[2]) if arr.buffers()[2] is not None else memoryview(b"")
+        offs = np.frombuffer(buf_off, np.int64, len(arr) + 1, arr.offset * 8)
+        digests.extend(
+            hashlib.sha256(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))
+        )
     return batch.append_column("content_sha256", pa.array(digests, pa.string()))
 
 
