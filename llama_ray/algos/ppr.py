@@ -25,7 +25,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..common import PAGERANK_D, batch_to_numpy
+from ..common import PAGERANK_D, batch_to_numpy, binary_matrix
 from ..engine.superstep import SuperstepLoop, SuperstepResult
 from ..graph import Graph
 
@@ -112,7 +112,7 @@ def personalized_pagerank(
                 batch_size=1 << 20, batch_format="pyarrow"
             ):
                 dsts = batch_to_numpy(b, "dst")
-                rows = np.stack([np.frombuffer(x) for x in b.column("v").to_pylist()])
+                rows = binary_matrix(b.column("v"))
                 np.add.at(acc, dsts, rows)
         new = restart + damping * acc
         diff = float(np.abs(new - rank).sum())

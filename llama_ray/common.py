@@ -145,6 +145,31 @@ def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def binary_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Decode a fixed-width ``binary`` column of packed vectors into an
+    ``(n, dim)`` matrix with ONE buffer view — no per-row ``bytes``
+    objects, no per-row ``np.frombuffer``.
+
+    The rows must be non-null and equal-width (the packed-embedding
+    invariant of the LSH/near-dup stages); raises otherwise.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    itemsize = np.dtype(dtype).itemsize
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    if col.null_count:
+        raise ValueError("binary_matrix: null vectors not supported")
+    arr = col.cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, arr.offset * 8)
+    widths = np.diff(offs)
+    if not (widths == widths[0]).all() or widths[0] % itemsize:
+        raise ValueError("binary_matrix: rows are not uniform packed vectors")
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data[offs[0] : offs[-1]].view(dtype).reshape(n, -1)
+
+
 def ensure_threadsafe_fs_imports() -> None:
     """Make Ray Data's lazy ``fsspec.implementations.http`` probe
     thread-deterministic. With aiohttp absent the import fails and is

@@ -97,9 +97,10 @@ def _query_bucketed(refs, lo, hi, probe, qrow, Qn, qids, k, exclude_self):
 
     @ray.remote
     def probe_block(tbl: pa.Table, qrows, buckets, Qn_, qids_, kk, excl):
+        from ..common import binary_matrix
+
         b = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
         ids = tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
-        vecs = tbl.column("vec").to_pylist()
         V = None
         oq, on, os_ = [], [], []
         for qr in np.unique(qrows):
@@ -114,7 +115,7 @@ def _query_bucketed(refs, lo, hi, probe, qrow, Qn, qids, k, exclude_self):
                 continue
             rows = np.concatenate(sel)
             if V is None:
-                V = np.stack([np.frombuffer(v, np.float64) for v in vecs])
+                V = binary_matrix(tbl.column("vec"))
             cand_ids = ids[rows]
             s = V[rows] @ Qn_[qr]
             if excl:

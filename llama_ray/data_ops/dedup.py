@@ -36,7 +36,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from ..common import batch_to_numpy, content_hash_column
+from ..common import batch_to_numpy, binary_matrix, content_hash_column
 
 logger = logging.getLogger(__name__)
 
@@ -717,7 +717,7 @@ def embedding_near_dup(
 
     srt = emb.map_batches(bucketize, batch_format="pyarrow").sort("bucket").materialize()
 
-    def _verify(bucket, ids, vec_list):
+    def _verify(bucket, ids, vec_mat):
         """All pairs ≥ τ within equal-bucket runs of sorted rows —
         vectorized across every run at once (a vector has exactly one
         bucket, so each pair occurs exactly once; no dedup needed).
@@ -741,7 +741,7 @@ def embedding_near_dup(
         if len(li) == 0:
             return None
         kept_rows = np.flatnonzero(keep)
-        V = np.stack([np.frombuffer(vec_list[r], np.float64) for r in kept_rows])
+        V = vec_mat[kept_rows]
         sims = np.einsum("ij,ij->i", V[li], V[ri])
         m = sims >= threshold
         ids_k = ids[kept_rows]
@@ -758,7 +758,7 @@ def embedding_near_dup(
         out = _verify(
             bucket[inner],
             batch_to_numpy(tbl, "id")[inner],
-            [v for v, k in zip(tbl.column("vec").to_pylist(), inner) if k],
+            binary_matrix(tbl.column("vec"))[inner],
         )
         return out if out is not None else empty
 
@@ -770,7 +770,7 @@ def embedding_near_dup(
         out = _verify(
             batch_to_numpy(btbl, "bucket"),
             batch_to_numpy(btbl, "id"),
-            btbl.column("vec").to_pylist(),
+            binary_matrix(btbl.column("vec")),
         )
         if out is not None and len(out["a"]):
             main = main.union(

@@ -96,3 +96,41 @@ def test_graph_builds_from_ingest(repo_files):
     assert g.num_vertices > 0
     assert g.num_edges > 0
     assert g.out_degrees.sum() == g.num_edges
+
+
+def test_add_sha256_buffer_path_edge_cases():
+    """The buffer-sliced digest path agrees with hashlib on nulls,
+    unicode, empties, and non-zero-offset (sliced) arrays."""
+    import pyarrow as pa
+
+    from llama_ray.ingest.extract import add_sha256
+
+    texts = ["", "héllo ✓", None, "x" * 5000, "tab\tnl\n"]
+    t = pa.table({"content": pa.array(texts, pa.string())})
+    got = add_sha256(t).column("content_sha256").to_pylist()
+    want = [None if v is None else hashlib.sha256(v.encode()).hexdigest() for v in texts]
+    assert got == want
+
+    sliced = pa.table({"content": pa.array(["a", "bb", "ccc", "dddd"]).slice(1, 2)})
+    got2 = add_sha256(sliced).column("content_sha256").to_pylist()
+    assert got2 == [hashlib.sha256(b"bb").hexdigest(), hashlib.sha256(b"ccc").hexdigest()]
+
+    assert add_sha256(pa.table({"content": pa.array([], pa.string())})).num_rows == 0
+
+
+def test_binary_matrix_kernel():
+    """One-buffer-view decode of packed float64 vectors: round-trips,
+    handles slices/chunks, rejects ragged rows."""
+    import pyarrow as pa
+
+    from llama_ray.common import binary_matrix
+
+    M = np.arange(35, dtype=np.float64).reshape(7, 5)
+    arr = pa.array([r.tobytes() for r in M], pa.binary())
+    assert np.array_equal(binary_matrix(arr), M)
+    assert np.array_equal(binary_matrix(arr.slice(2, 3)), M[2:5])
+    chunked = pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    assert np.array_equal(binary_matrix(chunked), M)
+    assert binary_matrix(pa.array([], pa.binary())).shape == (0, 0)
+    with pytest.raises(ValueError):
+        binary_matrix(pa.array([b"123", b"12345678"]))
