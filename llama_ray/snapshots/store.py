@@ -503,6 +503,7 @@ def stream_ingest(
     window: int | None = None,
     on_snapshot=None,
     overlap: bool = True,
+    phase_metrics: list | None = None,
 ):
     """Micro-batch streaming loop (reference ``benchmark.cc:1769-1893``):
     for each incoming edge Dataset: checkpoint it as a level, run
@@ -515,15 +516,46 @@ def stream_ingest(
     immutable and ingest only *adds* a level; the sliding-window
     delete is deferred until the in-flight analytics completes, so a
     reader holding ``edges(at_level=k)`` never loses files under it.
+
+    If ``phase_metrics`` is a list, one dict per batch is appended
+    with the reference benchmark's load-phase split
+    (``benchmark.cc`` §6): ``pull_s`` (checkpoint the delta as a
+    level), ``window_s`` (sliding-window advance), ``task_s`` (the
+    per-batch analytics; wall time of the call, which under
+    ``overlap`` runs concurrently with the next pull).
     """
+    import time as _time
+
     results = []
+
+    def _timed_task(st, lvl, rec):
+        t0 = _time.perf_counter()
+        out = on_snapshot(st, lvl)
+        if rec is not None:
+            rec["task_s"] = _time.perf_counter() - t0
+        return out
+
+    def _phase(level_idx: int):
+        if phase_metrics is None:
+            return None
+        rec = {"level": level_idx, "pull_s": 0.0, "window_s": 0.0}
+        phase_metrics.append(rec)
+        return rec
+
     if on_snapshot is None or not overlap:
         for delta in batches:
+            t0 = _time.perf_counter()
             level = store.ingest_batch(delta)
+            rec = _phase(level)
+            if rec is not None:
+                rec["pull_s"] = _time.perf_counter() - t0
             if window is not None:
+                t0 = _time.perf_counter()
                 store.set_window(window)
+                if rec is not None:
+                    rec["window_s"] = _time.perf_counter() - t0
             if on_snapshot is not None:
-                results.append(on_snapshot(store, level))
+                results.append(_timed_task(store, level, rec))
         return results
 
     from concurrent.futures import ThreadPoolExecutor
@@ -534,12 +566,20 @@ def stream_ingest(
     pending = None
     with ThreadPoolExecutor(max_workers=1) as pool:
         for delta in batches:
+            t0 = _time.perf_counter()
             level = store.ingest_batch(delta)  # overlaps with pending analytics
+            pull_s = _time.perf_counter() - t0
             if pending is not None:
                 results.append(pending.result())
+            rec = _phase(level)
+            if rec is not None:
+                rec["pull_s"] = pull_s
             if window is not None:
+                t0 = _time.perf_counter()
                 store.set_window(window)
-            pending = pool.submit(on_snapshot, store, level)
+                if rec is not None:
+                    rec["window_s"] = _time.perf_counter() - t0
+            pending = pool.submit(_timed_task, store, level, rec)
         if pending is not None:
             results.append(pending.result())
     return results

@@ -232,3 +232,27 @@ def test_flatten_keeps_readded_entity_props(tmp_path):
     assert ap[["node", "value"]].values.tolist() == [[7, 70]]
     ep = st.edge_property("cap").to_pandas()
     assert ep[["src", "dst", "value"]].values.tolist() == [[0, 1, 3]]
+
+
+def test_stream_ingest_phase_metrics(tmp_path):
+    """phase_metrics records the reference's per-batch load-phase
+    split (pull / window-advance / task) in both overlap modes, with
+    each task_s landing on its own batch's record."""
+    for overlap in (True, False):
+        st = SnapshotStore(str(tmp_path / f"ov{overlap}"))
+        phases: list = []
+        counts = stream_ingest(
+            st,
+            [ds_of([(k, k + 1)]) for k in range(3)],
+            window=2,
+            on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count(),
+            overlap=overlap,
+            phase_metrics=phases,
+        )
+        assert counts == [1, 2, 2]
+        assert len(phases) == 3
+        for rec in phases:
+            assert rec["pull_s"] > 0
+            assert rec["window_s"] >= 0
+            assert rec["task_s"] > 0
+        assert [r["level"] for r in phases] == sorted(r["level"] for r in phases)
