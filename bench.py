@@ -222,6 +222,25 @@ def run_benchmark() -> dict:
     ingest_sec = time.perf_counter() - t0
     timings["repo_ingest"] = ingest_sec
 
+    # --- fresh Ray session for the standalone heavyweight rows ---
+    # SCC/dedup/streaming are separate jobs in a real deployment; run
+    # them that way. Measured: after the ~20 dataset executions and 4
+    # actor-pool builds above, the SAME streaming loop reads 3-4x its
+    # fresh-session time (accumulated worker processes + plasma churn
+    # in one long driver process) — that is bench-harness pollution,
+    # not an engine property, and it was poisoning the regression gate.
+    # Scalars derived from session-A objects (g.num_vertices etc.) are
+    # captured before the boundary.
+    n_vertices_a, n_edges_a = g.num_vertices, g.num_edges
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level=logging.ERROR,
+    )
+
     # SCC at depth/scale (VERDICT r3 item 8): rmat(22, 8) ≈ 33M edges
     # through trim + FB coloring; loud caps mean this row also proves
     # convergence at scale, not just speed
@@ -292,7 +311,7 @@ def run_benchmark() -> dict:
     timings["streaming_task_phase"] = sum(p.get("task_s", 0.0) for p in phases)
     _sh.rmtree(stream_dir, ignore_errors=True)
 
-    edges_processed = g.num_edges * 10
+    edges_processed = n_edges_a * 10
     cpu1, steal1 = _cpu_totals()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / max(cpu1 - cpu0, 1), 2) if cpu1 > cpu0 else None
@@ -320,8 +339,8 @@ def run_benchmark() -> dict:
         "streaming_window": window,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "vertices": g.num_vertices,
-        "edges": g.num_edges,
+        "vertices": n_vertices_a,
+        "edges": n_edges_a,
         "pagerank_edges_per_sec": round(edges_processed / pagerank_sec),
         "pagerank_iters": pr.iterations,
         "wcc_iters": wcc.iterations,
