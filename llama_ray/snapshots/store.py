@@ -78,6 +78,24 @@ class SnapshotStore:
     def num_levels(self) -> int:
         return len(self.levels())
 
+    def tags(self) -> dict[str, int]:
+        """tag → level for every level ingested with a ``tag`` — the
+        idempotence key for resumable streaming (a level dir without
+        manifest.json is invisible, so a killed ingest never leaves a
+        half-tag). Includes tags of levels already pruned by the
+        sliding window (``retired_tags.json``) — processed-and-
+        discarded is still processed."""
+        out: dict[str, int] = dict(self._retired_tags())
+        for lvl in self.levels():
+            try:
+                with open(os.path.join(self._level_dir(lvl), "manifest.json")) as f:
+                    tag = json.load(f).get("tag")
+            except (OSError, json.JSONDecodeError):
+                continue
+            if tag is not None:
+                out[str(tag)] = lvl
+        return out
+
     # ------------------------------------------------------------ ingest
 
     def ingest_batch(
@@ -89,6 +107,7 @@ class SnapshotStore:
         node_deletes: rd.Dataset | None = None,
         node_props: "dict[str, rd.Dataset] | None" = None,
         edge_props: "dict[str, rd.Dataset] | None" = None,
+        tag: str | None = None,
     ) -> int:
         """Checkpoint a delta into the next immutable level. Written
         atomically: data lands in the dir first, manifest last (a dir
@@ -136,6 +155,8 @@ class SnapshotStore:
             "edge_props": sorted((edge_props or {}).keys()),
             "created": time.time(),
         }
+        if tag is not None:
+            manifest["tag"] = tag
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         return level
@@ -388,7 +409,31 @@ class SnapshotStore:
         return self.ingest_batch(empty, deletes=deletes)
 
     def delete_level(self, level: int) -> None:
+        # a pruned level's tag must survive it, or a resumed streaming
+        # job would re-ingest batches the sliding window already
+        # processed and discarded — retire the tag first (atomic
+        # tmp+rename; delete only proceeds once the tag is durable)
+        try:
+            with open(os.path.join(self._level_dir(level), "manifest.json")) as f:
+                tag = json.load(f).get("tag")
+        except (OSError, json.JSONDecodeError):
+            tag = None
+        if tag is not None:
+            retired = self._retired_tags()
+            if str(tag) not in retired:
+                retired[str(tag)] = int(level)
+                tmp = os.path.join(self.root, ".retired_tags.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(retired, f)
+                os.replace(tmp, os.path.join(self.root, "retired_tags.json"))
         shutil.rmtree(self._level_dir(level), ignore_errors=True)
+
+    def _retired_tags(self) -> dict[str, int]:
+        try:
+            with open(os.path.join(self.root, "retired_tags.json")) as f:
+                return dict(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            return {}
 
     def set_window(self, w: int) -> None:
         """Retain only the newest ``w`` levels (streaming ``-W``)."""
@@ -504,6 +549,7 @@ def stream_ingest(
     on_snapshot=None,
     overlap: bool = True,
     phase_metrics: list | None = None,
+    tags: "list[str] | None" = None,
 ):
     """Micro-batch streaming loop (reference ``benchmark.cc:1769-1893``):
     for each incoming edge Dataset: checkpoint it as a level, run
@@ -523,8 +569,32 @@ def stream_ingest(
     level), ``window_s`` (sliding-window advance), ``task_s`` (the
     per-batch analytics; wall time of the call, which under
     ``overlap`` runs concurrently with the next pull).
+
+    ``tags`` (one stable id per batch, e.g. a source offset or file
+    name) makes the loop RESUMABLE: each tag is written into its
+    level's manifest, and a batch whose tag is already present in the
+    store is skipped entirely — ingest and analytics — so re-running
+    an interrupted job continues from the first unprocessed batch
+    instead of duplicating levels. Level writes are atomic
+    (manifest-last), so a kill mid-ingest leaves no half-tag. Skipped
+    batches append ``{"level", "skipped": True}`` to ``phase_metrics``
+    and ``None`` to the results (positional alignment preserved).
     """
     import time as _time
+
+    if tags is not None:
+        batches = list(batches)
+        if len(tags) != len(batches):
+            raise ValueError(f"tags ({len(tags)}) must match batches ({len(batches)})")
+        if len(set(tags)) != len(tags):
+            raise ValueError("tags must be unique")
+        done = store.tags()
+    else:
+        done = {}
+
+    def _pair_iter():
+        for i, delta in enumerate(batches):
+            yield (tags[i] if tags is not None else None), delta
 
     results = []
 
@@ -542,10 +612,18 @@ def stream_ingest(
         phase_metrics.append(rec)
         return rec
 
+    def _skip(tag):
+        if phase_metrics is not None:
+            phase_metrics.append({"level": done[tag], "skipped": True})
+        results.append(None)
+
     if on_snapshot is None or not overlap:
-        for delta in batches:
+        for tag, delta in _pair_iter():
+            if tag is not None and tag in done:
+                _skip(tag)
+                continue
             t0 = _time.perf_counter()
-            level = store.ingest_batch(delta)
+            level = store.ingest_batch(delta, tag=tag)
             rec = _phase(level)
             if rec is not None:
                 rec["pull_s"] = _time.perf_counter() - t0
@@ -565,9 +643,15 @@ def stream_ingest(
     ensure_threadsafe_fs_imports()
     pending = None
     with ThreadPoolExecutor(max_workers=1) as pool:
-        for delta in batches:
+        for tag, delta in _pair_iter():
+            if tag is not None and tag in done:
+                if pending is not None:
+                    results.append(pending.result())
+                    pending = None
+                _skip(tag)
+                continue
             t0 = _time.perf_counter()
-            level = store.ingest_batch(delta)  # overlaps with pending analytics
+            level = store.ingest_batch(delta, tag=tag)  # overlaps with pending analytics
             pull_s = _time.perf_counter() - t0
             if pending is not None:
                 results.append(pending.result())

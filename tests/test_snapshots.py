@@ -256,3 +256,46 @@ def test_stream_ingest_phase_metrics(tmp_path):
             assert rec["window_s"] >= 0
             assert rec["task_s"] > 0
         assert [r["level"] for r in phases] == sorted(r["level"] for r in phases)
+
+
+def test_stream_ingest_resume_by_tag(tmp_path):
+    """A killed streaming job re-run with the same tags skips the
+    already-ingested batches (no duplicate levels) and continues from
+    the first unprocessed one, in both overlap modes."""
+    for overlap in (True, False):
+        root = str(tmp_path / f"resume_ov{overlap}")
+        mk = lambda: [ds_of([(k, k + 1)]) for k in range(4)]
+        tags = [f"batch-{k}" for k in range(4)]
+        # "interrupted" first run: only the first two batches arrive
+        st = SnapshotStore(root)
+        stream_ingest(
+            st, mk()[:2], window=3,
+            on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count(),
+            overlap=overlap, tags=tags[:2],
+        )
+        assert len(st.levels()) == 2
+        # resumed run over the full batch list
+        phases: list = []
+        counts = stream_ingest(
+            st, mk(), window=3,
+            on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count(),
+            overlap=overlap, tags=tags, phase_metrics=phases,
+        )
+        assert len(st.levels()) == 3  # window=3 pruned, no duplicates
+        assert counts[:2] == [None, None]  # skipped, analytics not re-run
+        assert counts[2:] == [3, 3]  # window-limited edge counts
+        assert [p.get("skipped", False) for p in phases] == [True, True, False, False]
+        # tags of window-pruned levels survive (retired_tags.json):
+        # processed-and-discarded must still read as processed
+        assert sorted(st.tags()) == sorted(tags)
+        # a third resume over the same list is a complete no-op
+        counts3 = stream_ingest(
+            st, mk(), window=3,
+            on_snapshot=lambda s, lvl: s.edges(at_level=lvl).count(),
+            overlap=overlap, tags=tags,
+        )
+        assert counts3 == [None] * 4
+        assert len(st.levels()) == 3
+        # duplicate tags are rejected loudly
+        with pytest.raises(ValueError):
+            stream_ingest(st, mk()[:2], tags=["x", "x"])
