@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": q.q_lang_stats,
         "events_hourly": q.q_events_hourly,
         "knn_cosine": q.q_knn_cosine,
+        "graph_walks": q.q_graph_walks,
     }
 
 
@@ -83,6 +84,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": o.triangle_count_sql(),
         "bfs": o.bfs_sql(),
         "sssp_weighted": o.sssp_weighted_sql(),
+        "graph_walks": o.graph_walks_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -454,6 +454,56 @@ class _GatherPartition:
             out[self.local_dst] = np.minimum.reduceat(cand, self.run_starts)
         return out
 
+    # ----------------------------------------------------- random walks
+    #
+    # Built on a *reversed* pool (local key = original src), each run
+    # is one vertex's out-adjacency. ``prepare_walks`` canonicalizes
+    # each run to ascending neighbor order once (dense ids are
+    # monotone in original ids, so dense-ascending == the SQL oracle's
+    # ``row_number() OVER (PARTITION BY src ORDER BY dst)`` order);
+    # ``walk_step`` then picks neighbor rank ``h % degree`` in O(1)
+    # per walker — no per-step dependence on block layout.
+
+    def prepare_walks(self):
+        """One-time canonical sort of every adjacency run (ascending
+        neighbor id) + run-end offsets. Idempotent."""
+        if getattr(self, "_walk_ready", False):
+            return True
+        if len(self.src):
+            order = np.lexsort((self.src, self.dst))  # stable: dst runs kept
+            self._walk_nbrs = self.src[order]
+        else:
+            self._walk_nbrs = self.src
+        R = len(self.run_starts)
+        ends = np.empty(R, np.int64)
+        if R:
+            ends[:-1] = self.run_starts[1:]
+            ends[-1] = len(self.dst)
+        self._run_ends = ends
+        self._walk_ready = True
+        return True
+
+    def walk_step(self, cur, h):
+        """Advance the walkers currently inside this partition's
+        vertex range: next = sorted-adjacency[h % out_degree]. Returns
+        (walker positions, next dense vertex; -1 = dead end) or None
+        when no walker is here."""
+        idx = np.flatnonzero((cur >= self.lo) & (cur < self.hi))
+        if len(idx) == 0:
+            return None
+        nxt = np.full(len(idx), -1, np.int64)
+        R = len(self.run_starts)
+        if R:
+            local = cur[idx] - self.lo
+            runs = np.minimum(np.searchsorted(self.local_dst, local), R - 1)
+            found = self.local_dst[runs] == local
+            fr = runs[found]
+            starts = self.run_starts[fr]
+            deg = (self._run_ends[fr] - starts).astype(np.uint64)
+            r = (h[idx[found]] % deg).astype(np.int64)
+            nxt[found] = self._walk_nbrs[starts + r]
+        return idx, nxt
+
     # ----------------------------------------------------- sharded state
     #
     # The driver-out-of-the-loop mode: per-vertex state lives in the

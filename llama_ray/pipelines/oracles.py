@@ -737,3 +737,42 @@ def bc_random_sql(k_sources: int = 16, max_depth: int = 12) -> str:
 alld AS (SELECT id, SUM(delta) AS bc FROM ({deltas}) GROUP BY id)
 SELECT v.id AS vertex, ROUND(COALESCE(alld.bc, 0), 6) AS bc
 FROM v LEFT JOIN alld ON alld.id = v.id"""
+
+
+def graph_walks_sql(steps: int = 4, seed: int = 20260818) -> str:
+    """Mirror of algos.walks.random_walks: one walk per customer
+    vertex, next hop = neighbor rank splitmix64((walk_id*GOLD) mod
+    2^64 XOR step XOR seed) % out_degree in ascending-neighbor order
+    (``row_number() OVER (PARTITION BY src ORDER BY dst)``); walks
+    stop at sinks (the inner join drops them)."""
+    gold = 0x9E3779B97F4A7C15
+    parts = [
+        """adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS HUGEINT) AS rn
+  FROM e)""",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM v WHERE id < 10000000)",
+    ]
+    for s in range(1, steps + 1):
+        key = (
+            f"xor(xor({_mulmod64('CAST(walk_id AS HUGEINT)', gold)}, "
+            f"CAST({s} AS HUGEINT)), CAST({seed} AS HUGEINT))"
+        )
+        parts.append(f"k{s} AS MATERIALIZED (SELECT walk_id, cur, {key} AS h FROM w{s - 1})")
+        parts.append(_mix64_ctes(f"k{s}", "walk_id, cur", prefix=f"wm{s}_"))
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT t.walk_id, adj.dst AS cur
+  FROM wm{s}_5 t
+  JOIN deg ON deg.src = t.cur
+  JOIN adj ON adj.src = t.cur AND adj.rn = t.h % CAST(deg.d AS HUGEINT))"""
+        )
+    sel = "\nUNION ALL ".join(
+        ["SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM w0"]
+        + [
+            f"SELECT walk_id, CAST({s} AS BIGINT), cur FROM w{s}"
+            for s in range(1, steps + 1)
+        ]
+    )
+    body = ",\n".join(parts)
+    return f"WITH {GRAPH_CTES},\n{body}\n{sel}"

@@ -305,6 +305,22 @@ def q_bc_random(sf_dir: str):
     return pa.table({"vertex": g.ids, "bc": np.round(bc, 6)})
 
 
+GRAPH_WALK_STEPS = 4  # mirrored in oracles.graph_walks_sql
+
+
+def q_graph_walks(sf_dir: str):
+    """Deterministic random-walk corpus (node2vec/DeepWalk sampling):
+    one 4-step walk from every customer vertex; next hop = neighbor
+    rank splitmix64(walk·GOLD ⊕ step ⊕ seed) mod out-degree in
+    ascending-neighbor order — partitioning-independent, so DuckDB
+    replays it exactly (`oracles.graph_walks_sql`)."""
+    from ..algos.walks import random_walks
+
+    g = _cached_tpch_graph(sf_dir)
+    starts = g.ids[g.ids < 10_000_000]  # customer id space
+    return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
+
+
 def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     """Sessionization: per user, events within ``gap_seconds`` of the
     previous event share a session. One range sort by (user, ts,

@@ -1,0 +1,85 @@
+"""Random-walk sampling vs a pure-python reference: the hop choice is
+a pure function of (walk_id, step, seed), so the corpus must be
+bit-identical regardless of block layout or partition count."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from llama_ray.algos.walks import random_walks
+from llama_ray.data_ops.dedup import _GOLD, _mix64
+from llama_ray.graph import build_graph
+from llama_ray.ingest.canonicalize import dedup_edges
+from llama_ray.sources.generators import rmat
+
+
+def edges_ds(src, dst, blocks=1):
+    t = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def walks_np(src, dst, starts, num_steps, seed):
+    """Row-at-a-time reference with python-dict adjacency."""
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(s, set()).add(d)
+    adj = {s: sorted(ds) for s, ds in adj.items()}
+    rows = []
+    for w in starts:
+        cur = w
+        rows.append((w, 0, w))
+        for t in range(1, num_steps + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = _mix64(np.array([np.uint64(w) * _GOLD ^ np.uint64(t) ^ np.uint64(seed)]))[0]
+            cur = nbrs[int(h % np.uint64(len(nbrs)))]
+            rows.append((w, t, cur))
+    return sorted(rows)
+
+
+def _table_rows(t: pa.Table):
+    return sorted(
+        zip(
+            t.column("walk_id").to_pylist(),
+            t.column("step").to_pylist(),
+            t.column("vertex").to_pylist(),
+        )
+    )
+
+
+def test_walks_match_reference_and_stop_at_sinks():
+    # 0→{1,2}, 1→{2,3}, 2→{3}, 3 is a sink; 7→7 self-loop spins forever
+    src = [0, 0, 1, 1, 2, 7]
+    dst = [1, 2, 2, 3, 3, 7]
+    g = build_graph(dedup_edges(edges_ds(src, dst)))
+    out = random_walks(g, np.array([0, 1, 3, 7]), num_steps=5, seed=99)
+    assert _table_rows(out) == walks_np(src, dst, [0, 1, 3, 7], 5, 99)
+    # the sink start emits exactly its step-0 row
+    sink_rows = out.filter(pa.compute.equal(out.column("walk_id"), 3))
+    assert sink_rows.num_rows == 1
+    # the self-loop walk survives all 5 steps at vertex 7
+    loop = _table_rows(out.filter(pa.compute.equal(out.column("walk_id"), 7)))
+    assert loop == [(7, t, 7) for t in range(6)]
+
+
+def test_walks_layout_independent():
+    """Same corpus from 1-block and 8-block edge layouts on a seeded
+    power-law graph (hub adjacency spans multiple input blocks)."""
+    es = rmat(scale=8, avg_degree=6, seed=11)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    outs = []
+    for blocks in (1, 8):
+        g = build_graph(dedup_edges(edges_ds(src, dst, blocks)))
+        starts = g.ids[:40]
+        outs.append(_table_rows(random_walks(g, starts, num_steps=6, seed=5)))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 40  # walks actually advanced
+
+
+def test_walks_rejects_unknown_start():
+    g = build_graph(dedup_edges(edges_ds([0, 1], [1, 2])))
+    with pytest.raises(ValueError, match="not in graph"):
+        random_walks(g, np.array([42]), num_steps=2)
