@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "knn_cosine": q.q_knn_cosine,
         "graph_walks": q.q_graph_walks,
+        "neighbor_sample": q.q_neighbor_sample,
     }
 
 
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs": o.bfs_sql(),
         "sssp_weighted": o.sssp_weighted_sql(),
         "graph_walks": o.graph_walks_sql(),
+        "neighbor_sample": o.neighbor_sample_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -104,3 +104,27 @@ def random_walks(
             "vertex": np.concatenate(verts),
         }
     )
+
+
+def sample_neighbors(
+    graph: Graph,
+    k: int,
+    *,
+    seed: int = DEFAULT_WALK_SEED,
+) -> pa.Table:
+    """GraphSAGE-style neighbor sampling: for every vertex keep a
+    uniform k-subset of its out-neighbors — the k with the smallest
+    splitmix64((src·GOLD) ⊕ nbr ⊕ seed) over ORIGINAL ids, so the
+    subset is independent of densification, partitioning and block
+    layout (SQL replay: ``row_number() OVER (PARTITION BY src ORDER
+    BY h, dst) <= k``). Vertices with ≤ k neighbors keep all of them.
+    Runs entirely inside the reversed pool's src-range actors; the
+    driver receives only the sampled O(V·k) pairs."""
+    pool = shared_pool(graph, view="reversed")
+    ids_ref = ray.put(graph.ids)
+    parts = ray.get(
+        [a.sample_neighbors.remote(ids_ref, k, seed) for a in pool.actors]
+    )
+    src = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    dst = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
+    return pa.table({"src": graph.ids[src], "dst": graph.ids[dst]})

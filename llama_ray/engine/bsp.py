@@ -504,6 +504,33 @@ class _GatherPartition:
             nxt[found] = self._walk_nbrs[starts + r]
         return idx, nxt
 
+    def sample_neighbors(self, ids, k, seed):
+        """Hash-min neighbor sampling (GraphSAGE-style fan-out): for
+        every vertex in this partition keep its k out-neighbors with
+        the smallest splitmix64((src_id·GOLD) ⊕ nbr_id ⊕ seed) — an
+        order-independent uniform k-subset, reproducible by SQL's
+        ``row_number() OVER (PARTITION BY src ORDER BY h, dst) <= k``.
+        ``ids`` maps dense index → original id (the hash runs on
+        original ids so it is densification-independent). Returns
+        (vertex, neighbor) dense pairs."""
+        m = len(self.src)
+        if m == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        h = ids[self.dst].astype(np.uint64) * GOLD ^ ids[self.src].astype(np.uint64) ^ np.uint64(seed)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        # rank within each run by (hash, neighbor): lexsort keys are
+        # LAST-primary — dst runs stay contiguous, h orders inside
+        order = np.lexsort((self.src, h, self.dst))
+        run_len = np.diff(np.append(self.run_starts, m))
+        pos = np.arange(m) - np.repeat(self.run_starts, run_len)
+        keep = order[pos < k]
+        return self.dst[keep].astype(np.int64), self.src[keep].astype(np.int64)
+
     # ----------------------------------------------------- sharded state
     #
     # The driver-out-of-the-loop mode: per-vertex state lives in the

@@ -776,3 +776,19 @@ def graph_walks_sql(steps: int = 4, seed: int = 20260818) -> str:
     )
     body = ",\n".join(parts)
     return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
+
+
+def neighbor_sample_sql(k: int = 3, seed: int = 20260818) -> str:
+    """Mirror of algos.walks.sample_neighbors: per src keep the k
+    out-neighbors with the smallest splitmix64((src*GOLD) mod 2^64
+    XOR dst XOR seed), ties by neighbor id."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH {GRAPH_CTES},
+kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn FROM mx5)
+SELECT src, dst FROM r WHERE rn <= {k}"""

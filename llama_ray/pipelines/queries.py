@@ -321,6 +321,14 @@ def q_graph_walks(sf_dir: str):
     return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
 
 
+def q_neighbor_sample(sf_dir: str, *, k: int = 3):
+    """GraphSAGE-style fan-out: a uniform hash-min k-subset of every
+    vertex's out-neighbors (see `algos.walks.sample_neighbors`)."""
+    from ..algos.walks import sample_neighbors
+
+    return sample_neighbors(_cached_tpch_graph(sf_dir), k)
+
+
 def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     """Sessionization: per user, events within ``gap_seconds`` of the
     previous event share a session. One range sort by (user, ts,

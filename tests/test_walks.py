@@ -83,3 +83,44 @@ def test_walks_rejects_unknown_start():
     g = build_graph(dedup_edges(edges_ds([0, 1], [1, 2])))
     with pytest.raises(ValueError, match="not in graph"):
         random_walks(g, np.array([42]), num_steps=2)
+
+
+def sample_np(src, dst, k, seed):
+    """Hash-min k-subset per src, row-at-a-time."""
+    adj = {}
+    for s, d in set(zip(src, dst)):
+        h = _mix64(np.array([np.uint64(s) * _GOLD ^ np.uint64(d) ^ np.uint64(seed)]))[0]
+        adj.setdefault(s, []).append((h, d))
+    out = []
+    for s, hs in adj.items():
+        for _, d in sorted(hs)[:k]:
+            out.append((s, d))
+    return sorted(out)
+
+
+def test_sample_neighbors_matches_reference_and_layout():
+    from llama_ray.algos.walks import sample_neighbors
+
+    es = rmat(scale=7, avg_degree=8, seed=3)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    expect = sample_np(src, dst, 3, seed=17)
+    got = []
+    for blocks in (1, 8):
+        g = build_graph(dedup_edges(edges_ds(src, dst, blocks)))
+        out = sample_neighbors(g, 3, seed=17)
+        got.append(
+            sorted(zip(out.column("src").to_pylist(), out.column("dst").to_pylist()))
+        )
+    assert got[0] == expect  # uniform hash-min subset, exact
+    assert got[0] == got[1]  # independent of block layout
+    # every vertex keeps min(k, degree) neighbors, all real edges
+    deg = {}
+    edge_set = set(zip(src, dst))
+    for s, d in got[0]:
+        assert (s, d) in edge_set
+        deg[s] = deg.get(s, 0) + 1
+    full = {}
+    for s, d in set(zip(src, dst)):
+        full[s] = full.get(s, 0) + 1
+    assert all(deg[s] == min(3, full[s]) for s in deg)
