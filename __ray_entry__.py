@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q.q_knn_cosine,
         "graph_walks": q.q_graph_walks,
         "neighbor_sample": q.q_neighbor_sample,
+        "graph_walks_weighted": q.q_graph_walks_weighted,
     }
 
 
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_weighted": o.sssp_weighted_sql(),
         "graph_walks": o.graph_walks_sql(),
         "neighbor_sample": o.neighbor_sample_sql(),
+        "graph_walks_weighted": o.graph_walks_weighted_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

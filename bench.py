@@ -207,6 +207,17 @@ def run_benchmark() -> dict:
     root = int(g.ids[0])
     timings["bfs"], _ = best_of(lambda: bfs(g, root), 2)
 
+    # training-data sampling ops: walk corpus from EVERY vertex and a
+    # k=3 GraphSAGE fan-out (both run inside the reversed src-range
+    # pool; first call pays that pool's build)
+    from llama_ray.algos.walks import random_walks, sample_neighbors
+
+    timings["random_walks_4step"], walk_tbl = best_of(
+        lambda: random_walks(g, num_steps=4), 2
+    )
+    walk_rows = walk_tbl.num_rows
+    timings["neighbor_sample_k3"], _ = best_of(lambda: sample_neighbors(g, 3), 2)
+
     # flagship ingest: repo_files → link edges + sha256 manifest
     from llama_ray.ingest.extract import ingest_repo_files
     from llama_ray.sources.repo_files import generate_repo_files
@@ -345,6 +356,7 @@ def run_benchmark() -> dict:
         "pagerank_iters": pr.iterations,
         "wcc_iters": wcc.iterations,
         "triangles": tc,
+        "walk_rows": walk_rows,
         "ingest_rows": repo_rows,
         "ingest_link_edges": n_link_edges,
         "ingest_rows_per_sec": round(repo_rows / ingest_sec),

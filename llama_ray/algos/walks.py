@@ -48,6 +48,7 @@ def random_walks(
     *,
     num_steps: int = 4,
     seed: int = DEFAULT_WALK_SEED,
+    weighted: bool = False,
 ) -> pa.Table:
     """Walk corpus as an Arrow table ``(walk_id, step, vertex)``.
 
@@ -55,6 +56,13 @@ def random_walks(
     ``walk_id`` is the start's original id, ``step`` 0..num_steps
     (step 0 = the start vertex itself), ``vertex`` the original id
     visited. Walks that reach a sink emit no further rows.
+
+    With ``weighted``, hop probability is proportional to the edge's
+    integer ``weight`` column (the streaming duplicate-count semantic,
+    ``ll_writable_graph.h:725-779``): the hash picks a point in
+    ``[0, Σw)`` and the neighbor owning that cumulative-weight
+    interval wins — still exact integer math, still replayable in SQL
+    via a window cumsum.
     """
     if starts is None:
         starts = graph.ids
@@ -65,8 +73,8 @@ def random_walks(
         bad = starts if len(graph.ids) == 0 else starts[graph.ids[pos] != starts]
         raise ValueError(f"start vertices not in graph: {bad[:5]}...")
 
-    pool = shared_pool(graph, view="reversed")
-    ray.get([a.prepare_walks.remote() for a in pool.actors])
+    pool = shared_pool(graph, view="reversed", weighted=weighted)
+    ray.get([a.prepare_walks.remote(weighted) for a in pool.actors])
 
     walk_ids = [starts]
     steps = [np.zeros(len(starts), np.int64)]

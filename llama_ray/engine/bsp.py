@@ -464,15 +464,19 @@ class _GatherPartition:
     # ``walk_step`` then picks neighbor rank ``h % degree`` in O(1)
     # per walker — no per-step dependence on block layout.
 
-    def prepare_walks(self):
+    def prepare_walks(self, weighted: bool = False):
         """One-time canonical sort of every adjacency run (ascending
-        neighbor id) + run-end offsets. Idempotent."""
-        if getattr(self, "_walk_ready", False):
+        neighbor id) + run-end offsets; with ``weighted``, also the
+        global cumulative integer-weight array (weights must be
+        integral ≥ 0 — the streaming duplicate-count semantic).
+        Idempotent per mode."""
+        if getattr(self, "_walk_mode", None) == weighted:
             return True
         if len(self.src):
             order = np.lexsort((self.src, self.dst))  # stable: dst runs kept
             self._walk_nbrs = self.src[order]
         else:
+            order = np.empty(0, np.int64)
             self._walk_nbrs = self.src
         R = len(self.run_starts)
         ends = np.empty(R, np.int64)
@@ -480,14 +484,33 @@ class _GatherPartition:
             ends[:-1] = self.run_starts[1:]
             ends[-1] = len(self.dst)
         self._run_ends = ends
-        self._walk_ready = True
+        if weighted:
+            if self.w is None:
+                raise ValueError("weighted walks need a weighted pool")
+            ws = self.w[order]
+            wi = np.rint(ws).astype(np.int64)
+            if not np.array_equal(wi, ws) or (wi < 0).any():
+                raise ValueError(
+                    "weighted walks require integral non-negative weights "
+                    "(duplicate-count semantics); got non-integral values"
+                )
+            # global (non-reset) cumsum: runs are contiguous, so a
+            # single searchsorted against it lands inside the walker's
+            # run — one vectorized call for ALL walkers per step
+            self._walk_cum = np.cumsum(wi)
+            base = np.zeros(R, np.int64)
+            if R > 1:
+                base[1:] = self._walk_cum[self.run_starts[1:] - 1]
+            self._walk_base = base
+        self._walk_mode = weighted
         return True
 
     def walk_step(self, cur, h):
         """Advance the walkers currently inside this partition's
-        vertex range: next = sorted-adjacency[h % out_degree]. Returns
-        (walker positions, next dense vertex; -1 = dead end) or None
-        when no walker is here."""
+        vertex range: next = sorted-adjacency[h % out_degree] (or, in
+        weighted mode, the neighbor whose cumulative-weight interval
+        contains h % total_weight). Returns (walker positions, next
+        dense vertex; -1 = dead end) or None when no walker is here."""
         idx = np.flatnonzero((cur >= self.lo) & (cur < self.hi))
         if len(idx) == 0:
             return None
@@ -499,9 +522,22 @@ class _GatherPartition:
             found = self.local_dst[runs] == local
             fr = runs[found]
             starts = self.run_starts[fr]
-            deg = (self._run_ends[fr] - starts).astype(np.uint64)
-            r = (h[idx[found]] % deg).astype(np.int64)
-            nxt[found] = self._walk_nbrs[starts + r]
+            if self._walk_mode:
+                base = self._walk_base[fr]
+                tot = self._walk_cum[self._run_ends[fr] - 1] - base
+                ok = tot > 0
+                r = np.zeros(len(fr), np.int64)
+                r[ok] = (
+                    h[idx[found]][ok].astype(np.uint64)
+                    % tot[ok].astype(np.uint64)
+                ).astype(np.int64)
+                j = np.searchsorted(self._walk_cum, base + r, side="right")
+                res = self._walk_nbrs[np.minimum(j, len(self._walk_nbrs) - 1)]
+                nxt[found] = np.where(ok, res, -1)
+            else:
+                deg = (self._run_ends[fr] - starts).astype(np.uint64)
+                r = (h[idx[found]] % deg).astype(np.int64)
+                nxt[found] = self._walk_nbrs[starts + r]
         return idx, nxt
 
     def sample_neighbors(self, ids, k, seed):
@@ -846,10 +882,15 @@ class _ReversedGraph:
     def __init__(self, graph: Graph):
         import pyarrow as _pa
 
-        def swap(batch: _pa.Table) -> _pa.Table:
-            return _pa.table({"src": batch.column("dst"), "dst": batch.column("src")})
+        carry = [c for c in ("weight",) if c in graph.edges.schema().names]
 
-        self.edges = graph.edges.select_columns(["src", "dst"]).map_batches(
+        def swap(batch: _pa.Table) -> _pa.Table:
+            cols = {"src": batch.column("dst"), "dst": batch.column("src")}
+            for c in carry:
+                cols[c] = batch.column(c)
+            return _pa.table(cols)
+
+        self.edges = graph.edges.select_columns(["src", "dst"] + carry).map_batches(
             swap, batch_format="pyarrow"
         )
         self.num_vertices = graph.num_vertices

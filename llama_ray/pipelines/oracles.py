@@ -792,3 +792,45 @@ kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
 {_mix64_ctes('kh', 'src, dst')},
 r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn FROM mx5)
 SELECT src, dst FROM r WHERE rn <= {k}"""
+
+
+def graph_walks_weighted_sql(steps: int = 4, seed: int = 20260818) -> str:
+    """Weighted-walk mirror: hop probability proportional to the
+    duplicate-edge count w — the point h % Σw falls in the neighbor's
+    cumulative-weight interval [cw−w, cw), all integer-exact."""
+    gold = 0x9E3779B97F4A7C15
+    parts = [
+        """ew AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS w
+  FROM raw_edges GROUP BY src, dst)""",
+        """adjw AS MATERIALIZED (
+  SELECT src, dst, w,
+         SUM(w) OVER (PARTITION BY src ORDER BY dst
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY src) AS tw
+  FROM ew)""",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM v WHERE id < 10000000)",
+    ]
+    for s in range(1, steps + 1):
+        key = (
+            f"xor(xor({_mulmod64('CAST(walk_id AS HUGEINT)', gold)}, "
+            f"CAST({s} AS HUGEINT)), CAST({seed} AS HUGEINT))"
+        )
+        parts.append(f"k{s} AS MATERIALIZED (SELECT walk_id, cur, {key} AS h FROM w{s - 1})")
+        parts.append(_mix64_ctes(f"k{s}", "walk_id, cur", prefix=f"wm{s}_"))
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT t.walk_id, a.dst AS cur
+  FROM wm{s}_5 t
+  JOIN adjw a ON a.src = t.cur
+   AND t.h % a.tw >= a.cw - a.w AND t.h % a.tw < a.cw)"""
+        )
+    sel = "\nUNION ALL ".join(
+        ["SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM w0"]
+        + [
+            f"SELECT walk_id, CAST({s} AS BIGINT), cur FROM w{s}"
+            for s in range(1, steps + 1)
+        ]
+    )
+    body = ",\n".join(parts)
+    return f"WITH {GRAPH_CTES},\n{body}\n{sel}"

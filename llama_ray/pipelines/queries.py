@@ -329,6 +329,21 @@ def q_neighbor_sample(sf_dir: str, *, k: int = 3):
     return sample_neighbors(_cached_tpch_graph(sf_dir), k)
 
 
+def q_graph_walks_weighted(sf_dir: str):
+    """Weighted walk corpus: hop probability ∝ duplicate-edge count
+    (the streaming weights-instead-of-duplicates semantic) — exact
+    integer cumulative-weight inversion, SQL-replayed with a window
+    cumsum in `oracles.graph_walks_weighted_sql`."""
+    from ..algos.walks import random_walks
+
+    g = _GRAPH_CACHE.get(("gw", sf_dir))
+    if g is None:
+        g = build_graph(dedup_edges(raw_edges(sf_dir, with_props=False), weights="count"))
+        _GRAPH_CACHE[("gw", sf_dir)] = g
+    starts = g.ids[g.ids < 10_000_000]  # customer id space
+    return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS, weighted=True)
+
+
 def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
     """Sessionization: per user, events within ``gap_seconds`` of the
     previous event share a session. One range sort by (user, ts,

@@ -85,6 +85,50 @@ def test_walks_rejects_unknown_start():
         random_walks(g, np.array([42]), num_steps=2)
 
 
+def test_weighted_walks_follow_cumweight_intervals():
+    """Duplicate multiplicities bias the hop: reference = integer
+    cumulative-weight inversion over ascending neighbors."""
+    # 0→1 (×1), 0→2 (×3), 1→2 (×2), 2→0 (×1): duplicates carry weight
+    src = [0, 0, 0, 0, 1, 1, 2]
+    dst = [1, 2, 2, 2, 2, 2, 0]
+    g = build_graph(dedup_edges(edges_ds(src, dst), weights="count"))
+    out = random_walks(g, np.array([0, 1, 2]), num_steps=6, seed=7, weighted=True)
+
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(s, {}).setdefault(d, 0)
+        adj[s][d] += 1
+    expect = []
+    for w in [0, 1, 2]:
+        cur = w
+        expect.append((w, 0, w))
+        for t in range(1, 7):
+            nbrs = sorted(adj.get(cur, {}).items())
+            tot = sum(c for _, c in nbrs)
+            if tot == 0:
+                break
+            h = _mix64(np.array([np.uint64(w) * _GOLD ^ np.uint64(t) ^ np.uint64(7)]))[0]
+            r = int(h % np.uint64(tot))
+            acc = 0
+            for d, c in nbrs:
+                acc += c
+                if r < acc:
+                    cur = d
+                    break
+            expect.append((w, t, cur))
+    assert _table_rows(out) == sorted(expect)
+
+
+def test_weighted_walks_reject_fractional_weights():
+    ds = edges_ds([0, 1], [1, 0]).map_batches(
+        lambda t: t.append_column("weight", pa.array([0.5, 1.5])),
+        batch_format="pyarrow",
+    )
+    g = build_graph(dedup_edges(ds, weights="sum"))
+    with pytest.raises(Exception, match="integral"):
+        random_walks(g, np.array([0]), num_steps=2, weighted=True)
+
+
 def sample_np(src, dst, k, seed):
     """Hash-min k-subset per src, row-at-a-time."""
     adj = {}
