@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": q.q_graph_walks,
         "neighbor_sample": q.q_neighbor_sample,
         "graph_walks_weighted": q.q_graph_walks_weighted,
+        "feature_prop": q.q_feature_prop,
+        "mis": q.q_mis,
     }
 
 
@@ -89,6 +91,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks": o.graph_walks_sql(),
         "neighbor_sample": o.neighbor_sample_sql(),
         "graph_walks_weighted": o.graph_walks_weighted_sql(),
+        "feature_prop": o.feature_prop_sql(),
+        "mis": o.mis_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

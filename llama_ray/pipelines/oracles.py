@@ -834,3 +834,82 @@ def graph_walks_weighted_sql(steps: int = 4, seed: int = 20260818) -> str:
     )
     body = ",\n".join(parts)
     return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
+
+
+def feature_prop_sql(k: int = 4, rounds: int = 2, seed: int = 20260818) -> str:
+    """Mirror of algos.featprop.feature_propagation: deterministic
+    integer features splitmix64((id*GOLD) mod 2^64 XOR feat XOR seed)
+    mod 1000, then ``rounds`` sweeps of per-dst in-neighbor sums —
+    integer-valued doubles, exact in any summation order."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(id AS HUGEINT)', gold)}, "
+        f"CAST(j AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    steps = [
+        f"grid AS MATERIALIZED (SELECT id, j FROM v CROSS JOIN (SELECT unnest(range({k})) AS j) feats)",
+        f"fk AS MATERIALIZED (SELECT id, j, {key} AS h FROM grid)",
+        _mix64_ctes("fk", "id, j", prefix="fm"),
+        "x0 AS MATERIALIZED (SELECT id, j, CAST(h % 1000 AS DOUBLE) AS x FROM fm5)",
+    ]
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT g.id, g.j, COALESCE(s.val, 0) AS x
+  FROM grid g LEFT JOIN (
+    SELECT e.dst AS id, p.j, SUM(p.x) AS val
+    FROM e JOIN x{r - 1} p ON p.id = e.src
+    GROUP BY e.dst, p.j
+  ) s ON s.id = g.id AND s.j = g.j)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex, CAST(j AS BIGINT) AS feat, ROUND(x, 6) AS value FROM x{rounds}"""
+
+
+def mis_sql(rounds: int = 24, seed: int = 20260818) -> str:
+    """Mirror of algos.mis.maximal_independent_set: per round the
+    priority (splitmix64((id*GOLD) XOR round XOR seed) >> 38) * 2^26
+    + id is unique per vertex; a vertex wins when it beats every
+    undecided neighbor (self-loops excluded), winners' neighborhoods
+    leave the undecided set."""
+    gold = 0x9E3779B97F4A7C15
+    steps = [
+        """un AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst)""",
+        "u0 AS MATERIALIZED (SELECT id FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        key = (
+            f"xor(xor({_mulmod64('CAST(id AS HUGEINT)', gold)}, "
+            f"CAST({r} AS HUGEINT)), CAST({seed} AS HUGEINT))"
+        )
+        steps.append(f"pk{r} AS MATERIALIZED (SELECT id, {key} AS h FROM u{r - 1})")
+        steps.append(_mix64_ctes(f"pk{r}", "id", prefix=f"pm{r}_"))
+        steps.append(
+            f"p{r} AS MATERIALIZED (SELECT id, CAST((h >> 38) * 67108864 + id AS BIGINT) AS p FROM pm{r}_5)"
+        )
+        steps.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT u.id FROM p{r} u LEFT JOIN (
+    SELECT un.b AS id, MAX(q.p) AS mp
+    FROM un JOIN p{r} q ON q.id = un.a GROUP BY un.b
+  ) m ON m.id = u.id
+  WHERE u.p > COALESCE(m.mp, -1))"""
+        )
+        steps.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT id FROM u{r - 1}
+  WHERE id NOT IN (SELECT id FROM w{r})
+    AND id NOT IN (SELECT un.b FROM un JOIN w{r} ww ON ww.id = un.a))"""
+        )
+    mis_union = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(1, rounds + 1))
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body},
+mis AS (SELECT DISTINCT id FROM ({mis_union}))
+SELECT v.id AS vertex,
+       CAST(CASE WHEN mis.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
+FROM v LEFT JOIN mis ON mis.id = v.id"""

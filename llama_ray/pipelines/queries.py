@@ -329,6 +329,26 @@ def q_neighbor_sample(sf_dir: str, *, k: int = 3):
     return sample_neighbors(_cached_tpch_graph(sf_dir), k)
 
 
+def q_mis(sf_dir: str):
+    """Maximal independent set via deterministic Luby rounds (see
+    `algos.mis`): unique hash priorities, so the SQL oracle replays
+    every round exactly."""
+    from ..algos.mis import maximal_independent_set
+
+    return maximal_independent_set(_cached_tpch_graph(sf_dir))
+
+
+def q_feature_prop(sf_dir: str):
+    """SGC-style feature propagation: 2 sweeps of in-neighbor sums
+    over 4 deterministic hash features (see `algos.featprop`)."""
+    from ..algos.featprop import feature_propagation
+
+    t = feature_propagation(_cached_tpch_graph(sf_dir), k=4, rounds=2)
+    return t.set_column(
+        t.schema.get_field_index("value"), "value", pc.round(t.column("value"), 6)
+    )
+
+
 def q_graph_walks_weighted(sf_dir: str):
     """Weighted walk corpus: hop probability ∝ duplicate-edge count
     (the streaming weights-instead-of-duplicates semantic) — exact

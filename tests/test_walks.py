@@ -168,3 +168,76 @@ def test_sample_neighbors_matches_reference_and_layout():
     for s, d in set(zip(src, dst)):
         full[s] = full.get(s, 0) + 1
     assert all(deg[s] == min(3, full[s]) for s in deg)
+
+
+def test_feature_propagation_matches_dense_matmul():
+    from llama_ray.algos.featprop import feature_propagation, hash_features
+
+    es = rmat(scale=7, avg_degree=5, seed=9)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    g = build_graph(dedup_edges(edges_ds(src, dst, 4)))
+    out = feature_propagation(g, k=3, rounds=2, seed=21)
+
+    # dense oracle: X2 = A^T (A^T X0) with A the 0/1 adjacency
+    n = g.num_vertices
+    pos = {v: i for i, v in enumerate(g.ids)}
+    A = np.zeros((n, n))
+    for s, d in set(zip(src, dst)):
+        A[pos[s], pos[d]] = 1.0
+    X = hash_features(g.ids, 3, seed=21)
+    for _ in range(2):
+        X = A.T @ X
+    got = (
+        out.to_pandas()
+        .sort_values(["vertex", "feat"])
+        .reset_index(drop=True)["value"]
+        .to_numpy()
+        .reshape(n, 3)
+    )
+    assert np.array_equal(got, X)  # integer-valued doubles: exact
+
+
+def luby_np(src, dst, seed):
+    """Row-at-a-time Luby with the same unique priorities."""
+    nbrs = {}
+    verts = sorted(set(src) | set(dst))
+    for s, d in set(zip(src, dst)):
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    und, mis, rnd = set(verts), set(), 0
+    while und:
+        rnd += 1
+        p = {}
+        for v in und:
+            h = _mix64(np.array([np.uint64(v) * _GOLD ^ np.uint64(rnd) ^ np.uint64(seed)]))[0]
+            p[v] = (int(h >> np.uint64(38)) << 26) + v
+        w = {v for v in und if all(p[v] > p[u] for u in nbrs.get(v, set()) & und)}
+        mis |= w
+        und -= w | {u for v in w for u in nbrs.get(v, set())}
+    return mis
+
+
+def test_mis_matches_luby_reference_and_is_valid():
+    from llama_ray.algos.mis import maximal_independent_set
+
+    es = rmat(scale=8, avg_degree=4, seed=13)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    g = build_graph(dedup_edges(edges_ds(src, dst, 4)))
+    out = maximal_independent_set(g, seed=77)
+    got = {
+        v for v, m in zip(out.column("vertex").to_pylist(), out.column("in_mis").to_pylist()) if m
+    }
+    assert got == luby_np(src, dst, 77)
+    # validity: independent + maximal
+    nbrs = {}
+    for s, d in set(zip(src, dst)):
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    for v in got:
+        assert not (nbrs.get(v, set()) & got), "two adjacent MIS members"
+    for v in set(out.column("vertex").to_pylist()) - got:
+        assert nbrs.get(v, set()) & got, f"non-member {v} has no MIS neighbor"
