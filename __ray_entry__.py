@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks_weighted": q.q_graph_walks_weighted,
         "feature_prop": q.q_feature_prop,
         "mis": q.q_mis,
+        "hyperanf_registers": q.q_hyperanf,
     }
 
 
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_weighted": o.graph_walks_weighted_sql(),
         "feature_prop": o.feature_prop_sql(),
         "mis": o.mis_sql(),
+        "hyperanf_registers": o.hyperanf_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

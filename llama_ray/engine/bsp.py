@@ -344,6 +344,26 @@ class _GatherPartition:
             out[self.local_dst[r:r_end]] = sums
         return out
 
+    def gather_max_multi(self, value, chunk: int = 1 << 14):
+        """(V, K) batched gather: elementwise max of value[src, :] per
+        dst for this actor's slice (0 where a dst has no in-edges) —
+        the HyperANF register-merge combine. Same run-aligned chunking
+        as gather_sum_multi."""
+        K = value.shape[1]
+        out = np.zeros((self.hi - self.lo, K), value.dtype)
+        m = len(self.src)
+        if m == 0:
+            return out
+        bounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(bounds[:-1], bounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            contrib = value[self.src[e0:e1]]
+            sums = np.maximum.reduceat(contrib, self.run_starts[r:r_end] - e0, axis=0)
+            out[self.local_dst[r:r_end]] = sums
+        return out
+
     def gather_mode(self, value, chunk: int = 1 << 18):
         """Most-frequent value[src] per dst in this actor's slice, ties
         to the smallest value; -1 where no in-edge. The label-propagation
@@ -1131,6 +1151,16 @@ class BSPGather:
             np.concatenate(parts, axis=0)
             if parts
             else np.zeros((self.num_vertices, value.shape[1]))
+        )
+
+    def gather_max_multi(self, value: np.ndarray) -> np.ndarray:
+        """Dense (V, K) elementwise max of value[src, :] per dst."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_max_multi.remote(v_ref) for a in self.actors])
+        return (
+            np.concatenate(parts, axis=0)
+            if parts
+            else np.zeros((self.num_vertices, value.shape[1]), value.dtype)
         )
 
     def gather_mode(self, value: np.ndarray) -> np.ndarray:

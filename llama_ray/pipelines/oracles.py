@@ -913,3 +913,38 @@ mis AS (SELECT DISTINCT id FROM ({mis_union}))
 SELECT v.id AS vertex,
        CAST(CASE WHEN mis.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
 FROM v LEFT JOIN mis ON mis.id = v.id"""
+
+
+def hyperanf_sql(rounds: int = 4, seed: int = 20260818) -> str:
+    """Mirror of algos.hyperanf.registers_table: HyperLogLog register
+    init (bucket = h >> 60, rho = 61 - bit_length(h mod 2^60)) and
+    ``rounds`` elementwise-max merges along out-edges — all integer."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    m58 = (1 << 58) - 1
+    steps = [
+        f"hk AS MATERIALIZED (SELECT id, {key} AS h FROM v)",
+        _mix64_ctes("hk", "id", prefix="hm"),
+        f"""init AS MATERIALIZED (
+  SELECT id, CAST(h >> 58 AS BIGINT) AS bucket,
+         59 - length(ltrim(bin(CAST(h & {m58} AS BIGINT)), '0')) AS rho
+  FROM hm5)""",
+        """x0 AS MATERIALIZED (
+  SELECT v.id, j.j, CASE WHEN j.j = i.bucket THEN i.rho ELSE 0 END AS val
+  FROM v JOIN init i ON i.id = v.id
+  CROSS JOIN (SELECT unnest(range(64)) AS j) j)""",
+    ]
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""x{r} AS MATERIALIZED (
+  SELECT p.id, p.j, GREATEST(p.val, COALESCE(m.mv, 0)) AS val
+  FROM x{r - 1} p LEFT JOIN (
+    SELECT e.src AS id, q.j, MAX(q.val) AS mv
+    FROM e JOIN x{r - 1} q ON q.id = e.dst
+    GROUP BY e.src, q.j
+  ) m ON m.id = p.id AND m.j = p.j)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex, CAST(j AS BIGINT) AS reg, CAST(val AS BIGINT) AS value FROM x{rounds}"""

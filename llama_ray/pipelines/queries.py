@@ -329,6 +329,15 @@ def q_neighbor_sample(sf_dir: str, *, k: int = 3):
     return sample_neighbors(_cached_tpch_graph(sf_dir), k)
 
 
+def q_hyperanf(sf_dir: str, *, rounds: int = 4):
+    """HyperANF registers after 4 out-edge merges (see
+    `algos.hyperanf`): the integer HLL state the effective-diameter
+    estimate derives from, SQL-replayed exactly."""
+    from ..algos.hyperanf import registers_table
+
+    return registers_table(_cached_tpch_graph(sf_dir), rounds=rounds)
+
+
 def q_mis(sf_dir: str):
     """Maximal independent set via deterministic Luby rounds (see
     `algos.mis`): unique hash priorities, so the SQL oracle replays

@@ -241,3 +241,37 @@ def test_mis_matches_luby_reference_and_is_valid():
         assert not (nbrs.get(v, set()) & got), "two adjacent MIS members"
     for v in set(out.column("vertex").to_pylist()) - got:
         assert nbrs.get(v, set()) & got, f"non-member {v} has no MIS neighbor"
+
+
+def test_hyperanf_estimates_reachability_and_diameter():
+    from llama_ray.algos.hyperanf import hyperanf
+
+    es = rmat(scale=9, avg_degree=6, seed=4)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    g = build_graph(dedup_edges(edges_ds(src, dst, 4)))
+    res = hyperanf(g)
+
+    # exact neighborhood function by BFS over the out-adjacency
+    adj = {}
+    for s, d in set(zip(src, dst)):
+        adj.setdefault(s, set()).add(d)
+    exact = []
+    balls = {v: {v} for v in g.ids}
+    exact.append(sum(len(b) for b in balls.values()))
+    for _ in range(res.rounds):
+        balls = {
+            v: b | set().union(*(balls[w] for w in adj.get(v, set()))) if adj.get(v) else b
+            for v, b in balls.items()
+        }
+        exact.append(sum(len(b) for b in balls.values()))
+    # HLL with m=64 has ~13% per-vertex RSE and ball overlaps
+    # correlate the errors (the same vertex hash feeds many balls),
+    # so the V-sum doesn't average them away — accept 20%
+    # (deterministic seed: this is a fixed value, not a flaky bound)
+    for est, ex in zip(res.neighborhood_function, exact):
+        assert abs(est - ex) / ex < 0.20, (est, ex)
+    # monotone, saturating
+    nf = res.neighborhood_function
+    assert all(b >= a - 1e-9 for a, b in zip(nf, nf[1:]))
+    assert 0 < res.effective_diameter <= res.rounds
