@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_prop": q.q_feature_prop,
         "mis": q.q_mis,
         "hyperanf_registers": q.q_hyperanf,
+        "edge_support": q.q_edge_support,
     }
 
 
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "feature_prop": o.feature_prop_sql(),
         "mis": o.mis_sql(),
         "hyperanf_registers": o.hyperanf_sql(),
+        "edge_support": o.edge_support_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

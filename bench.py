@@ -218,6 +218,12 @@ def run_benchmark() -> dict:
     walk_rows = walk_tbl.num_rows
     timings["neighbor_sample_k3"], _ = best_of(lambda: sample_neighbors(g, 3), 2)
 
+    from llama_ray.algos.hyperanf import hyperanf
+    from llama_ray.algos.mis import maximal_independent_set
+
+    timings["hyperanf_to_saturation"], anf = best_of(lambda: hyperanf(g), 2)
+    timings["mis_luby"], _ = best_of(lambda: maximal_independent_set(g), 2)
+
     # flagship ingest: repo_files → link edges + sha256 manifest
     from llama_ray.ingest.extract import ingest_repo_files
     from llama_ray.sources.repo_files import generate_repo_files
@@ -357,6 +363,8 @@ def run_benchmark() -> dict:
         "wcc_iters": wcc.iterations,
         "triangles": tc,
         "walk_rows": walk_rows,
+        "anf_rounds": anf.rounds,
+        "effective_diameter": anf.effective_diameter,
         "ingest_rows": repo_rows,
         "ingest_link_edges": n_link_edges,
         "ingest_rows_per_sec": round(repo_rows / ingest_sec),

@@ -948,3 +948,20 @@ def hyperanf_sql(rounds: int = 4, seed: int = 20260818) -> str:
     return f"""WITH {GRAPH_CTES},
 {body}
 SELECT id AS vertex, CAST(j AS BIGINT) AS reg, CAST(val AS BIGINT) AS value FROM x{rounds}"""
+
+
+def edge_support_sql() -> str:
+    """Mirror of algos.truss.edge_support: per undirected simple edge
+    (a < b) the number of common neighbors — fan-out bounded by
+    joining on the edge's own endpoint first (Σ_edges deg(a), not the
+    full wedge square)."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+nb AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu)
+SELECT c.a AS src, c.b AS dst, CAST(COUNT(n2.a) AS BIGINT) AS support
+FROM cu c
+JOIN nb n1 ON n1.a = c.a
+LEFT JOIN nb n2 ON n2.a = c.b AND n2.b = n1.b
+GROUP BY c.a, c.b"""

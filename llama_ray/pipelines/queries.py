@@ -329,6 +329,14 @@ def q_neighbor_sample(sf_dir: str, *, k: int = 3):
     return sample_neighbors(_cached_tpch_graph(sf_dir), k)
 
 
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle counts (k-truss basis / common-neighbor link
+    score) — see `algos.truss.edge_support`."""
+    from ..algos.truss import edge_support
+
+    return edge_support(_cached_tpch_graph(sf_dir))
+
+
 def q_hyperanf(sf_dir: str, *, rounds: int = 4):
     """HyperANF registers after 4 out-edge merges (see
     `algos.hyperanf`): the integer HLL state the effective-diameter

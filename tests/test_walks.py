@@ -275,3 +275,36 @@ def test_hyperanf_estimates_reachability_and_diameter():
     nf = res.neighborhood_function
     assert all(b >= a - 1e-9 for a, b in zip(nf, nf[1:]))
     assert 0 < res.effective_diameter <= res.rounds
+
+
+def test_edge_support_matches_brute_force_and_tc():
+    from llama_ray.algos.triangles import triangle_count
+    from llama_ray.algos.truss import edge_support
+
+    es = rmat(scale=8, avg_degree=8, seed=2)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    und = set((min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d)
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    exp = {(a, b): len(nbr[a] & nbr[b]) for a, b in und}
+
+    outs = []
+    for blocks in (1, 6):
+        g = build_graph(dedup_edges(edges_ds(src, dst, blocks)))
+        out = edge_support(g)
+        outs.append(
+            dict(
+                zip(
+                    zip(out.column("src").to_pylist(), out.column("dst").to_pylist()),
+                    out.column("support").to_pylist(),
+                )
+            )
+        )
+    assert outs[0] == exp
+    assert outs[0] == outs[1]  # block-layout independent
+    # Σ support = 3 · triangle count (each triangle has 3 edges)
+    g = build_graph(dedup_edges(edges_ds(src, dst, 6)))
+    assert sum(outs[0].values()) == 3 * triangle_count(g)
