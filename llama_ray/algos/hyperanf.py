@@ -80,11 +80,17 @@ def hyperanf(
     *,
     rounds: int | None = None,
     seed: int = DEFAULT_ANF_SEED,
+    direction: str = "out",
 ) -> ANFResult:
     """Run until the registers stop changing (ball saturation) or for
-    a fixed number of ``rounds``."""
+    a fixed number of ``rounds``. ``direction="out"`` grows forward
+    balls (vertices reachable FROM v); ``"in"`` grows co-reachability
+    balls (vertices that can reach v) — the HyperBall orientation for
+    harmonic/closeness centrality."""
+    if direction not in ("out", "in"):
+        raise ValueError(f"unknown direction {direction!r}")
     R = init_registers(graph.ids, seed)
-    pool = shared_pool(graph, view="reversed")
+    pool = shared_pool(graph, view="reversed" if direction == "out" else "forward")
     nf = [float(_hll_estimate(R, graph.num_vertices).sum())]
     t = 0
     max_t = rounds if rounds is not None else 256
@@ -99,6 +105,34 @@ def hyperanf(
     target = 0.9 * nf[-1]
     eff = next(i for i, v in enumerate(nf) if v >= target)
     return ANFResult(R, nf, float(eff), t)
+
+
+def harmonic_centrality(
+    graph: Graph,
+    *,
+    seed: int = DEFAULT_ANF_SEED,
+    max_rounds: int = 256,
+) -> pa.Table:
+    """HyperBall harmonic centrality (Boldi & Vigna, WSDM '14):
+    H(v) = Σ_{u≠v} 1/d(u→v), estimated as Σ_t (|B_t(v)|−|B_{t−1}(v)|)/t
+    over the co-reachability balls (negative HLL fluctuations clamped,
+    as in the paper). One gather_max_multi per round; O(V) driver
+    state beyond the registers."""
+    R = init_registers(graph.ids, seed)
+    pool = shared_pool(graph, view="forward")
+    prev = _hll_estimate(R, graph.num_vertices)
+    H = np.zeros(graph.num_vertices)
+    t = 0
+    while t < max_rounds:
+        nxt = np.maximum(R, pool.gather_max_multi(R))
+        t += 1
+        if np.array_equal(nxt, R):
+            break
+        R = nxt
+        est = _hll_estimate(R, graph.num_vertices)
+        H += np.maximum(est - prev, 0.0) / t
+        prev = est
+    return pa.table({"vertex": graph.ids, "harmonic": H})
 
 
 def registers_table(graph: Graph, *, rounds: int, seed: int = DEFAULT_ANF_SEED) -> pa.Table:

@@ -26,7 +26,11 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="llama_ray")
     p.add_argument(
         "algorithm",
-        choices=["pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp", "bfs", "tc", "bc", "load"],
+        choices=[
+            "pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp",
+            "bfs", "tc", "bc", "load", "walks", "sample", "mis", "anf",
+            "harmonic", "support", "featprop",
+        ],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
     )
@@ -43,6 +47,10 @@ def main(argv=None) -> int:
     p.add_argument("--dedup", action="store_true", help="dedup edges before building")
     p.add_argument("--output", default=None, help="write per-vertex results parquet here")
     p.add_argument("--top-k", type=int, default=0, help="print top-k (pagerank)")
+    p.add_argument("--steps", type=int, default=4, help="walk length (walks)")
+    p.add_argument("--rounds", type=int, default=2, help="propagation sweeps (featprop)")
+    p.add_argument("--fanout", type=int, default=3, help="neighbors per vertex (sample)")
+    p.add_argument("--seed", type=int, default=20260818, help="sampling seed (walks/sample/mis/anf)")
     args = p.parse_args(argv)
 
     import ray
@@ -187,6 +195,68 @@ def main(argv=None) -> int:
         summary["triangles"] = triangle_count(g)
     elif args.algorithm == "bc":
         arrays["bc"] = betweenness_centrality(g, num_sources=16)
+    elif args.algorithm == "walks":
+        from .algos.walks import random_walks
+
+        tbl = random_walks(g, num_steps=args.steps, seed=args.seed, weighted=args.weighted)
+        summary.update(walk_rows=tbl.num_rows, steps=args.steps)
+        if args.output:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(tbl, args.output)
+            summary["output"] = args.output
+    elif args.algorithm == "sample":
+        from .algos.walks import sample_neighbors
+
+        tbl = sample_neighbors(g, args.fanout, seed=args.seed)
+        summary.update(sampled_edges=tbl.num_rows, fanout=args.fanout)
+        if args.output:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(tbl, args.output)
+            summary["output"] = args.output
+    elif args.algorithm == "mis":
+        from .algos.mis import maximal_independent_set
+
+        tbl = maximal_independent_set(g, seed=args.seed)
+        arrays["in_mis"] = tbl.column("in_mis").to_numpy()
+        summary["mis_size"] = int(arrays["in_mis"].sum())
+    elif args.algorithm == "anf":
+        from .algos.hyperanf import hyperanf
+
+        res = hyperanf(g, seed=args.seed)
+        summary.update(
+            rounds=res.rounds,
+            effective_diameter=res.effective_diameter,
+            neighborhood_function=[round(v, 1) for v in res.neighborhood_function],
+        )
+    elif args.algorithm == "harmonic":
+        from .algos.hyperanf import harmonic_centrality
+
+        tbl = harmonic_centrality(g, seed=args.seed)
+        arrays["harmonic"] = tbl.column("harmonic").to_numpy()
+        summary["max_harmonic"] = float(arrays["harmonic"].max(initial=0.0))
+    elif args.algorithm == "support":
+        from .algos.truss import edge_support
+
+        tbl = edge_support(g)
+        s = tbl.column("support").to_numpy()
+        summary.update(edges_undirected=tbl.num_rows, max_support=int(s.max(initial=0)))
+        if args.output:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(tbl, args.output)
+            summary["output"] = args.output
+    elif args.algorithm == "featprop":
+        from .algos.featprop import feature_propagation
+
+        tbl = feature_propagation(g, k=4, rounds=args.rounds, seed=args.seed)
+        summary.update(feature_rows=tbl.num_rows)
+        if args.output:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(tbl, args.output)
+            summary["output"] = args.output
 
     if args.output and arrays:
         write_results_parquet(g, arrays, args.output)

@@ -55,3 +55,17 @@ def test_cli_kcore_all_self_loops(tmp_path):
     net.write_text("0 0\n1 1\n2 2\n")
     out = run_cli("kcore", "--input", str(net))
     assert out["max_core"] == 0
+
+
+@pytest.mark.slow
+def test_cli_sampling_tasks(tmp_path):
+    walks = run_cli("walks", "--input", "rmat(7,4)", "--steps", "3", "--output", str(tmp_path / "w.parquet"))
+    assert walks["walk_rows"] > walks["vertices"]  # step-0 rows + real hops
+    samp = run_cli("sample", "--input", "rmat(7,4)", "--fanout", "2")
+    assert 0 < samp["sampled_edges"] <= 2 * samp["vertices"]
+    mis = run_cli("mis", "--input", "rmat(7,4)")
+    assert 0 < mis["mis_size"] < mis["vertices"]
+    anf = run_cli("anf", "--input", "rmat(7,4)")
+    assert anf["rounds"] >= 1 and anf["effective_diameter"] <= anf["rounds"]
+    sup = run_cli("support", "--input", "rmat(7,4)")
+    assert sup["edges_undirected"] > 0 and sup["max_support"] >= 0

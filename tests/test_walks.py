@@ -308,3 +308,44 @@ def test_edge_support_matches_brute_force_and_tc():
     # Σ support = 3 · triangle count (each triangle has 3 edges)
     g = build_graph(dedup_edges(edges_ds(src, dst, 6)))
     assert sum(outs[0].values()) == 3 * triangle_count(g)
+
+
+def test_harmonic_centrality_tracks_exact_bfs():
+    from llama_ray.algos.hyperanf import harmonic_centrality
+
+    es = rmat(scale=8, avg_degree=6, seed=6)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    g = build_graph(dedup_edges(edges_ds(src, dst, 4)))
+    out = harmonic_centrality(g)
+    got = dict(zip(out.column("vertex").to_pylist(), out.column("harmonic").to_pylist()))
+
+    # exact H(v) = sum over u of 1/d(u->v) by forward BFS from every u
+    adj = {}
+    for s, d in set(zip(src, dst)):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    import collections
+    H = collections.defaultdict(float)
+    for u in g.ids:
+        dist = {u: 0}
+        q = collections.deque([u])
+        while q:
+            x = q.popleft()
+            for y in adj.get(x, ()):  # noqa
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, dd in dist.items():
+            if dd > 0:
+                H[v] += 1.0 / dd
+    exact = np.array([H[v] for v in g.ids])
+    est = np.array([got[v] for v in g.ids])
+    nz = exact > 5  # vertices with meaningful centrality
+    rel = np.abs(est[nz] - exact[nz]) / exact[nz]
+    assert rel.mean() < 0.15, rel.mean()
+    # rank agreement on the head: top-10 exact vertices all sit in the
+    # estimated top-25
+    top_exact = set(np.array(g.ids)[np.argsort(-exact)[:10]])
+    top_est = set(np.array(g.ids)[np.argsort(-est)[:25]])
+    assert top_exact <= top_est
