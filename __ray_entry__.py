@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis": q.q_mis,
         "hyperanf_registers": q.q_hyperanf,
         "edge_support": q.q_edge_support,
+        "hits": q.q_hits,
     }
 
 
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "mis": o.mis_sql(),
         "hyperanf_registers": o.hyperanf_sql(),
         "edge_support": o.edge_support_sql(),
+        "hits": o.hits_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

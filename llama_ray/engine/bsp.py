@@ -727,7 +727,9 @@ class _GatherPartition:
             hi_l = int(v.max())
             span = hi_l - lo_l + 1
             if np.issubdtype(v.dtype, np.integer) and (r1 - r0) * span < (1 << 62):
-                key = run_id * np.int64(span) + (v - lo_l)
+                # offset in int64: v's own dtype could wrap when its
+                # value range exceeds it (e.g. int32 spanning ±2^30)
+                key = run_id * np.int64(span) + (v.astype(np.int64, copy=False) - lo_l)
                 order = np.argsort(key, kind="stable")
             else:
                 order = np.lexsort((v, run_id))

@@ -965,3 +965,44 @@ FROM cu c
 JOIN nb n1 ON n1.a = c.a
 LEFT JOIN nb n2 ON n2.a = c.b AND n2.b = n1.b
 GROUP BY c.a, c.b"""
+
+
+def _hits_ctes(iters: int) -> str:
+    steps = [
+        "h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS s FROM v)"
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.x, 0) AS s
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.s) AS x
+    FROM e JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst
+  ) m ON m.id = v.id)"""
+        )
+        steps.append(
+            f"a{k} AS MATERIALIZED (SELECT id, s / (SELECT SUM(s) FROM ar{k}) AS s FROM ar{k})"
+        )
+        steps.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.x, 0) AS s
+  FROM v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.s) AS x
+    FROM e JOIN a{k} a ON a.id = e.dst GROUP BY e.src
+  ) m ON m.id = v.id)"""
+        )
+        steps.append(
+            f"h{k} AS MATERIALIZED (SELECT id, s / (SELECT SUM(s) FROM hr{k}) AS s FROM hr{k})"
+        )
+    return ",\n".join(steps)
+
+
+def hits_sql(iters: int = 5) -> str:
+    """Mirror of algos.hits.hits: authority = Σ in-neighbor hubs, hub =
+    Σ out-neighbor authorities, L1-normalized after each half-step,
+    unrolled exactly ``iters`` synchronous iterations (assumes the
+    graph has ≥1 edge, so every normalizing sum is positive)."""
+    return f"""WITH {GRAPH_CTES},
+{_hits_ctes(iters)}
+SELECT h.id AS vertex, ROUND(h.s, 8) AS hub, ROUND(a.s, 8) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""

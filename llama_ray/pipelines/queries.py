@@ -761,3 +761,19 @@ def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     final = parts.groupby("qid", as_index=False).head(k).reset_index(drop=True)
     final["sim"] = final["sim"].round(5)
     return final[["qid", "neighbor_id", "sim"]]
+
+
+def q_hits(sf_dir: str, *, iters: int = 5):
+    """HITS hubs & authorities, 5 synchronous L1-normalized iterations
+    (see :mod:`llama_ray.algos.hits`)."""
+    from ..algos.hits import hits
+
+    g = _cached_tpch_graph(sf_dir)
+    h, a, _ = hits(g, max_iters=iters)
+    return pa.table(
+        {
+            "vertex": g.ids,
+            "hub": np.round(h, 8),
+            "authority": np.round(a, 8),
+        }
+    )

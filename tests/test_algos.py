@@ -352,3 +352,41 @@ def test_scc_long_cycle_in_rmat_background():
     # the cycle is one SCC labeled by its min id
     cyc_pos = np.searchsorted(g.ids, cyc_src)
     assert (res.state["label"][cyc_pos] == base).all()
+
+
+def hits_np(src, dst, n, iters=5):
+    """Dense-matrix HITS with L1 normalization (independent oracle)."""
+    A = np.zeros((n, n))
+    np.add.at(A, (np.asarray(src), np.asarray(dst)), 1.0)
+    # duplicates each contribute — but the engine runs on deduped
+    # fixtures here, so A is 0/1 for the graphs used below
+    h = np.full(n, 1.0 / n)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = A.T @ h
+        if a.sum() > 0:
+            a /= a.sum()
+        h = A @ a
+        if h.sum() > 0:
+            h /= h.sum()
+    return h, a
+
+
+@pytest.mark.parametrize("name", ["chain5", "cycle4", "k4", "two_triangles", "star_hub"])
+def test_hits_matches_dense_oracle(name):
+    from llama_ray.algos.hits import hits
+
+    src, dst = FIXTURES[name]
+    g = build_graph(edges_ds(src, dst))
+    h, a, iters = hits(g, max_iters=5)
+    ds, dd, ids = dense(src, dst)
+    eh, ea = hits_np(ds, dd, len(ids), iters=5)
+    order = np.searchsorted(ids, g.ids)
+    np.testing.assert_allclose(h, eh[order], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(a, ea[order], rtol=1e-12, atol=1e-15)
+    assert iters == 5
+    # hub/authority intuition: in star_hub every leaf points at 0, so
+    # vertex 0 is the sole authority and every leaf an equal hub
+    if name == "star_hub":
+        assert np.argmax(a) == int(np.searchsorted(g.ids, 0))
+        assert a.max() == pytest.approx(1.0)
