@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_registers": q.q_hyperanf,
         "edge_support": q.q_edge_support,
         "hits": q.q_hits,
+        "local_clustering": q.q_local_clustering,
     }
 
 
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf_registers": o.hyperanf_sql(),
         "edge_support": o.edge_support_sql(),
         "hits": o.hits_sql(),
+        "local_clustering": o.local_clustering_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

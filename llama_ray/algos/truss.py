@@ -28,7 +28,7 @@ from ..common import batch_to_numpy
 from ..graph import Graph, target_num_blocks
 from .triangles import _orient_pairs
 
-__all__ = ["edge_support"]
+__all__ = ["edge_support", "local_clustering"]
 
 
 def _probe_mask(wk: np.ndarray, refs, bounds_hi: np.ndarray, cache: dict) -> np.ndarray:
@@ -233,3 +233,51 @@ def edge_support(graph: Graph) -> pa.Table:
     lo = np.minimum(su, sv)
     hi = np.maximum(su, sv)
     return pa.table({"src": lo, "dst": hi, "support": support})
+
+
+def local_clustering(graph: Graph) -> pa.Table:
+    """Per-vertex triangle count and local clustering coefficient over
+    the undirected simple graph: ``coeff(v) = 2·tri(v) / (d(v)·(d(v)−1))``
+    (Watts–Strogatz), 0 where d(v) < 2.
+
+    Derived from :func:`edge_support` — each triangle at v has exactly
+    two incident edges at v, each crediting the triangle to its
+    support, so ``tri(v) = Σ_{e∋v} support(e) / 2`` exactly. The
+    per-vertex reduction is two bincounts over the O(E_canonical)
+    support table — the same driver envelope edge_support already
+    holds; at 10^12-edge scale both would flow through a
+    ``groupby(vertex).sum`` instead.
+
+    Returns (vertex, triangles, degree, coeff) for every dense vertex,
+    original ids; degree = number of distinct simple neighbors.
+    """
+    sup = edge_support(graph)
+    n = graph.num_vertices
+    if n == 0:
+        return pa.table(
+            {
+                "vertex": pa.array([], pa.int64()),
+                "triangles": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "coeff": pa.array([], pa.float64()),
+            }
+        )
+    s = sup.column("src").to_numpy(zero_copy_only=False)
+    d = sup.column("dst").to_numpy(zero_copy_only=False)
+    c = sup.column("support").to_numpy(zero_copy_only=False)
+    ps = np.searchsorted(graph.ids, s)
+    pd_ = np.searchsorted(graph.ids, d)
+    tri2 = np.bincount(ps, weights=c, minlength=n) + np.bincount(pd_, weights=c, minlength=n)
+    tri = (tri2 / 2).astype(np.int64)  # exact: tri2 is even, < 2^53
+    deg = np.bincount(ps, minlength=n) + np.bincount(pd_, minlength=n)
+    denom = deg * (deg - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = np.where(denom > 0, 2.0 * tri / denom, 0.0)
+    return pa.table(
+        {
+            "vertex": graph.ids,
+            "triangles": tri,
+            "degree": deg.astype(np.int64),
+            "coeff": coeff,
+        }
+    )

@@ -1006,3 +1006,31 @@ def hits_sql(iters: int = 5) -> str:
 {_hits_ctes(iters)}
 SELECT h.id AS vertex, ROUND(h.s, 8) AS hub, ROUND(a.s, 8) AS authority
 FROM h{iters} h JOIN a{iters} a ON a.id = h.id"""
+
+
+def local_clustering_sql() -> str:
+    """Mirror of algos.truss.local_clustering: per-vertex triangle
+    count = Σ incident-edge support / 2 and the Watts–Strogatz
+    coefficient, over the undirected simple graph."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+nb AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+sup AS MATERIALIZED (
+  SELECT c.a, c.b, CAST(COUNT(n2.a) AS BIGINT) AS support
+  FROM cu c
+  JOIN nb n1 ON n1.a = c.a
+  LEFT JOIN nb n2 ON n2.a = c.b AND n2.b = n1.b
+  GROUP BY c.a, c.b),
+inc AS (SELECT a AS v, support FROM sup UNION ALL SELECT b, support FROM sup),
+pv AS (SELECT v, CAST(SUM(support) // 2 AS BIGINT) AS triangles,
+              CAST(COUNT(*) AS BIGINT) AS degree
+       FROM inc GROUP BY v)
+SELECT vv.id AS vertex,
+       COALESCE(p.triangles, 0) AS triangles,
+       COALESCE(p.degree, 0) AS degree,
+       CASE WHEN COALESCE(p.degree, 0) >= 2
+            THEN ROUND(2.0 * p.triangles / (p.degree * (p.degree - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM v vv LEFT JOIN pv p ON p.v = vv.id"""

@@ -777,3 +777,14 @@ def q_hits(sf_dir: str, *, iters: int = 5):
             "authority": np.round(a, 8),
         }
     )
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-vertex triangles + Watts–Strogatz local clustering
+    coefficient (see :func:`llama_ray.algos.truss.local_clustering`)."""
+    from ..algos.truss import local_clustering
+
+    t = local_clustering(_cached_tpch_graph(sf_dir))
+    return t.set_column(
+        t.schema.get_field_index("coeff"), "coeff", pc.round(t.column("coeff"), 6)
+    )

@@ -349,3 +349,43 @@ def test_harmonic_centrality_tracks_exact_bfs():
     top_exact = set(np.array(g.ids)[np.argsort(-exact)[:10]])
     top_est = set(np.array(g.ids)[np.argsort(-est)[:25]])
     assert top_exact <= top_est
+
+
+def test_local_clustering_matches_brute_force():
+    """coeff vs an O(V^3) dense-matrix oracle on the cyclic fixture
+    family (incl. self-loops + duplicate directions)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.truss import local_clustering
+    from llama_ray.graph import build_graph
+
+    rng = np.random.default_rng(7)
+    n = 40
+    src, dst = [], []
+    for _ in range(250):
+        a, b = rng.integers(0, n, 2)
+        src.append(int(a)); dst.append(int(b))
+    g = build_graph(rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})))
+    out = local_clustering(g)
+    # dense oracle over the undirected simple graph
+    A = np.zeros((n, n), bool)
+    for a, b in zip(src, dst):
+        if a != b:
+            A[a, b] = A[b, a] = True
+    Ai = A.astype(np.int64)
+    deg = Ai.sum(1)
+    tri = np.array([int(Ai[v] @ Ai @ Ai[:, v]) // 2 for v in range(n)])
+    coeff = np.where(deg >= 2, 2.0 * tri / np.maximum(deg * (deg - 1), 1), 0.0)
+    pos = {int(v): i for i, v in enumerate(g.ids)}
+    got_tri = out.column("triangles").to_numpy()
+    got_deg = out.column("degree").to_numpy()
+    got_cf = out.column("coeff").to_numpy()
+    for v in range(n):
+        if v in pos:
+            i = pos[v]
+            assert got_tri[i] == tri[v], v
+            assert got_deg[i] == deg[v], v
+            assert abs(got_cf[i] - coeff[v]) < 1e-12, v
