@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": q.q_edge_support,
         "hits": q.q_hits,
         "local_clustering": q.q_local_clustering,
+        "ktruss": q.q_ktruss,
     }
 
 
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": o.edge_support_sql(),
         "hits": o.hits_sql(),
         "local_clustering": o.local_clustering_sql(),
+        "ktruss": o.ktruss_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

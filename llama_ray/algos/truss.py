@@ -28,7 +28,7 @@ from ..common import batch_to_numpy
 from ..graph import Graph, target_num_blocks
 from .triangles import _orient_pairs
 
-__all__ = ["edge_support", "local_clustering"]
+__all__ = ["edge_support", "ktruss", "local_clustering"]
 
 
 def _probe_mask(wk: np.ndarray, refs, bounds_hi: np.ndarray, cache: dict) -> np.ndarray:
@@ -281,3 +281,46 @@ def local_clustering(graph: Graph) -> pa.Table:
             "coeff": coeff,
         }
     )
+
+
+def ktruss(graph: Graph, k: int, *, max_rounds: int = 64):
+    """Edges of the k-truss (src < dst, original ids): the maximal
+    subgraph in which every edge is in ≥ k−2 triangles *of the
+    subgraph*. Standard peel loop: compute per-edge support
+    (:func:`edge_support`), drop light edges, recompute on the shrunk
+    graph, until fixpoint.
+
+    Every round is the fully distributed support pass over the current
+    subgraph — the peel touches only the surviving O(E') edges, and
+    the subgraph rebuild is the ordinary distributed densify. (An
+    incremental variant would re-score only edges that lost a
+    triangle; the full recompute keeps rounds embarrassingly simple
+    and each round's cost proportional to the shrinking subgraph.)
+
+    Returns (table, rounds): table has columns (src, dst, support)
+    with the fixpoint supports; ``rounds`` = peel iterations until no
+    edge was dropped (0 if the input is already a k-truss).
+    """
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    import ray.data as rd
+
+    thresh = k - 2
+    g = graph
+    sup = edge_support(g)
+    rounds = 0
+    while True:
+        s = sup.column("support").to_numpy(zero_copy_only=False)
+        keep = s >= thresh
+        if keep.all():
+            return sup, rounds
+        if rounds >= max_rounds:
+            raise RuntimeError(f"k-truss did not converge in {max_rounds} rounds")
+        kept = sup.filter(pa.array(keep)).select(["src", "dst"])
+        if kept.num_rows == 0:
+            return kept.append_column("support", pa.array([], pa.int64())), rounds + 1
+        g = __import__("llama_ray.graph", fromlist=["build_graph"]).build_graph(
+            rd.from_arrow(kept)
+        )
+        sup = edge_support(g)
+        rounds += 1

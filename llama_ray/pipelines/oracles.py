@@ -1034,3 +1034,43 @@ SELECT vv.id AS vertex,
             THEN ROUND(2.0 * p.triangles / (p.degree * (p.degree - 1)), 6)
             ELSE 0.0 END AS coeff
 FROM v vv LEFT JOIN pv p ON p.v = vv.id"""
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 20  # ≥ peel rounds to fixpoint (measured 14 at sf0.01,
+# 2 at sf0.001); extra rounds are idempotent at the fixpoint
+
+
+def ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """Mirror of algos.truss.ktruss: peel edges with < k−2 common
+    neighbors, recompute on the survivors, ``rounds`` times (past the
+    measured fixpoint, where further rounds are no-ops); final support
+    recomputed on the fixpoint edge set."""
+    thresh = k - 2
+    steps = [
+        """t0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst)"""
+    ]
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"nb{r - 1} AS MATERIALIZED (SELECT a, b FROM t{r - 1} UNION ALL SELECT b, a FROM t{r - 1})"
+        )
+        steps.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM t{r - 1} c
+  JOIN nb{r - 1} n1 ON n1.a = c.a
+  JOIN nb{r - 1} n2 ON n2.a = c.b AND n2.b = n1.b
+  GROUP BY c.a, c.b
+  HAVING COUNT(*) >= {thresh})"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body},
+nbf AS MATERIALIZED (SELECT a, b FROM t{rounds} UNION ALL SELECT b, a FROM t{rounds})
+SELECT c.a AS src, c.b AS dst, CAST(COUNT(n2.a) AS BIGINT) AS support
+FROM t{rounds} c
+JOIN nbf n1 ON n1.a = c.a
+LEFT JOIN nbf n2 ON n2.a = c.b AND n2.b = n1.b
+GROUP BY c.a, c.b"""

@@ -788,3 +788,12 @@ def q_local_clustering(sf_dir: str):
     return t.set_column(
         t.schema.get_field_index("coeff"), "coeff", pc.round(t.column("coeff"), 6)
     )
+
+
+def q_ktruss(sf_dir: str, *, k: int = 4):
+    """4-truss of the link graph: fixpoint edge set + supports (see
+    :func:`llama_ray.algos.truss.ktruss`)."""
+    from ..algos.truss import ktruss
+
+    t, _rounds = ktruss(_cached_tpch_graph(sf_dir), k)
+    return t

@@ -389,3 +389,56 @@ def test_local_clustering_matches_brute_force():
             assert got_tri[i] == tri[v], v
             assert got_deg[i] == deg[v], v
             assert abs(got_cf[i] - coeff[v]) < 1e-12, v
+
+
+def test_ktruss_matches_brute_force_peel():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.truss import ktruss
+    from llama_ray.graph import build_graph
+
+    rng = np.random.default_rng(11)
+    n = 30
+    pairs = set()
+    for _ in range(180):
+        a, b = sorted(rng.integers(0, n, 2).tolist())
+        if a != b:
+            pairs.add((a, b))
+    # plant a K5 so the 4-truss is non-empty
+    for i in range(5):
+        for j in range(i + 1, 5):
+            pairs.add((i, j))
+    src = [a for a, b in pairs] + [b for a, b in pairs]  # mixed directions
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    g = build_graph(rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})))
+
+    def peel(edges, k):
+        edges = set(edges)
+        while True:
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                return {e: s for e, s in sup.items()}
+            edges -= drop
+
+    for k in (3, 4, 5):
+        t, _ = ktruss(g, k)
+        got = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(
+                t.column("src").to_pylist(), t.column("dst").to_pylist(),
+                t.column("support").to_pylist())
+        }
+        assert got == peel(pairs, k), k
+    # K5's 4-truss (k=5 needs support>=3: exactly the planted clique
+    # unless the random graph adds more)
+    t5, _ = ktruss(g, 5)
+    clique = {(i, j) for i in range(5) for j in range(i + 1, 5)}
+    assert clique <= set(zip(t5.column("src").to_pylist(), t5.column("dst").to_pylist())) or peel(pairs, 5) == {}
