@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q.q_hits,
         "local_clustering": q.q_local_clustering,
         "ktruss": q.q_ktruss,
+        "assortativity": q.q_assortativity,
+        "reciprocity": q.q_reciprocity,
+        "lp_modularity": q.q_lp_modularity,
     }
 
 
@@ -103,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "hits": o.hits_sql(),
         "local_clustering": o.local_clustering_sql(),
         "ktruss": o.ktruss_sql(),
+        "assortativity": o.assortativity_sql(),
+        "reciprocity": o.reciprocity_sql(),
+        "lp_modularity": o.lp_modularity_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -77,3 +77,156 @@ def edge_prop_stats(edges: rd.Dataset, prop: str = "weight"):
         Mean(prop, alias_name="mean"),
     )
     return out
+
+
+def degree_assortativity(graph) -> pa.Table:
+    """Newman degree assortativity of the undirected simple graph:
+    Pearson correlation of (deg(u), deg(v)) over both orientations of
+    every edge. ``graph`` must be canonical (src < dst, simple —
+    :func:`llama_ray.graph.canonical_undirected`).
+
+    Partials are exact integer sums per edge block (broadcast degree
+    vector, one pass, no shuffle); the driver combines Python ints and
+    performs the single float division, mirroring the SQL oracle's
+    CAST-to-double arithmetic bit-for-bit. Per-block int64 envelope:
+    hub_degree² × block_rows < 2^63 (holds to ~10^6-degree hubs at 8M
+    rows/block).
+    """
+    import ray
+
+    from ..graph import Graph  # noqa: F401 (documented input type)
+
+    deg = graph.out_degrees + graph.in_degrees()
+    deg_ref = ray.put(deg.astype(np.int64))
+
+    def partial(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        dd = ray.get(deg_ref)
+        xs, ys = dd[s], dd[d]
+        return {
+            "n": np.array([2 * len(s)], np.int64),
+            "sx": np.array([int(xs.sum()) + int(ys.sum())], np.int64),
+            "sxx": np.array([int((xs * xs).sum()) + int((ys * ys).sum())], np.int64),
+            "sxy": np.array([2 * int((xs * ys).sum())], np.int64),
+        }
+
+    n = sx = sxx = sxy = 0
+    for b in graph.edges.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "n" not in b.schema.names:
+            continue
+        n += int(pa.compute.sum(b.column("n")).as_py() or 0)
+        sx += int(pa.compute.sum(b.column("sx")).as_py() or 0)
+        sxx += int(pa.compute.sum(b.column("sxx")).as_py() or 0)
+        sxy += int(pa.compute.sum(b.column("sxy")).as_py() or 0)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def reciprocity(edges: rd.Dataset, num_vertices_hint: int | None = None) -> pa.Table:
+    """Edge reciprocity of the directed simple graph: fraction of
+    non-self-loop edges whose reverse edge also exists. ``edges`` must
+    be deduplicated (each directed pair once). One packed-key groupby
+    (the only shuffle); everything else is per-batch arithmetic.
+    """
+
+    def keys(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        # packed unordered key — int64-safe for ids < 2^31; larger id
+        # spaces would densify first (graph ids are dense already)
+        return {"k": lo * np.int64(1 << 31) + hi}
+
+    counts = (
+        edges.map_batches(keys, batch_format="pyarrow", batch_size=None)
+        .groupby("k")
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def tally(batch: pa.Table):
+        c = batch_to_numpy(batch, "c")
+        return {
+            "mutual": np.array([2 * int((c == 2).sum())], np.int64),
+            "total": np.array([int(c.sum())], np.int64),
+        }
+
+    mutual = total = 0
+    for b in counts.map_batches(tally, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows == 0 or "mutual" not in b.schema.names:
+            continue
+        mutual += int(pa.compute.sum(b.column("mutual")).as_py() or 0)
+        total += int(pa.compute.sum(b.column("total")).as_py() or 0)
+    r = float(mutual) / float(total) if total else 0.0
+    return pa.table(
+        {
+            "mutual_edges": pa.array([mutual], pa.int64()),
+            "total_edges": pa.array([total], pa.int64()),
+            "reciprocity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def modularity(graph, labels: np.ndarray) -> pa.Table:
+    """Newman modularity Q of a vertex partition over the undirected
+    simple graph (canonical form): Q = intra/m − Σ_c a_c² / (4m²)
+    with a_c = Σ_{v∈c} deg(v). ``labels`` is dense-indexed
+    (labels[i] labels graph.ids[i]).
+
+    intra-edge counting is a one-pass broadcast partial over edge
+    blocks; a_c sums are an O(V) driver bincount over the label vector
+    the caller already holds. All terms are exact integers; Q is two
+    float divisions, mirrored in the SQL oracle.
+    """
+    import ray
+
+    m = graph.num_edges
+    if m == 0:
+        return pa.table(
+            {
+                "num_edges": pa.array([0], pa.int64()),
+                "intra_edges": pa.array([0], pa.int64()),
+                "modularity": pa.array([0.0], pa.float64()),
+            }
+        )
+    lab_ref = ray.put(np.asarray(labels))
+
+    def partial(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        lab = ray.get(lab_ref)
+        return {"intra": np.array([int((lab[s] == lab[d]).sum())], np.int64)}
+
+    intra = 0
+    for b in graph.edges.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "intra" not in b.schema.names:
+            continue
+        intra += int(pa.compute.sum(b.column("intra")).as_py() or 0)
+    deg = graph.out_degrees + graph.in_degrees()
+    _, inv = np.unique(np.asarray(labels), return_inverse=True)
+    a_c = np.bincount(inv, weights=deg).astype(np.int64)
+    sumsq = int((a_c.astype(object) ** 2).sum())  # exact beyond 2^53
+    q = float(intra) / float(m) - float(sumsq) / float(4 * m * m)
+    return pa.table(
+        {
+            "num_edges": pa.array([m], pa.int64()),
+            "intra_edges": pa.array([intra], pa.int64()),
+            "modularity": pa.array([q], pa.float64()),
+        }
+    )

@@ -1074,3 +1074,87 @@ FROM t{rounds} c
 JOIN nbf n1 ON n1.a = c.a
 LEFT JOIN nbf n2 ON n2.a = c.b AND n2.b = n1.b
 GROUP BY c.a, c.b"""
+
+
+def assortativity_sql() -> str:
+    """Mirror of algos.stats.degree_assortativity: Pearson r of
+    (deg(u), deg(v)) over both orientations of every canonical edge,
+    computed as exact integer aggregates with one double division."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+cdeg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS id FROM cu UNION ALL SELECT b AS id FROM cu)
+  GROUP BY id),
+ee AS (SELECT da.d AS x, db.d AS y
+       FROM cu JOIN cdeg da ON da.id = cu.a JOIN cdeg db ON db.id = cu.b),
+s AS (SELECT 2 * COUNT(*) AS n,
+             SUM(x) + SUM(y) AS sx,
+             SUM(x * x) + SUM(y * y) AS sxx,
+             2 * SUM(x * y) AS sxy
+      FROM ee)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sx AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+FROM s"""
+
+
+def reciprocity_sql() -> str:
+    """Mirror of algos.stats.reciprocity over the DISTINCT directed
+    edge set minus self-loops."""
+    return f"""WITH {GRAPH_CTES},
+ns AS (SELECT src, dst FROM e WHERE src <> dst),
+p AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, COUNT(*) AS c
+      FROM ns GROUP BY 1, 2),
+s AS (SELECT COALESCE(SUM(CASE WHEN c = 2 THEN 2 ELSE 0 END), 0) AS mutual,
+             COALESCE(SUM(c), 0) AS total
+      FROM p)
+SELECT CAST(mutual AS BIGINT) AS mutual_edges,
+       CAST(total AS BIGINT) AS total_edges,
+       ROUND(CAST(mutual AS DOUBLE) / CAST(total AS DOUBLE), 6) AS reciprocity
+FROM s"""
+
+
+def lp_modularity_sql(rounds: int = LP_ROUNDS) -> str:
+    """Modularity of the LP partition: label_propagation_sql's exact
+    rounds, then Q = intra/m − Σ_c a_c²/(4m²) as integer aggregates
+    with two double divisions (mirrors algos.stats.modularity)."""
+    steps = ["p0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
+    for k in range(rounds):
+        steps.append(
+            f"""p{k + 1} AS MATERIALIZED (
+  SELECT p{k}.id, COALESCE(m.label, p{k}.label) AS label
+  FROM p{k} LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT ue.b AS id, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY ue.b
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM ue JOIN p{k} l ON l.id = ue.a GROUP BY ue.b, l.label
+    ) WHERE rn = 1
+  ) m ON m.id = p{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+{body},
+cdeg AS MATERIALIZED (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS id FROM cu UNION ALL SELECT b AS id FROM cu)
+  GROUP BY id),
+ac AS (SELECT p.label, SUM(cd.d) AS s
+       FROM p{rounds} p JOIN cdeg cd ON cd.id = p.id GROUP BY p.label),
+st AS (SELECT (SELECT COUNT(*) FROM cu) AS m,
+              (SELECT COUNT(*) FROM cu
+               JOIN p{rounds} la ON la.id = cu.a
+               JOIN p{rounds} lb ON lb.id = cu.b
+               WHERE la.label = lb.label) AS intra,
+              (SELECT SUM(s * s) FROM ac) AS ssq)
+SELECT CAST(m AS BIGINT) AS num_edges,
+       CAST(intra AS BIGINT) AS intra_edges,
+       ROUND(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(ssq AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS modularity
+FROM st"""

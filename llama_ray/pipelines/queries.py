@@ -797,3 +797,45 @@ def q_ktruss(sf_dir: str, *, k: int = 4):
 
     t, _rounds = ktruss(_cached_tpch_graph(sf_dir), k)
     return t
+
+
+def q_assortativity(sf_dir: str):
+    """Newman degree assortativity over the undirected simple graph
+    (see :func:`llama_ray.algos.stats.degree_assortativity`)."""
+    from ..algos.stats import degree_assortativity
+
+    t = degree_assortativity(_cached_canonical_graph(sf_dir))
+    return t.set_column(
+        t.schema.get_field_index("assortativity"),
+        "assortativity",
+        pc.round(t.column("assortativity"), 6),
+    )
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity over the dense deduped link graph
+    (see :func:`llama_ray.algos.stats.reciprocity`)."""
+    from ..algos.stats import reciprocity
+
+    t = reciprocity(_cached_tpch_graph(sf_dir).edges)
+    return t.set_column(
+        t.schema.get_field_index("reciprocity"),
+        "reciprocity",
+        pc.round(t.column("reciprocity"), 6),
+    )
+
+
+def q_lp_modularity(sf_dir: str):
+    """Modularity of the 4-round label-propagation partition (see
+    :func:`llama_ray.algos.stats.modularity`) — the community-quality
+    composition query."""
+    from ..algos.stats import modularity
+
+    g = _cached_canonical_graph(sf_dir)
+    res = label_propagation(g, iterations=4, engine="bsp")
+    t = modularity(g, res.state["label"])
+    return t.set_column(
+        t.schema.get_field_index("modularity"),
+        "modularity",
+        pc.round(t.column("modularity"), 6),
+    )

@@ -442,3 +442,65 @@ def test_ktruss_matches_brute_force_peel():
     t5, _ = ktruss(g, 5)
     clique = {(i, j) for i in range(5) for j in range(i + 1, 5)}
     assert clique <= set(zip(t5.column("src").to_pylist(), t5.column("dst").to_pylist())) or peel(pairs, 5) == {}
+
+
+def test_stats_trio_match_brute_force():
+    """assortativity / reciprocity / modularity vs row-at-a-time
+    oracles on a random directed graph WITH mutual edges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.stats import degree_assortativity, modularity, reciprocity
+    from llama_ray.graph import build_graph, canonical_undirected
+    from llama_ray.ingest.canonicalize import dedup_edges
+
+    rng = np.random.default_rng(23)
+    n = 25
+    es = set()
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        es.add((int(a), int(b)))
+        if rng.random() < 0.4:
+            es.add((int(b), int(a)))  # plant mutual pairs
+    src = [a for a, b in es]
+    dst = [b for a, b in es]
+    ds = dedup_edges(rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})))
+    g = build_graph(ds)
+    cg = canonical_undirected(g)
+
+    # --- reciprocity oracle (over dense graph edges ≡ original pairs)
+    nonself = {(a, b) for a, b in es if a != b}
+    mutual = sum(1 for a, b in nonself if (b, a) in nonself)
+    rt = reciprocity(g.edges)
+    assert rt.column("total_edges")[0].as_py() == len(nonself)
+    assert rt.column("mutual_edges")[0].as_py() == mutual
+    assert mutual > 0  # the planted pairs actually exercise the path
+    assert abs(rt.column("reciprocity")[0].as_py() - mutual / len(nonself)) < 1e-12
+
+    # --- undirected simple view for the other two
+    und = {(min(a, b), max(a, b)) for a, b in nonself}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    at = degree_assortativity(cg)
+    xs = [deg[a] for a, b in und] + [deg[b] for a, b in und]
+    ys = [deg[b] for a, b in und] + [deg[a] for a, b in und]
+    r_oracle = np.corrcoef(xs, ys)[0, 1]
+    assert at.column("n_pairs")[0].as_py() == 2 * len(und)
+    assert abs(at.column("assortativity")[0].as_py() - r_oracle) < 1e-9
+
+    # --- modularity of an arbitrary 3-way partition
+    labels = np.array([int(v) % 3 for v in cg.ids])
+    mt = modularity(cg, labels)
+    m = len(und)
+    intra = sum(1 for a, b in und if a % 3 == b % 3)
+    a_c = {}
+    for v, d in deg.items():
+        a_c[v % 3] = a_c.get(v % 3, 0) + d
+    q_oracle = intra / m - sum(s * s for s in a_c.values()) / (4 * m * m)
+    assert mt.column("intra_edges")[0].as_py() == intra
+    assert abs(mt.column("modularity")[0].as_py() - q_oracle) < 1e-12
