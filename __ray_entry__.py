@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q.q_assortativity,
         "reciprocity": q.q_reciprocity,
         "lp_modularity": q.q_lp_modularity,
+        "coloring": q.q_coloring,
     }
 
 
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity": o.assortativity_sql(),
         "reciprocity": o.reciprocity_sql(),
         "lp_modularity": o.lp_modularity_sql(),
+        "coloring": o.coloring_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -364,6 +364,26 @@ class _GatherPartition:
             out[self.local_dst[r:r_end]] = sums
         return out
 
+    def gather_or(self, value, chunk: int = 1 << 16):
+        """Per-dst bitwise OR of value[src] for this actor's slice (0
+        where no in-edge) — the neighbor-color-mask combine of
+        Jones–Plassmann greedy coloring. Same run-aligned chunking as
+        gather_sum."""
+        out = np.zeros(self.hi - self.lo, value.dtype)
+        m = len(self.src)
+        if m == 0:
+            return out
+        bounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(bounds[:-1], bounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            contrib = value[self.src[e0:e1]]
+            out[self.local_dst[r:r_end]] = np.bitwise_or.reduceat(
+                contrib, self.run_starts[r:r_end] - e0
+            )
+        return out
+
     def gather_mode(self, value, chunk: int = 1 << 18):
         """Most-frequent value[src] per dst in this actor's slice, ties
         to the smallest value; -1 where no in-edge. The label-propagation
@@ -1164,6 +1184,13 @@ class BSPGather:
             if parts
             else np.zeros((self.num_vertices, value.shape[1]), value.dtype)
         )
+
+    def gather_or(self, value: np.ndarray) -> np.ndarray:
+        """Dense per-dst bitwise OR of value[src] (0 = no in-edge) —
+        the greedy-coloring neighbor-mask combine."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_or.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.zeros(self.num_vertices, value.dtype)
 
     def gather_mode(self, value: np.ndarray) -> np.ndarray:
         """Dense per-dst mode of value[src] (ties → smallest; -1 = no

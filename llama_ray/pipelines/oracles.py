@@ -1158,3 +1158,79 @@ SELECT CAST(m AS BIGINT) AS num_edges,
        ROUND(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
              - CAST(ssq AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS modularity
 FROM st"""
+
+
+def coloring_sql(seed: int = 20260818) -> str:
+    """Mirror of algos.coloring.greedy_coloring: fixed unique JP
+    priorities (splitmix64 machinery shared with mis_sql); per round an
+    uncolored vertex beating every uncolored neighbor takes the
+    smallest color unused by its (already-colored) neighbors.
+
+    The round loop is a **recursive CTE**, not an unrolled chain — JP's
+    round count is the longest decreasing-priority path (52 at sf0.001,
+    data-dependent), so a fixed unroll cannot converge. Two DuckDB 1.0
+    constraints shape the query:
+
+    * non-recursive CTEs referenced from the recursive arm are
+      re-evaluated (parquet scans included) on EVERY iteration, so the
+      edge list and priorities are carried *inside* the recursive state
+      (kind 0 = edge rows, kind 1 = vertex rows) — the init branch
+      evaluates them exactly once;
+    * edges are re-emitted only while their dst endpoint was uncolored
+      at the previous round, so the carried edge set shrinks as the
+      coloring progresses (an uncolored vertex needs all its in-edges:
+      max-uncolored-priority readiness + neighbor-color scan; a colored
+      vertex never needs them again).
+
+    Min free color via sorted-rank gap scan: among the distinct
+    neighbor colors of a ready vertex, pos = rank-1; the first position
+    with color > pos is the smallest missing color, else #colors."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(id AS HUGEINT)', gold)}, "
+        f"CAST(1 AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+un AS (SELECT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst)),
+pk AS (SELECT id, {key} AS h FROM v),
+{_mix64_ctes("pk", "id", prefix="cm")},
+pr AS (SELECT id, CAST((h >> 38) * 67108864 + id AS BIGINT) AS p FROM cm5),
+st(kind, a, b, color, p) AS (
+  SELECT * FROM (
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS color, CAST(NULL AS BIGINT) AS p FROM un
+    UNION ALL
+    SELECT 1, id, NULL, CAST(NULL AS BIGINT), p FROM pr)
+  UNION ALL
+  SELECT * FROM (
+    WITH prev_v AS MATERIALIZED (SELECT a AS id, color, p FROM st WHERE kind = 1),
+         prev_e AS MATERIALIZED (SELECT a, b FROM st WHERE kind = 0),
+         nbr AS MATERIALIZED (
+           SELECT pe.b AS id, y.color, y.p
+           FROM prev_e pe JOIN prev_v y ON y.id = pe.a),
+         rd AS MATERIALIZED (
+           SELECT x.id FROM prev_v x
+           LEFT JOIN (SELECT id, MAX(p) AS mp FROM nbr WHERE color IS NULL GROUP BY id) m
+             ON m.id = x.id
+           WHERE x.color IS NULL AND x.p > COALESCE(m.mp, -1)),
+         rk AS MATERIALIZED (
+           SELECT id, color,
+                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY color) - 1 AS pos
+           FROM (SELECT DISTINCT n.id, n.color FROM nbr n JOIN rd ON rd.id = n.id
+                 WHERE n.color IS NOT NULL)),
+         pick AS MATERIALIZED (
+           SELECT rd.id,
+                  COALESCE(MIN(CASE WHEN rk.color > rk.pos THEN rk.pos END),
+                           COALESCE(MAX(rk.pos) + 1, 0)) AS color
+           FROM rd LEFT JOIN rk ON rk.id = rd.id
+           GROUP BY rd.id)
+    SELECT 0 AS kind, pe.a, pe.b, CAST(NULL AS BIGINT) AS color, CAST(NULL AS BIGINT) AS p
+    FROM prev_e pe JOIN prev_v y ON y.id = pe.b AND y.color IS NULL
+    UNION ALL
+    SELECT 1, v0.id, NULL, COALESCE(v0.color, w.color), v0.p
+    FROM prev_v v0 LEFT JOIN pick w ON w.id = v0.id)
+  WHERE EXISTS (SELECT 1 FROM st WHERE kind = 1 AND color IS NULL)
+)
+SELECT a AS vertex, CAST(MAX(color) AS BIGINT) AS color
+FROM st WHERE kind = 1 GROUP BY a"""

@@ -839,3 +839,11 @@ def q_lp_modularity(sf_dir: str):
         "modularity",
         pc.round(t.column("modularity"), 6),
     )
+
+
+def q_coloring(sf_dir: str):
+    """Deterministic Jones–Plassmann greedy coloring (see
+    :mod:`llama_ray.algos.coloring`)."""
+    from ..algos.coloring import greedy_coloring
+
+    return greedy_coloring(_cached_tpch_graph(sf_dir))

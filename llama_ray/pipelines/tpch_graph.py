@@ -151,10 +151,17 @@ RAW_EDGES_SQL = f"""
 # the unrolled iterative queries reference the previous round twice, which
 # would otherwise explode exponentially (and exhaust file descriptors
 # re-opening the parquet views).
+#
+# raw_edges and v are wrapped in `SELECT ... FROM (...)` so their bodies'
+# top level is NOT a set operation: under `WITH RECURSIVE` (coloring_sql),
+# DuckDB 1.0 treats every UNION/UNION ALL-topped CTE in the list as a
+# recursion candidate and mis-binds later CTE references (observed: a
+# `FROM v` arm returning |un| rows). The wrap is a semantic no-op for the
+# plain-WITH oracles.
 GRAPH_CTES = f"""
-raw_edges AS MATERIALIZED ({RAW_EDGES_SQL}),
+raw_edges AS MATERIALIZED (SELECT src, dst, weight, kind FROM ({RAW_EDGES_SQL})),
 e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges),
-v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+v AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)),
 nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM v),
 deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
 """

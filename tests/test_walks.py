@@ -504,3 +504,54 @@ def test_stats_trio_match_brute_force():
     q_oracle = intra / m - sum(s * s for s in a_c.values()) / (4 * m * m)
     assert mt.column("intra_edges")[0].as_py() == intra
     assert abs(mt.column("modularity")[0].as_py() - q_oracle) < 1e-12
+
+
+def test_greedy_coloring_proper_and_matches_sequential():
+    """JP coloring == sequential greedy in decreasing priority order,
+    and is a proper coloring; layout-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.coloring import _priorities, greedy_coloring
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=8, avg_degree=6, seed=13)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())})).repartition(blocks)
+        )
+        g = build_graph(ds)
+        t = greedy_coloring(g)
+        outs.append(sorted(zip(t.column("vertex").to_pylist(), t.column("color").to_pylist())))
+    assert outs[0] == outs[1]
+    got = dict(outs[0])
+
+    # adjacency (undirected simple, no self-loops)
+    nbrs = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    # proper coloring
+    for v, ns in nbrs.items():
+        for w in ns:
+            assert got[v] != got[w]
+    # sequential-greedy equivalence
+    verts = np.array(sorted(got))
+    p = _priorities(verts, 20260818)
+    order = verts[np.argsort(-p)]
+    ref = {}
+    for v in order:
+        used = {ref[w] for w in nbrs.get(v, ()) if w in ref}
+        c = 0
+        while c in used:
+            c += 1
+        ref[v] = c
+    assert got == ref
