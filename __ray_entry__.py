@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": q.q_reciprocity,
         "lp_modularity": q.q_lp_modularity,
         "coloring": q.q_coloring,
+        "link_prediction": q.q_link_prediction,
     }
 
 
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": o.reciprocity_sql(),
         "lp_modularity": o.lp_modularity_sql(),
         "coloring": o.coloring_sql(),
+        "link_prediction": o.link_prediction_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -1234,3 +1234,35 @@ st(kind, a, b, color, p) AS (
 )
 SELECT a AS vertex, CAST(MAX(color) AS BIGINT) AS color
 FROM st WHERE kind = 1 GROUP BY a"""
+
+
+def link_prediction_sql(k: int = 100, cap: int = 64) -> str:
+    """Mirror of algos.linkpred.link_prediction: wedges at centers with
+    undirected simple degree <= cap, pairs that are already edges
+    anti-joined out, ranked by (cn DESC, u, w) — an integer-exact
+    ordering; the float columns (aa, jaccard) are ROUND(…, 6) on both
+    sides because Adamic-Adar is an order-dependent float sum."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+ud AS MATERIALIZED (SELECT a, b FROM (
+  SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu)),
+dg AS MATERIALIZED (SELECT a AS id, COUNT(*) AS d FROM ud GROUP BY a),
+wd AS MATERIALIZED (
+  SELECT u1.b AS x, u2.b AS y, dc.d AS dcen
+  FROM ud u1 JOIN ud u2 ON u1.a = u2.a AND u1.b < u2.b
+  JOIN dg dc ON dc.id = u1.a
+  WHERE dc.d <= {cap}),
+ag AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn,
+         ROUND(SUM(1.0 / LN(dcen)), 6) AS aa
+  FROM wd GROUP BY x, y),
+ne AS MATERIALIZED (
+  SELECT ag.x, ag.y, ag.cn, ag.aa
+  FROM ag LEFT JOIN cu ON cu.a = ag.x AND cu.b = ag.y
+  WHERE cu.a IS NULL)
+SELECT ne.x AS u, ne.y AS w, ne.cn AS cn, ne.aa AS aa,
+       ROUND(CAST(ne.cn AS DOUBLE) / (dx.d + dy.d - ne.cn), 6) AS jaccard
+FROM ne JOIN dg dx ON dx.id = ne.x JOIN dg dy ON dy.id = ne.y
+ORDER BY ne.cn DESC, u, w LIMIT {k}"""

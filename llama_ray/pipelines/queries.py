@@ -847,3 +847,11 @@ def q_coloring(sf_dir: str):
     from ..algos.coloring import greedy_coloring
 
     return greedy_coloring(_cached_tpch_graph(sf_dir))
+
+
+def q_link_prediction(sf_dir: str):
+    """Top-100 distance-2 pairs by common-neighbor count (see
+    :mod:`llama_ray.algos.linkpred`)."""
+    from ..algos.linkpred import link_prediction
+
+    return link_prediction(_cached_tpch_graph(sf_dir))

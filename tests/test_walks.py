@@ -555,3 +555,62 @@ def test_greedy_coloring_proper_and_matches_sequential():
             c += 1
         ref[v] = c
     assert got == ref
+
+
+def test_link_prediction_matches_brute_force():
+    """CN/AA/Jaccard over capped wedges == dict-based brute force;
+    layout-independent; already-adjacent pairs excluded."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.linkpred import link_prediction
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=8, avg_degree=8, seed=29)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    cap, k = 16, 60
+
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())})).repartition(blocks)
+        )
+        g = build_graph(ds)
+        t = link_prediction(g, k=k, max_center_degree=cap)
+        outs.append(t.to_pandas())
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+
+    # brute force
+    nbrs: dict[int, set] = {}
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    scores: dict[tuple, list] = {}
+    for c, ns in nbrs.items():
+        if len(ns) > cap:
+            continue
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                x, y = sn[i], sn[j]
+                if y in nbrs[x]:
+                    continue
+                e = scores.setdefault((x, y), [0, 0.0])
+                e[0] += 1
+                e[1] += 1.0 / math.log(len(ns))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    assert len(got) == min(k, len(ranked))
+    for row, ((x, y), (cn, aa)) in zip(got.itertuples(index=False), ranked):
+        assert (row.u, row.w, row.cn) == (x, y, cn)
+        assert abs(row.aa - aa) < 1e-6
+        jac = cn / (len(nbrs[x]) + len(nbrs[y]) - cn)
+        assert abs(row.jaccard - jac) < 1e-6
