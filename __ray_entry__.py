@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_modularity": q.q_lp_modularity,
         "coloring": q.q_coloring,
         "link_prediction": q.q_link_prediction,
+        "vocab_topk": q.q_vocab_topk,
+        "doc_split": q.q_doc_split,
+        "pseudo_diameter": q.q_pseudo_diameter,
     }
 
 
@@ -113,6 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "lp_modularity": o.lp_modularity_sql(),
         "coloring": o.coloring_sql(),
         "link_prediction": o.link_prediction_sql(),
+        "vocab_topk": o.vocab_topk_sql(),
+        "doc_split": o.doc_split_sql(),
+        "pseudo_diameter": o.pseudo_diameter_sql(),
         # knn_ivf is the single rows-only query left: its spherical
         # k-means centroids depend on Ray's block layout (per-block
         # float partial sums), which SQL cannot replicate bit-exactly;

@@ -492,8 +492,25 @@ def run_scaling() -> dict:
     # GRAFT_SCALING_CPUS="8,32"
     pair = os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
     lo_cpu, hi_cpu = int(pair[0]), int(pair[1])
-    lo = run_at(lo_cpu)
-    hi = run_at(hi_cpu)
+    # Two interleaved passes per level, best-of per level: the first
+    # process on an idle machine measures systematically faster (turbo /
+    # hypervisor contention — the same 8-CPU PPR job measured 207M
+    # edge-trav/s run first vs 140-160M run second in back-to-back
+    # samples). Alternating legs gives both levels one early slot, so
+    # the leg order no longer biases the ratio.
+    runs: dict[int, list] = {lo_cpu: [], hi_cpu: []}
+    for ncpu in (lo_cpu, hi_cpu, lo_cpu, hi_cpu):
+        runs[ncpu].append(run_at(ncpu))
+
+    def best(ncpu: int, key: str) -> float:
+        return max(r[key] for r in runs[ncpu])
+
+    lo = {k: best(lo_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec")}
+    hi = {k: best(hi_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec")}
+    lo["ppr_10iter_sec"] = min(r["ppr_10iter_sec"] for r in runs[lo_cpu])
+    hi["ppr_10iter_sec"] = min(r["ppr_10iter_sec"] for r in runs[hi_cpu])
+    lo["edges"], lo["vertices"] = runs[lo_cpu][0]["edges"], runs[lo_cpu][0]["vertices"]
+    hi["edges"], hi["vertices"] = runs[hi_cpu][0]["edges"], runs[hi_cpu][0]["vertices"]
     tp_lo = lo["edges_per_sec"]
     tp_hi = hi["edges_per_sec"]
     graph_eff = (tp_hi / tp_lo) / (hi_cpu / lo_cpu)

@@ -175,3 +175,54 @@ def bfs(graph: Graph, root_id: int, **kwargs) -> SuperstepResult:
     counts; the visited-vertex count (the reference's return value) is
     ``np.isfinite(state['dist']).sum()``."""
     return sssp(graph, root_id, weighted=False, **kwargs)
+
+
+def pseudo_diameter(graph: Graph) -> "pa.Table":
+    """Double-sweep BFS diameter lower bound over the undirected simple
+    graph (Magnien-Latapy-Habib 2009): BFS from the min-id vertex,
+    then BFS from its farthest vertex (ties → smallest original id);
+    ``ecc_far`` is the pseudo-diameter. One ``gather_max_masked`` per
+    BFS level over the cached undirected pool — the frontier is the
+    only O(V) driver state, like the coloring/MIS loops.
+
+    Returns a single row (start, ecc_start, far, ecc_far); distances
+    are within start's connected component (standard double sweep)."""
+    import pyarrow as pa
+
+    from ..engine.bsp import shared_pool
+
+    n = graph.num_vertices
+    if n == 0:
+        return pa.table(
+            {k: pa.array([], pa.int64()) for k in ("start", "ecc_start", "far", "ecc_far")}
+        )
+    pool = shared_pool(graph, view="undirected")
+    ones = np.ones(n, np.int64)
+
+    def bfs_dist(src_dense: int) -> np.ndarray:
+        dist = np.full(n, -1, np.int64)
+        dist[src_dense] = 0
+        frontier = np.zeros(n, bool)
+        frontier[src_dense] = True
+        lvl = 0
+        while frontier.any():
+            lvl += 1
+            reach = pool.gather_max_masked(ones, frontier)
+            new = (reach == 1) & (dist < 0)
+            dist[new] = lvl
+            frontier = new
+        return dist
+
+    d1 = bfs_dist(0)  # ids are sorted: dense 0 = min original id
+    ecc1 = int(d1.max())
+    cand = np.flatnonzero(d1 == ecc1)
+    far = int(cand[np.argmin(graph.ids[cand])])
+    ecc2 = int(bfs_dist(far).max())
+    return pa.table(
+        {
+            "start": pa.array([int(graph.ids[0])], pa.int64()),
+            "ecc_start": pa.array([ecc1], pa.int64()),
+            "far": pa.array([int(graph.ids[far])], pa.int64()),
+            "ecc_far": pa.array([ecc2], pa.int64()),
+        }
+    )

@@ -194,3 +194,90 @@ class Fingerprint:
 
 def fingerprint(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
     return docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=concurrency)
+
+
+def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
+    """Top-k corpus vocabulary by exact whitespace-token frequency —
+    the classic wide aggregation of a training-data pipeline.
+
+    Per-batch Arrow kernels (split + flatten + value_counts) emit
+    (token, cnt) partials; a ``groupby(token).sum`` shuffle merges
+    them; the distributed sort keeps only k rows on the driver path.
+    Ordering is (cnt desc, token asc) — integer-exact."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("cnt")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "token": b.column("token"),
+                "cnt": b.column("sum(cnt)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(rename, batch_format="pyarrow")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def hash_split_summary(docs: rd.Dataset, *, seed: int = 20260818) -> pa.Table:
+    """Deterministic train/valid/test split by content-independent id
+    hash (splitmix64(doc_id·GOLD ⊕ seed) mod 1000: <980 train, <990
+    valid, else test — a 98/1/1 split) with per-split doc and char
+    counts. The hash is the same splitmix64 family the dedup/MIS ops
+    use, so the split is reproducible across runs and engines."""
+    from .dedup import _GOLD, _mix64
+
+    _U = np.uint64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        h = _mix64(ids * _GOLD ^ _U(seed))
+        b = (h % _U(1000)).astype(np.int64)
+        split = np.where(b < 980, 0, np.where(b < 990, 1, 2))
+        nch = batch.column("n_chars").to_numpy()
+        n_docs = np.bincount(split, minlength=3).astype(np.int64)
+        n_chars = np.bincount(split, weights=nch, minlength=3).astype(np.int64)
+        return pa.table(
+            {
+                "split_id": np.arange(3, dtype=np.int64),
+                "n_docs": n_docs,
+                "n_chars": n_chars,
+            }
+        )
+
+    parts = (
+        docs.select_columns(["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("split_id")
+        .sum(["n_docs", "n_chars"])
+        .to_pandas()  # exactly 3 rows
+    )
+    parts = parts.sort_values("split_id").reset_index(drop=True)
+    names = np.array(["train", "valid", "test"])
+    return pa.table(
+        {
+            "split": names[parts["split_id"].to_numpy()],
+            "n_docs": parts["sum(n_docs)"].to_numpy().astype(np.int64),
+            "n_chars": parts["sum(n_chars)"].to_numpy().astype(np.int64),
+        }
+    )

@@ -1266,3 +1266,87 @@ SELECT ne.x AS u, ne.y AS w, ne.cn AS cn, ne.aa AS aa,
        ROUND(CAST(ne.cn AS DOUBLE) / (dx.d + dy.d - ne.cn), 6) AS jaccard
 FROM ne JOIN dg dx ON dx.id = ne.x JOIN dg dy ON dy.id = ne.y
 ORDER BY ne.cn DESC, u, w LIMIT {k}"""
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    """Mirror of data_ops.text.vocab_topk: exact whitespace-token
+    frequency, (cnt DESC, token ASC) — integer-exact ordering."""
+    return f"""WITH toks AS (
+  SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {k}"""
+
+
+def doc_split_sql(seed: int = 20260818) -> str:
+    """Mirror of data_ops.text.hash_split_summary: splitmix64(doc_id *
+    GOLD XOR seed) mod 1000 buckets -> 98/1/1 train/valid/test, exact
+    integer doc/char counts per split."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH dk AS MATERIALIZED (
+  SELECT doc_id, n_chars, {key} AS h FROM documents),
+{_mix64_ctes("dk", "doc_id, n_chars", prefix="sp")},
+bkt AS (SELECT n_chars, CAST(h % 1000 AS BIGINT) AS b FROM sp5)
+SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'valid' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM bkt GROUP BY 1"""
+
+
+def _bfs_recursion(name: str, start_sql: str) -> str:
+    """One dynamic-round BFS as a recursive CTE over the undirected
+    simple graph (state-carried edges, same DuckDB 1.0 pattern as
+    coloring_sql): kind 0 = edges whose dst is still unreached, kind 1
+    = reached (vertex, dist) rows; each iteration assigns the frontier
+    dist = MAX(reached dist) + 1 and stops when no carried edge leaves
+    the reached set."""
+    return f"""{name}(kind, a, b, d) AS (
+  SELECT * FROM (
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS d FROM un
+    UNION ALL
+    SELECT 1, ({start_sql}), NULL, 0)
+  UNION ALL
+  SELECT * FROM (
+    WITH rv AS MATERIALIZED (SELECT a AS id, d FROM {name} WHERE kind = 1),
+         pe AS MATERIALIZED (SELECT a, b FROM {name} WHERE kind = 0),
+         nx AS MATERIALIZED (
+           SELECT DISTINCT pe.b AS id FROM pe JOIN rv ON rv.id = pe.a
+           WHERE pe.b NOT IN (SELECT id FROM rv)),
+         lvl AS MATERIALIZED (SELECT MAX(d) + 1 AS d FROM rv)
+    SELECT 0 AS kind, pe.a, pe.b, CAST(NULL AS BIGINT) AS d
+    FROM pe
+    WHERE pe.b NOT IN (SELECT id FROM nx) AND pe.b NOT IN (SELECT id FROM rv)
+    UNION ALL
+    SELECT 1, rv.id, NULL, rv.d FROM rv
+    UNION ALL
+    SELECT 1, nx.id, NULL, lvl.d FROM nx, lvl)
+  WHERE EXISTS (SELECT 1 FROM {name} pe2 JOIN {name} r2 ON r2.kind = 1 AND r2.a = pe2.a
+                WHERE pe2.kind = 0
+                  AND pe2.b NOT IN (SELECT a FROM {name} WHERE kind = 1))
+)"""
+
+
+def pseudo_diameter_sql() -> str:
+    """Mirror of algos.traversal.pseudo_diameter: double-sweep BFS —
+    sweep 1 from the min-id vertex, sweep 2 from the farthest vertex of
+    sweep 1 (ties -> smallest id); ecc_far is the diameter lower bound.
+    Both sweeps are dynamic recursive CTEs (data-dependent depth)."""
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+un AS (SELECT a, b FROM (
+  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+  UNION SELECT dst, src FROM e WHERE src <> dst)),
+s0 AS (SELECT MIN(id) AS s FROM v),
+{_bfs_recursion("b1", "SELECT s FROM s0")},
+dd1 AS (SELECT a AS id, MAX(d) AS d FROM b1 WHERE kind = 1 GROUP BY a),
+ecc1 AS (SELECT MAX(d) AS e FROM dd1),
+fv AS (SELECT MIN(id) AS f FROM dd1 WHERE d = (SELECT e FROM ecc1)),
+{_bfs_recursion("b2", "SELECT f FROM fv")},
+dd2 AS (SELECT a AS id, MAX(d) AS d FROM b2 WHERE kind = 1 GROUP BY a),
+ecc2 AS (SELECT MAX(d) AS e FROM dd2)
+SELECT (SELECT s FROM s0) AS start,
+       CAST((SELECT e FROM ecc1) AS BIGINT) AS ecc_start,
+       (SELECT f FROM fv) AS far,
+       CAST((SELECT e FROM ecc2) AS BIGINT) AS ecc_far"""

@@ -855,3 +855,27 @@ def q_link_prediction(sf_dir: str):
     from ..algos.linkpred import link_prediction
 
     return link_prediction(_cached_tpch_graph(sf_dir))
+
+
+def q_vocab_topk(sf_dir: str):
+    """Top-100 whitespace tokens by exact corpus frequency (see
+    :func:`llama_ray.data_ops.text.vocab_topk`)."""
+    from ..data_ops.text import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents", ["text"]), k=100)
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic 98/1/1 train/valid/test hash split summary (see
+    :func:`llama_ray.data_ops.text.hash_split_summary`)."""
+    from ..data_ops.text import hash_split_summary
+
+    return hash_split_summary(_read(sf_dir, "documents", ["doc_id", "n_chars"]))
+
+
+def q_pseudo_diameter(sf_dir: str):
+    """Double-sweep BFS diameter lower bound (see
+    :func:`llama_ray.algos.traversal.pseudo_diameter`)."""
+    from ..algos.traversal import pseudo_diameter
+
+    return pseudo_diameter(_cached_tpch_graph(sf_dir))

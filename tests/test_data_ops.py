@@ -381,3 +381,54 @@ def test_ann_empty_corpus_raises_descriptive():
         kmeans_spherical(empty, 4)
     with pytest.raises(ValueError, match="empty"):
         LSHIndex(empty)
+
+
+def test_vocab_topk_exact_counts_layout_independent():
+    """Top-k vocabulary == brute-force Counter, identical across block
+    layouts; empty tokens filtered, (cnt desc, token) order."""
+    from collections import Counter
+
+    from llama_ray.data_ops.text import vocab_topk
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 30)).tolist()) + " "
+        for _ in range(300)
+    ]
+    brute = Counter()
+    for t in texts:
+        brute.update(t.split())
+    ranked = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    outs = []
+    for blocks in (1, 6):
+        ds = rd.from_arrow(pa.table({"text": texts})).repartition(blocks)
+        outs.append(vocab_topk(ds, k=25).to_pandas().reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    got = list(zip(outs[0]["token"], outs[0]["cnt"]))
+    assert got == ranked
+
+
+def test_hash_split_deterministic_and_conserving():
+    """98/1/1 hash split: totals conserved, deterministic across block
+    layouts, and ~98% of docs land in train."""
+    from llama_ray.data_ops.text import hash_split_summary
+
+    n = 5000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_chars": pa.array(np.full(n, 10, dtype=np.int64)),
+        }
+    )
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        outs.append(hash_split_summary(ds).to_pandas())
+    assert outs[0].equals(outs[1])
+    s = outs[0].set_index("split")
+    assert int(s["n_docs"].sum()) == n
+    assert int(s["n_chars"].sum()) == 10 * n
+    assert 0.96 * n < s.loc["train", "n_docs"] < 0.995 * n
+    assert s.loc["valid", "n_docs"] > 0 and s.loc["test", "n_docs"] > 0

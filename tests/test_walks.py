@@ -614,3 +614,59 @@ def test_link_prediction_matches_brute_force():
         assert abs(row.aa - aa) < 1e-6
         jac = cn / (len(nbrs[x]) + len(nbrs[y]) - cn)
         assert abs(row.jaccard - jac) < 1e-6
+
+
+def test_pseudo_diameter_matches_brute_force():
+    """Double-sweep result == dict-BFS oracle (start, ecc, far choice
+    with min-id tie-break, second ecc); layout-independent."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.traversal import pseudo_diameter
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=7, avg_degree=3, seed=11)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())})).repartition(blocks)
+        )
+        outs.append(pseudo_diameter(build_graph(ds)).to_pandas())
+    assert outs[0].equals(outs[1])
+    got = outs[0].iloc[0]
+
+    nbrs: dict[int, set] = {}
+    verts = set(src.tolist()) | set(dst.tolist())
+    for v in verts:
+        nbrs[v] = set()
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in nbrs[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        return dist
+
+    start = min(verts)
+    d1 = bfs(start)
+    ecc1 = max(d1.values())
+    far = min(v for v, d in d1.items() if d == ecc1)
+    ecc2 = max(bfs(far).values())
+    assert (got.start, got.ecc_start, got.far, got.ecc_far) == (start, ecc1, far, ecc2)
