@@ -140,6 +140,41 @@ def sort_block_by_column(t: pa.Table, col: str) -> pa.Table:
     return t.take(order)
 
 
+def copied_strings(col) -> pa.Array:
+    """Copy a (possibly object-store-backed) string column into fresh
+    local buffers before handing it to ``pc.utf8_split_whitespace``.
+    pyarrow 16.1 intermittently fails to split on a whitespace byte
+    when that kernel reads zero-copy plasma-backed buffers inside a Ray
+    worker (the last token of one row keeps its trailing space; the
+    same bytes split correctly after any buffer copy, incl. a pickle
+    round-trip). One memcpy per batch — negligible next to the split.
+    Regex kernels (RE2 path) have not shown the fault."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.concat_arrays([arr])
+
+
+def distributed_topk(ds, keys: list[tuple[str, str]], k: int):
+    """Exact global top-k of a Dataset under the Arrow ``sort_by``
+    ordering ``keys`` ([(col, 'ascending'|'descending'), ...]).
+
+    Per-block partials (each block emits ≤ k rows) narrow to one block,
+    then one in-block sort finishes the merge — no all-to-all range
+    shuffle, and no dependence on the streaming executor's block
+    delivery order. ``sort().limit(k)`` is NOT safe for this: with the
+    default ``preserve_order=False`` the Limit operator consumes sorted
+    blocks in *arrival* order, which mis-picks the boundary rows
+    (observed nondeterministically with >1 block)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        return b.sort_by(keys).slice(0, k)
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(part, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def batch_to_numpy(batch: pa.Table, col: str) -> np.ndarray:
     """Zero-copy-when-possible extraction of a column as numpy."""
     return batch.column(col).combine_chunks().to_numpy(zero_copy_only=False)

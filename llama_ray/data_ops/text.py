@@ -207,7 +207,9 @@ def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.utf8_split_whitespace(batch.column("text")))
+        from ..common import copied_strings
+
+        toks = pc.list_flatten(pc.utf8_split_whitespace(copied_strings(batch.column("text"))))
         toks = toks.filter(pc.not_equal(toks, ""))
         vc = pc.value_counts(toks)
         return pa.table(
@@ -232,10 +234,12 @@ def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
             }
         )
 
-    return (
-        merged.map_batches(rename, batch_format="pyarrow")
-        .sort(["cnt", "token"], descending=[True, False])
-        .limit(k)
+    from ..common import distributed_topk
+
+    return distributed_topk(
+        merged.map_batches(rename, batch_format="pyarrow"),
+        [("cnt", "descending"), ("token", "ascending")],
+        k,
     )
 
 

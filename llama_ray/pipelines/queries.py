@@ -280,14 +280,13 @@ def q_wcc_sizes(sf_dir: str):
 def q_top_referenced(sf_dir: str, *, k: int = 20):
     """Top-k vertices by in-degree (distinct in-neighbors), ties by
     vertex id — a groupby + global top-k."""
-    counts = (
-        _cached_dedup_edges(sf_dir)
-        .groupby("dst")
-        .aggregate(Count(alias_name="in_degree"))
-        .sort(["in_degree", "dst"], descending=[True, False])
-        .limit(k)  # distributed top-k — the O(V) degree table stays off the driver
-        .to_pandas()
-    )
+    from ..common import distributed_topk
+
+    counts = distributed_topk(
+        _cached_dedup_edges(sf_dir).groupby("dst").aggregate(Count(alias_name="in_degree")),
+        [("in_degree", "descending"), ("dst", "ascending")],
+        k,  # per-block partials: the O(V) degree table stays off the driver
+    ).to_pandas()
     return counts.rename(columns={"dst": "vertex"})[["vertex", "in_degree"]]
 
 
