@@ -111,6 +111,181 @@ def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(_mix64(g))
 
 
+def _string_segments(col) -> tuple[np.ndarray, np.ndarray]:
+    """(utf8 byte buffer, int64 element offsets) of a non-null Arrow
+    string column — zero-copy views of the Arrow buffers. Offsets are
+    absolute positions into the returned buffer (they need not start
+    at 0 for sliced arrays)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    if arr.null_count:
+        raise ValueError("null text in feature column")
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], odt, count=n + 1 + arr.offset)[arr.offset :].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offs
+
+
+def _rolled_windows(vals: np.ndarray, offs: np.ndarray, k: int, mult) -> tuple[np.ndarray, np.ndarray]:
+    """(window hashes grouped in segment order, per-segment window
+    counts) for every width-``k`` window inside each segment
+    ``vals[offs[d]:offs[d+1]]``. Segments shorter than k yield one
+    whole-segment window; empty segments yield none — exactly the
+    per-row featurizer semantics.
+
+    One in-place polynomial roll covers the whole buffer; a
+    scatter+cumsum keep-mask drops the boundary-crossing windows (no
+    per-window index arrays — an earlier repeat/arange/gather
+    formulation spent 4s on bookkeeping for a 17M-window batch where
+    this spends 0.5s). The < k stragglers are rolled in length classes
+    (at most k-1) and spliced in with one ``np.insert``."""
+    offs = np.asarray(offs, np.int64)
+    lens = np.diff(offs)
+    m = len(vals) - k + 1
+    big = lens >= k
+    cnt_big = np.where(big, lens - k + 1, 0).astype(np.int64)
+    h_big = np.empty(0, _U64)
+    if m > 0 and big.any():
+        # in-place roll: two passes over the buffer per tap, no temps
+        h = vals[0:m].astype(_U64)
+        for j in range(1, k):
+            h *= mult
+            h += vals[j : j + m]
+        # keep-mask: drop windows crossing a segment boundary, inside
+        # short segments, or outside [offs[0], offs[-1]) (sliced cols)
+        mark = np.zeros(m + 1, np.int32)
+        inv_s = np.clip(np.maximum(offs[1:] - k + 1, offs[:-1]), 0, m)
+        inv_e = np.clip(offs[1:], 0, m)
+        np.add.at(mark, inv_s, 1)
+        np.add.at(mark, inv_e, -1)
+        if offs[0] > 0:
+            mark[0] += 1
+            mark[min(int(offs[0]), m)] -= 1
+        tail = min(int(offs[-1]), m)
+        if tail < m:
+            mark[tail] += 1
+        h_big = h[np.cumsum(mark[:-1]) == 0]
+    counts = cnt_big
+    small_idx = np.flatnonzero(~big & (lens > 0))
+    if len(small_idx):
+        parts_r, parts_h = [], []
+        for L in np.unique(lens[small_idx]):
+            rows = small_idx[lens[small_idx] == L]
+            w = vals[offs[:-1][rows][:, None] + np.arange(int(L), dtype=np.int64)[None, :]]
+            hh = np.zeros(len(rows), _U64)
+            for j in range(int(L)):
+                hh = hh * mult + w[:, j]
+            parts_r.append(rows)
+            parts_h.append(hh)
+        rows = np.concatenate(parts_r)
+        hs = np.concatenate(parts_h)
+        o = np.argsort(rows, kind="stable")
+        rows, hs = rows[o], hs[o]
+        # splice each whole-short-segment window in segment order
+        # (a short segment contributes no big windows, so its insert
+        # point is the big-window count of the segments before it)
+        exc = np.cumsum(cnt_big) - cnt_big
+        h_big = np.insert(h_big, exc[rows], hs)
+        counts = cnt_big.copy()
+        counts[rows] = 1
+    return h_big, counts
+
+
+def _segment_unique(h: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique hashes per contiguous segment of ``h`` (segment d
+    owns ``counts[d]`` values): (concatenated uniques in segment
+    order, per-segment unique counts). One small ``np.sort`` +
+    adjacent-dedup per segment: a global (seg, h) sort is 5-8× slower
+    here (numpy's 64-bit sorts aren't radix, and window counts per doc
+    are cache-sized), while this loop is per *doc*, not per token."""
+    if not len(h):
+        return h.astype(_U64), np.zeros(len(counts), np.int64)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    ucnt = np.zeros(len(counts), np.int64)
+    out = np.empty(len(h), _U64)
+    pos = 0
+    for d in np.flatnonzero(counts):
+        u = np.sort(h[bounds[d] : bounds[d + 1]])
+        if len(u) > 1:
+            u = u[np.concatenate([[True], u[1:] != u[:-1]])]
+        out[pos : pos + len(u)] = u
+        ucnt[d] = len(u)
+        pos += len(u)
+    return out[:pos], ucnt
+
+
+def _char_shingle_hashes_batch(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of :func:`_char_shingle_hashes` over a whole Arrow
+    string column: (concatenated sorted-unique hashes in row order,
+    per-row counts). Whitespace normalization runs as RE2 kernels
+    (``\\s+`` → one space, trim, lower) — the same definition the
+    DuckDB oracles use (`regexp_replace(text, '\\s+', ' ', 'g')`);
+    the per-row twin's ``str.split`` additionally folds the rare
+    non-RE2 whitespace (\\x0b, Unicode spaces), which clean corpora
+    don't contain. The polynomial roll reads the utf8 buffer directly
+    — no per-doc Python anywhere."""
+    import pyarrow.compute as pc
+
+    from ..common import copied_strings
+
+    norm = pc.utf8_lower(
+        pc.utf8_trim(pc.replace_substring_regex(copied_strings(col), r"\s+", " "), " ")
+    )
+    data, offs = _string_segments(norm)
+    h, counts = _rolled_windows(data, offs, k, _FNV)
+    return _segment_unique(_mix64(h), counts)
+
+
+def _token_matrix(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a string column (lowercase + Unicode-whitespace split,
+    empties dropped — ``str.split`` semantics) without materializing
+    Python strings. Returns (token byte starts, token byte lengths,
+    per-doc kept-token counts, flat utf8 buffer)."""
+    import pyarrow.compute as pc
+
+    from ..common import copied_strings
+
+    tl = pc.utf8_split_whitespace(pc.utf8_lower(copied_strings(col)))
+    tok_counts = pc.list_value_length(tl).to_numpy(zero_copy_only=False).astype(np.int64)
+    D = len(tok_counts)
+    flat = pc.list_flatten(tl)
+    tdata, toffs = _string_segments(flat)
+    tlens = np.diff(toffs)
+    doc_of = np.repeat(np.arange(D, dtype=np.int64), tok_counts)
+    keep = tlens > 0  # Arrow's split emits empty boundary tokens; str.split doesn't
+    return toffs[:-1][keep], tlens[keep], np.bincount(doc_of[keep], minlength=D).astype(np.int64), tdata
+
+
+def _token_hashes_from_matrix(starts: np.ndarray, lens: np.ndarray, tdata: np.ndarray) -> np.ndarray:
+    """64-bit hash per token — the same 32-byte-prefix polynomial as
+    :func:`_token_hashes`, built by one (T, 32) gather from the flat
+    utf8 buffer instead of a per-token Python encode."""
+    T = len(starts)
+    if T == 0:
+        return np.empty(0, _U64)
+    W = 32
+    cols = np.arange(W, dtype=np.int64)[None, :]
+    valid = cols < np.minimum(lens, W)[:, None]
+    idx = np.minimum(starts[:, None] + cols, max(len(tdata) - 1, 0))
+    M = np.where(valid, tdata[idx], 0)
+    h = np.zeros(T, _U64)
+    for i in range(W):
+        h = h * _FNV + M[:, i]
+    return _mix64(h)
+
+
+def _word_ngram_hashes_batch(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch twin of :func:`_word_ngram_hashes`: (concatenated
+    sorted-unique n-gram hashes in row order, per-row counts)."""
+    starts, lens, per_doc, tdata = _token_matrix(col)
+    th = _token_hashes_from_matrix(starts, lens, tdata)
+    g, counts = _rolled_windows(th, np.concatenate([[0], np.cumsum(per_doc)]), n, _GOLD)
+    return _segment_unique(_mix64(g), counts)
+
+
 def _flat_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
     """Flatten a non-null binary column of uint64 sketches into
     (concatenated values in row order, per-row element counts) without
@@ -241,18 +416,14 @@ class MinHashSketcher:
         # pure-sketch consumers) — skips the O(text) feats binary
         self.emit_feats = emit_feats
 
-    def _featurize(self, text: str) -> np.ndarray:
-        if self.feature == "word":
-            return _word_ngram_hashes(text, self.ngram_n)
-        return _char_shingle_hashes(text, self.k)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch_to_numpy(batch, self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
-        feats = [self._featurize(t) for t in texts]
-        lens = np.array([len(f) for f in feats], np.int64)
+        col = batch.column(self.text_col)
+        if self.feature == "word":
+            concat, lens = _word_ngram_hashes_batch(col, self.ngram_n)
+        else:
+            concat, lens = _char_shingle_hashes_batch(col, self.k)
         starts = np.concatenate([[0], np.cumsum(lens)])
-        concat = np.concatenate(feats) if feats else np.empty(0, _U64)
         sigs = self.mh.signatures(concat, starts)
         if not self.emit_feats:
             fold = np.zeros(len(ids), _U64)
@@ -260,10 +431,19 @@ class MinHashSketcher:
                 fold = fold * _GOLD + sigs[:, h]
             return pa.table({"doc_id": pa.array(ids), "sig": pa.array(_mix64(fold).view(np.int64))})
         buckets = _band_buckets(sigs, self.bands)
+        feats_col = pa.Array.from_buffers(
+            pa.binary(),
+            len(ids),
+            [
+                None,
+                pa.py_buffer((starts * 8).astype(np.int32).tobytes()),
+                pa.py_buffer(concat.view(np.uint8).tobytes() if len(concat) else b""),
+            ],
+        )
         cols = {
             "doc_id": pa.array(ids),
             "nf": pa.array(lens),
-            "feats": pa.array([f.tobytes() for f in feats], pa.binary()),
+            "feats": feats_col,
         }
         for b in range(self.bands):
             cols[f"b{b}"] = pa.array(buckets[:, b])
@@ -610,7 +790,50 @@ class _SimHash:
 
     def __call__(self, batch: pa.Table):
         ids = batch_to_numpy(batch, self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
+        starts, tlens, per_doc, tdata = _token_matrix(batch.column(self.text_col))
+        T = len(starts)
+        if T and int(tlens.max()) > 256:
+            # freak token width: padded-matrix dedup would balloon —
+            # fall back to the per-row set() path for this batch
+            return self._per_row(ids, batch.column(self.text_col).to_pylist())
+        out = np.zeros(len(ids), np.int64)
+        if T:
+            # distinct FULL tokens per doc (one vote each, like the
+            # per-row set(); prefix-colliding tokens still vote twice):
+            # pad tokens into a (T, Wmax) byte matrix, dedup by
+            # (doc, padded bytes) with one lexsort
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), per_doc)
+            Wmax = int(tlens.max())
+            cols = np.arange(Wmax, dtype=np.int64)[None, :]
+            valid = cols < tlens[:, None]
+            P = np.where(
+                valid, tdata[np.minimum(starts[:, None] + cols, max(len(tdata) - 1, 0))], 0
+            ).astype(np.uint8)
+            key = np.ascontiguousarray(P).view(f"S{Wmax}").ravel()
+            order = np.lexsort((key, doc_of))
+            kd, ks = doc_of[order], key[order]
+            keep = np.empty(T, bool)
+            keep[0] = True
+            keep[1:] = (kd[1:] != kd[:-1]) | (ks[1:] != ks[:-1])
+            rows = order[keep]
+            h = _token_hashes_from_matrix(starts[rows], tlens[rows], tdata)
+            dlens = np.bincount(kd[keep], minlength=len(ids)).astype(np.int64)
+            dstarts = np.concatenate([[0], np.cumsum(dlens)])
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            nonempty = dlens > 0
+            # reduceat over nonempty docs' start offsets: empty docs have
+            # zero width, so each segment ends exactly at its doc's end
+            ones = np.zeros((len(ids), 64), np.int64)
+            ones[nonempty] = np.add.reduceat(
+                bits.astype(np.int64), dstarts[:-1][nonempty], axis=0
+            )
+            # votes = (+1 per set bit, -1 per clear bit) > 0  ⇔  2·ones > n
+            pos = (2 * ones) > dlens[:, None]
+            out = np.packbits(pos.astype(np.uint8), axis=1, bitorder="little").view(np.int64).ravel()
+            out[~nonempty] = 0
+        return {self.id_col: ids, "simhash": out}
+
+    def _per_row(self, ids: np.ndarray, texts: list[str]):
         tok_lists = [sorted(set(t.lower().split())) for t in texts]
         lens = np.array([len(t) for t in tok_lists], np.int64)
         starts = np.concatenate([[0], np.cumsum(lens)])
@@ -620,13 +843,10 @@ class _SimHash:
             h = _token_hashes(all_tokens)
             bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
             nonempty = lens > 0
-            # reduceat over nonempty docs' start offsets: empty docs have
-            # zero width, so each segment ends exactly at its doc's end
             ones = np.zeros((len(ids), 64), np.int64)
             ones[nonempty] = np.add.reduceat(
                 bits.astype(np.int64), starts[:-1][nonempty], axis=0
             )
-            # votes = (+1 per set bit, -1 per clear bit) > 0  ⇔  2·ones > n
             pos = (2 * ones) > lens[:, None]
             out = np.packbits(pos.astype(np.uint8), axis=1, bitorder="little").view(np.int64).ravel()
             out[~nonempty] = 0

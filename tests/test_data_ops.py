@@ -383,6 +383,54 @@ def test_ann_empty_corpus_raises_descriptive():
         LSHIndex(empty)
 
 
+def test_batch_featurizers_match_per_row():
+    """The buffer-level batch featurizers (char shingles, word n-grams,
+    simhash token votes) reproduce the per-row reference functions
+    exactly — including empty docs, whitespace-only docs, docs shorter
+    than the window, and sliced Arrow columns (non-zero offset)."""
+    from llama_ray.data_ops.dedup import (
+        _SimHash,
+        _char_shingle_hashes,
+        _char_shingle_hashes_batch,
+        _word_ngram_hashes,
+        _word_ngram_hashes_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "hello world hello", "", "   ", "a", "ab", "abcde",
+        "Hello  WORLD\tfoo\nbar", "x " * 500, "zz", " lead and trail  ",
+        "dup dup dup dup", "ThE QuIcK", "supercalifragilisticexpialidocious" * 2,
+    ] + [
+        " ".join(rng.choice([f"w{i}" for i in range(30)], size=rng.integers(1, 50)).tolist())
+        for _ in range(60)
+    ]
+    plain = pa.array(texts)
+    sliced = pa.array(["PAD PAD"] * 5 + texts).slice(5)
+    for col in (plain, sliced):
+        for k in (5, 3):
+            cat, lens = _char_shingle_hashes_batch(col, k)
+            st = np.concatenate([[0], np.cumsum(lens)])
+            for i, t in enumerate(texts):
+                assert np.array_equal(_char_shingle_hashes(t, k), cat[st[i] : st[i + 1]])
+        for n in (3, 2):
+            cat, lens = _word_ngram_hashes_batch(col, n)
+            st = np.concatenate([[0], np.cumsum(lens)])
+            for i, t in enumerate(texts):
+                assert np.array_equal(_word_ngram_hashes(t, n), cat[st[i] : st[i + 1]])
+        sh = _SimHash()
+        ids = np.arange(len(texts), dtype=np.int64)
+        got = sh(pa.table({"doc_id": ids, "text": col}))["simhash"]
+        ref = sh._per_row(ids, texts)["simhash"]
+        assert np.array_equal(got, ref)
+    # the >256-byte-token fallback path gives the same answer too
+    fat = ["tok" * 200 + " small", "normal words here"]
+    sh = _SimHash()
+    got = sh(pa.table({"doc_id": np.arange(2), "text": pa.array(fat)}))["simhash"]
+    ref = sh._per_row(np.arange(2), fat)["simhash"]
+    assert np.array_equal(got, ref)
+
+
 def test_vocab_topk_exact_counts_layout_independent():
     """Top-k vocabulary == brute-force Counter, identical across block
     layouts; empty tokens filtered, (cnt desc, token) order."""
