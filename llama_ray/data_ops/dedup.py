@@ -239,24 +239,68 @@ def _char_shingle_hashes_batch(col, k: int) -> tuple[np.ndarray, np.ndarray]:
     return _segment_unique(_mix64(h), counts)
 
 
+_WS_BYTES = np.zeros(256, bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True  # \t \n \v \f \r space
+
+
+def _ws_token_spans(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token (byte start, byte length) spans per document plus per-doc
+    token counts, via one vectorized byte-mask scan of the utf8 buffer
+    — ASCII-whitespace ``str.split`` semantics, empties never emitted.
+    Used instead of ``pc.utf8_split_whitespace``, which intermittently
+    fails to split on a boundary byte (see common.copied_strings; the
+    fault reproduces even on freshly allocated buffers). Multibyte
+    UTF-8 sequences are opaque >= 0x80 bytes, so they pass through
+    unsplit; the rare Unicode space is the documented divergence."""
+    D = len(offs) - 1
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi <= lo:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(D, np.int64)
+    nonws = ~_WS_BYTES[data[lo:hi]]
+    rel = offs[1:-1].astype(np.int64) - lo
+    prev = np.empty(len(nonws), bool)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    prev[rel] = False  # a doc start never continues the previous doc's token
+    starts = np.flatnonzero(nonws & ~prev)
+    nxt = np.empty(len(nonws), bool)
+    nxt[-1] = False
+    nxt[:-1] = nonws[1:]
+    last_of_doc = rel - 1
+    nxt[last_of_doc[last_of_doc >= 0]] = False  # a token never crosses a doc end
+    ends = np.flatnonzero(nonws & ~nxt)
+    lens = ends - starts + 1
+    per_doc = np.searchsorted(starts, offs[1:] - lo) - np.searchsorted(starts, offs[:-1] - lo)
+    return starts + lo, lens, per_doc.astype(np.int64)
+
+
+def _tokens_string_array(starts: np.ndarray, lens: np.ndarray, data: np.ndarray) -> pa.Array:
+    """Materialize token spans as an Arrow string array with one
+    vectorized byte gather (compacted buffer + offsets), no per-token
+    Python."""
+    cum = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    total = int(cum[-1])
+    idx = np.repeat(starts - cum[:-1], lens) + np.arange(total, dtype=np.int64)
+    return pa.Array.from_buffers(
+        pa.string(),
+        len(starts),
+        [None, pa.py_buffer(cum.astype(np.int32).tobytes()), pa.py_buffer(data[idx].tobytes())],
+    )
+
+
 def _token_matrix(col) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Tokenize a string column (lowercase + Unicode-whitespace split,
-    empties dropped — ``str.split`` semantics) without materializing
-    Python strings. Returns (token byte starts, token byte lengths,
-    per-doc kept-token counts, flat utf8 buffer)."""
+    """Tokenize a string column (lowercase + whitespace split, empties
+    dropped — ``str.split`` semantics) without materializing Python
+    strings. Returns (token byte starts, token byte lengths, per-doc
+    token counts, flat utf8 buffer)."""
     import pyarrow.compute as pc
 
     from ..common import copied_strings
 
-    tl = pc.utf8_split_whitespace(pc.utf8_lower(copied_strings(col)))
-    tok_counts = pc.list_value_length(tl).to_numpy(zero_copy_only=False).astype(np.int64)
-    D = len(tok_counts)
-    flat = pc.list_flatten(tl)
-    tdata, toffs = _string_segments(flat)
-    tlens = np.diff(toffs)
-    doc_of = np.repeat(np.arange(D, dtype=np.int64), tok_counts)
-    keep = tlens > 0  # Arrow's split emits empty boundary tokens; str.split doesn't
-    return toffs[:-1][keep], tlens[keep], np.bincount(doc_of[keep], minlength=D).astype(np.int64), tdata
+    lower = pc.utf8_lower(copied_strings(col))
+    tdata, toffs = _string_segments(lower)
+    starts, lens, per_doc = _ws_token_spans(tdata, toffs)
+    return starts, lens, per_doc, tdata
 
 
 def _token_hashes_from_matrix(starts: np.ndarray, lens: np.ndarray, tdata: np.ndarray) -> np.ndarray:

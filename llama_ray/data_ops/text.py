@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -196,22 +197,36 @@ def fingerprint(docs: rd.Dataset, *, concurrency=(2, 8)) -> rd.Dataset:
     return docs.map_batches(Fingerprint, batch_format="pyarrow", concurrency=concurrency)
 
 
+def _tokenize_batch(col, *, lower: bool):
+    """(token byte starts, lengths, per-doc counts, utf8 buffer) of a
+    string column via the byte-scan tokenizer — ``str.split``
+    semantics, no Arrow split kernel (see dedup._ws_token_spans)."""
+    from ..common import copied_strings
+    from .dedup import _string_segments, _ws_token_spans
+
+    arr = copied_strings(col)
+    if lower:
+        arr = pc.utf8_lower(arr)
+    data, offs = _string_segments(arr)
+    starts, lens, per_doc = _ws_token_spans(data, offs)
+    return starts, lens, per_doc, data
+
+
 def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
     """Top-k corpus vocabulary by exact whitespace-token frequency —
     the classic wide aggregation of a training-data pipeline.
 
-    Per-batch Arrow kernels (split + flatten + value_counts) emit
-    (token, cnt) partials; a ``groupby(token).sum`` shuffle merges
-    them; the distributed sort keeps only k rows on the driver path.
-    Ordering is (cnt desc, token asc) — integer-exact."""
+    A per-batch byte-scan + value_counts emits (token, cnt) partials;
+    a ``groupby(token).sum`` shuffle merges them; the partial top-k
+    merge keeps only k rows on the driver path. Ordering is (cnt desc,
+    token asc) — integer-exact."""
     import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        from ..common import copied_strings
+        from .dedup import _tokens_string_array
 
-        toks = pc.list_flatten(pc.utf8_split_whitespace(copied_strings(batch.column("text"))))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = pc.value_counts(toks)
+        starts, lens, _, data = _tokenize_batch(batch.column("text"), lower=False)
+        vc = pc.value_counts(_tokens_string_array(starts, lens, data))
         return pa.table(
             {
                 "token": vc.field("values"),
@@ -239,6 +254,149 @@ def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
     return distributed_topk(
         merged.map_batches(rename, batch_format="pyarrow"),
         [("cnt", "descending"), ("token", "ascending")],
+        k,
+    )
+
+
+def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
+    """Exact discrete quantiles of an integer column via the histogram
+    method: per-batch value_counts → one ``groupby(value).sum``
+    shuffle → a cumulative scan over the (small) distinct-value table.
+    No global sort — the shuffle moves one row per distinct value, so
+    this works at any row count whose value cardinality is bounded
+    (lengths, counts, scores). Semantics match SQL ``quantile_disc``:
+    the value at 1-based position ``ceil(q·n)`` of the sorted column."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col).combine_chunks())
+        return pa.table(
+            {"v": vc.field("values").cast(pa.int64()), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .sum("cnt")
+        .to_pandas()  # one row per distinct value
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    v = hist["v"].to_numpy()
+    cc = hist["sum(cnt)"].to_numpy().cumsum()
+    n = int(cc[-1]) if len(cc) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        pos = max(1, int(np.ceil(q * n)))
+        out_q.append(q)
+        out_v.append(int(v[np.searchsorted(cc, pos)]) if n else 0)
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def tfidf_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
+    """Corpus-salient terms: top-k tokens by ``tf · ln(N/df)`` where tf
+    is the total corpus frequency and df the number of documents
+    containing the token. Per-batch Arrow kernels emit exact (token,
+    tf, df) partials (df per batch is exact because a document is one
+    row — distinct (doc, token) pairs never span batches); one
+    ``groupby(token).sum`` merges them; scoring is a final map and the
+    top-k never materializes the vocabulary on the driver. Score is
+    rounded to 6 decimals; order (score desc, token asc)."""
+    import pyarrow.compute as pc
+
+    from ..common import distributed_topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, per_doc, data = _tokenize_batch(batch.column("text"), lower=True)
+        toks = _tokens_string_array(starts, lens, data)
+        vc = pc.value_counts(toks)
+        tf = pa.table(
+            {"token": vc.field("values"), "tf": vc.field("counts").cast(pa.int64())}
+        )
+        doc_of = np.repeat(batch.column("doc_id").to_numpy(), per_doc)
+        pairs = (
+            pa.table({"d": doc_of, "token": toks}).group_by(["d", "token"]).aggregate([])
+        )
+        dv = pc.value_counts(pairs.column("token").combine_chunks())
+        df = pa.table(
+            {"token": dv.field("values"), "df": dv.field("counts").cast(pa.int64())}
+        )
+        return tf.join(df, "token")  # identical key sets
+
+    n_docs = docs.count()
+    merged = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum(["tf", "df"])
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b.column("sum(tf)").cast(pa.int64())
+        df = b.column("sum(df)").cast(pa.int64())
+        sc = np.round(
+            tf.to_numpy().astype(np.float64)
+            * np.log(float(n_docs) / df.to_numpy().astype(np.float64)),
+            6,
+        )
+        return pa.table({"token": b.column("token"), "tf": tf, "df": df, "score": sc})
+
+    return distributed_topk(
+        merged.map_batches(score, batch_format="pyarrow"),
+        [("score", "descending"), ("token", "ascending")],
+        k,
+    )
+
+
+def bigram_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
+    """Top-k word bigrams by exact corpus frequency. Bigram strings are
+    built per batch with one vectorized ``binary_join_element_wise``
+    over the flattened token array (pairs crossing a document boundary
+    masked out); the merge is a (bigram) groupby and the top-k is the
+    partial-merge pattern — nothing vocabulary-sized reaches the
+    driver. Order (cnt desc, bigram asc)."""
+    import pyarrow.compute as pc
+
+    from ..common import distributed_topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, per_doc, data = _tokenize_batch(batch.column("text"), lower=True)
+        toks = _tokens_string_array(starts, lens, data)
+        doc_of = np.repeat(np.arange(len(per_doc), dtype=np.int64), per_doc)
+        T = len(toks)
+        if T < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        joined = pc.binary_join_element_wise(toks.slice(0, T - 1), toks.slice(1, T), " ")
+        same_doc = doc_of[1:] == doc_of[:-1]
+        vc = pc.value_counts(joined.filter(pa.array(same_doc)))
+        return pa.table(
+            {"bigram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    merged = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("cnt")
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bigram": b.column("bigram"), "cnt": b.column("sum(cnt)").cast(pa.int64())}
+        )
+
+    return distributed_topk(
+        merged.map_batches(rename, batch_format="pyarrow"),
+        [("cnt", "descending"), ("bigram", "ascending")],
         k,
     )
 

@@ -1296,6 +1296,47 @@ SELECT CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'valid' ELSE 'test' END 
 FROM bkt GROUP BY 1"""
 
 
+def doc_len_quantiles_sql() -> str:
+    """Mirror of data_ops.text.exact_quantiles on documents.n_chars:
+    quantile_disc == the value at 1-based position ceil(q*n)."""
+    parts = [
+        f"SELECT {q} AS q, CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value FROM documents"
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def tfidf_topk_sql(k: int = 20) -> str:
+    """Mirror of data_ops.text.tfidf_topk: lowercase whitespace tokens,
+    tf = corpus frequency, df = containing-doc count, score rounded to
+    6 decimals, order (score DESC, token)."""
+    return f"""WITH tl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS token FROM tl),
+tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT t.token, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+       ROUND(t.tf * LN(CAST((SELECT n FROM n) AS DOUBLE) / d.df), 6) AS score
+FROM tf t JOIN df d USING (token)
+ORDER BY score DESC, t.token LIMIT {k}"""
+
+
+def bigram_topk_sql(k: int = 20) -> str:
+    """Mirror of data_ops.text.bigram_topk: adjacent lowercase token
+    pairs within each document, (cnt DESC, bigram) order."""
+    return f"""WITH tl AS (
+  SELECT row_number() OVER () AS did,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT did, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tl),
+bg AS (SELECT a.token || ' ' || b.token AS bigram
+       FROM toks a JOIN toks b ON a.did = b.did AND b.pos = a.pos + 1)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT {k}"""
+
+
 def _bfs_recursion(name: str, start_sql: str) -> str:
     """One dynamic-round BFS as a recursive CTE over the undirected
     simple graph (state-carried edges, same DuckDB 1.0 pattern as

@@ -878,3 +878,27 @@ def q_pseudo_diameter(sf_dir: str):
     from ..algos.traversal import pseudo_diameter
 
     return pseudo_diameter(_cached_tpch_graph(sf_dir))
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of document length via the histogram method
+    (see :func:`llama_ray.data_ops.text.exact_quantiles`)."""
+    from ..data_ops.text import exact_quantiles
+
+    return exact_quantiles(_read(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9, 0.99])
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-20 corpus-salient tokens by tf·ln(N/df) (see
+    :func:`llama_ray.data_ops.text.tfidf_topk`)."""
+    from ..data_ops.text import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=20)
+
+
+def q_bigram_topk(sf_dir: str):
+    """Top-20 word bigrams by exact corpus frequency (see
+    :func:`llama_ray.data_ops.text.bigram_topk`)."""
+    from ..data_ops.text import bigram_topk
+
+    return bigram_topk(_read(sf_dir, "documents", ["text"]), k=20)

@@ -458,6 +458,59 @@ def test_vocab_topk_exact_counts_layout_independent():
     assert got == ranked
 
 
+def test_exact_quantiles_match_numpy():
+    """Histogram quantiles == the sorted-array ceil(q·n) element,
+    layout-independent."""
+    from llama_ray.data_ops.text import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 500, 4000).astype(np.int64)
+    srt = np.sort(vals)
+    for blocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"n": vals})).repartition(blocks)
+        out = exact_quantiles(ds, "n", [0.5, 0.9, 0.99, 0.01]).to_pandas()
+        for q, v in zip(out["q"], out["value"]):
+            assert v == srt[max(1, int(np.ceil(q * len(vals)))) - 1]
+
+
+def test_tfidf_and_bigram_topk_match_brute_force():
+    """TF-IDF and bigram top-k == Counter-based brute force (exact
+    integer tf/df/cnt, rounded score), layout-independent."""
+    from collections import Counter
+
+    from llama_ray.data_ops.text import bigram_topk, tfidf_topk
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:02d}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 25)).tolist()) + " "
+        for _ in range(250)
+    ]
+    tf, df, bg = Counter(), Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split()
+        tf.update(toks)
+        df.update(set(toks))
+        bg.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n = len(texts)
+    want_tfidf = sorted(
+        ((tok, tf[tok], df[tok], round(tf[tok] * np.log(n / df[tok]), 6)) for tok in tf),
+        key=lambda r: (-r[3], r[0]),
+    )[:15]
+    want_bg = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+
+    for blocks in (1, 5):
+        ds = rd.from_arrow(
+            pa.table({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+        ).repartition(blocks)
+        got = tfidf_topk(ds, k=15).to_pandas()
+        assert [tuple(r) for r in got[["token", "tf", "df", "score"]].to_numpy()] == [
+            (a, b, c, pytest.approx(d, abs=1e-9)) for a, b, c, d in want_tfidf
+        ]
+        gbg = bigram_topk(ds.select_columns(["text"]), k=15).to_pandas()
+        assert list(zip(gbg["bigram"], gbg["cnt"])) == want_bg
+
+
 def test_hash_split_deterministic_and_conserving():
     """98/1/1 hash split: totals conserved, deterministic across block
     layouts, and ~98% of docs land in train."""
