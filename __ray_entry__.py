@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q.q_vocab_topk,
         "doc_split": q.q_doc_split,
         "pseudo_diameter": q.q_pseudo_diameter,
+        "max_matching": q.q_max_matching,
         "doc_len_quantiles": q.q_doc_len_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
         "bigram_topk": q.q_bigram_topk,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": o.vocab_topk_sql(),
         "doc_split": o.doc_split_sql(),
         "pseudo_diameter": o.pseudo_diameter_sql(),
+        "max_matching": o.matching_sql(),
         "doc_len_quantiles": o.doc_len_quantiles_sql(),
         "tfidf_topk": o.tfidf_topk_sql(),
         "bigram_topk": o.bigram_topk_sql(),

@@ -1337,6 +1337,54 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def matching_sql(seed: int = 20260818) -> str:
+    """Mirror of algos.matching.maximal_matching: canonical undirected
+    simple edges with static priority splitmix64((a·GOLD) XOR (b·FNV)
+    XOR seed) >> 1; per round an edge whose priority is the max among
+    all live edges at both endpoints joins the matching, its endpoints'
+    edges leave the live set. Dynamic recursive CTE (round count is
+    data-dependent), state-carried like coloring_sql: kind 0 = live
+    edge rows, kind 1 = matched edge rows (re-emitted until the live
+    set drains; the final SELECT dedups)."""
+    gold = 0x9E3779B97F4A7C15
+    fnv = 1099511628211
+    key = (
+        f"xor(xor({_mulmod64('CAST(a AS HUGEINT)', gold)}, "
+        f"{_mulmod64('CAST(b AS HUGEINT)', fnv)}), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+ce AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM e WHERE src <> dst),
+pk AS (SELECT a, b, {key} AS h FROM ce),
+{_mix64_ctes("pk", "a, b", prefix="mm")},
+pr AS (SELECT a, b, CAST(h >> 1 AS BIGINT) AS p FROM mm5),
+st(kind, a, b, p) AS (
+  SELECT 0 AS kind, a, b, p FROM pr
+  UNION ALL
+  SELECT * FROM (
+    WITH pe AS MATERIALIZED (SELECT a, b, p FROM st WHERE kind = 0),
+         pm AS MATERIALIZED (SELECT a, b FROM st WHERE kind = 1),
+         vm AS MATERIALIZED (
+           SELECT v, MAX(p) AS mp FROM (
+             SELECT a AS v, p FROM pe UNION ALL SELECT b, p FROM pe)
+           GROUP BY v),
+         dom AS MATERIALIZED (
+           SELECT pe.a, pe.b, pe.p FROM pe
+           JOIN vm x ON x.v = pe.a AND x.mp = pe.p
+           JOIN vm y ON y.v = pe.b AND y.mp = pe.p),
+         mv AS MATERIALIZED (
+           SELECT a AS v FROM dom UNION SELECT b FROM dom)
+    SELECT 0 AS kind, pe.a, pe.b, pe.p FROM pe
+    WHERE pe.a NOT IN (SELECT v FROM mv) AND pe.b NOT IN (SELECT v FROM mv)
+    UNION ALL
+    SELECT 1, a, b, p FROM dom
+    UNION ALL
+    SELECT 1, a, b, CAST(NULL AS BIGINT) FROM pm
+    WHERE EXISTS (SELECT 1 FROM pe))
+)
+SELECT DISTINCT a, b FROM st WHERE kind = 1 ORDER BY a, b"""
+
+
 def _bfs_recursion(name: str, start_sql: str) -> str:
     """One dynamic-round BFS as a recursive CTE over the undirected
     simple graph (state-carried edges, same DuckDB 1.0 pattern as

@@ -880,6 +880,14 @@ def q_pseudo_diameter(sf_dir: str):
     return pseudo_diameter(_cached_tpch_graph(sf_dir))
 
 
+def q_max_matching(sf_dir: str):
+    """Greedy maximal matching by decreasing edge-hash priority (see
+    :func:`llama_ray.algos.matching.maximal_matching`)."""
+    from ..algos.matching import maximal_matching
+
+    return maximal_matching(_cached_tpch_graph(sf_dir))
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of document length via the histogram method
     (see :func:`llama_ray.data_ops.text.exact_quantiles`)."""

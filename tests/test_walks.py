@@ -616,6 +616,55 @@ def test_link_prediction_matches_brute_force():
         assert abs(row.jaccard - jac) < 1e-6
 
 
+def test_maximal_matching_matches_sequential_greedy():
+    """Local-max matching == sequential greedy over edges sorted by
+    decreasing priority; output is a valid maximal matching;
+    layout-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.matching import _edge_priority, maximal_matching
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=7, avg_degree=4, seed=5)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(
+                pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+            ).repartition(blocks)
+        )
+        outs.append(maximal_matching(build_graph(ds)).to_pandas())
+    assert outs[0].equals(outs[1])
+    got = set(zip(outs[0]["a"], outs[0]["b"]))
+
+    # sequential greedy oracle over the canonical simple edge set
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b})
+    a_arr = np.array([p[0] for p in pairs], np.int64)
+    b_arr = np.array([p[1] for p in pairs], np.int64)
+    pri = _edge_priority(a_arr, b_arr, 20260818)
+    assert len(np.unique(pri)) == len(pri)  # priorities unique on this input
+    order = np.argsort(-pri, kind="stable")
+    taken = set()
+    want = set()
+    for i in order:
+        a, b = int(a_arr[i]), int(b_arr[i])
+        if a not in taken and b not in taken:
+            want.add((a, b))
+            taken.add(a)
+            taken.add(b)
+    assert got == want
+    # maximality: every canonical edge touches a matched vertex
+    mv = {v for ab in got for v in ab}
+    assert all(a in mv or b in mv for a, b in pairs)
+
+
 def test_pseudo_diameter_matches_brute_force():
     """Double-sweep result == dict-BFS oracle (start, ecc, far choice
     with min-id tie-break, second ecc); layout-independent."""
