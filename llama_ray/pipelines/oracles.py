@@ -1337,6 +1337,30 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def events_funnel_sql(steps: tuple = ("view", "click", "purchase")) -> str:
+    """Mirror of queries.q_events_funnel: first-occurrence funnel —
+    step s converts at the user's earliest steps[s] event strictly
+    after their step s-1 conversion time."""
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s{i} p ON p.user_id = e.user_id AND e.ts > p.t
+  WHERE e.event_type = '{steps[i]}' GROUP BY e.user_id)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step, '{s}' AS event_type, (SELECT COUNT(*) FROM s{i + 1}) AS users"
+        for i, s in enumerate(steps)
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT CAST(step AS BIGINT) AS step, event_type, CAST(users AS BIGINT) AS users
+FROM ({rows}) ORDER BY step"""
+
+
 def matching_sql(seed: int = 20260818) -> str:
     """Mirror of algos.matching.maximal_matching: canonical undirected
     simple edges with static priority splitmix64((a·GOLD) XOR (b·FNV)

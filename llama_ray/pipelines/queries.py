@@ -880,6 +880,95 @@ def q_pseudo_diameter(sf_dir: str):
     return pseudo_diameter(_cached_tpch_graph(sf_dir))
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str, *, steps: tuple = FUNNEL_STEPS):
+    """Ordered conversion funnel with first-occurrence semantics: a
+    user converts step s when they have an event of type steps[s]
+    strictly after their step s-1 conversion time (step 0 = earliest
+    steps[0] event). One range sort by (user, t) over the step events
+    only (non-step rows pruned at the read), then a vectorized
+    three-pass ``np.minimum.at`` scan per block; users whose rows touch
+    a block edge resolve in the same boundary pass sessionization uses.
+    Output: (step, event_type, users) cumulative counts."""
+    from ..common import collect_boundary_runs
+    from ..graph import target_num_blocks
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        override_num_blocks=target_num_blocks(None),
+    )
+    S = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def prep(b: pa.Table):
+        k = pc.index_in(b.column("event_type"), value_set=pa.array(list(steps)))
+        k = k.combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(k.astype(np.float64)) if k.dtype.kind == "f" else k >= 0
+        k = np.where(keep, k, -1).astype(np.int64)
+        t = (
+            b.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        m = k >= 0
+        return {"user_id": batch_to_numpy(b, "user_id")[m], "t": t[m], "k": k[m]}
+
+    srt = ev.map_batches(prep, batch_format="pyarrow", batch_size=None).sort(
+        ["user_id", "t"]
+    ).materialize()
+
+    INF = np.iinfo(np.int64).max
+
+    def funnel_of(u: np.ndarray, t: np.ndarray, k: np.ndarray) -> np.ndarray:
+        """Per-step converted-user counts for complete user runs."""
+        if len(u) == 0:
+            return np.zeros(S, np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+        r = np.repeat(np.arange(len(starts)), np.diff(np.concatenate([starts, [len(u)]])))
+        counts = np.zeros(S, np.int64)
+        cur = np.full(len(starts), INF)
+        m0 = k == 0
+        np.minimum.at(cur, r[m0], t[m0])
+        counts[0] = int((cur < INF).sum())
+        for s in range(1, S):
+            nxt = np.full(len(starts), INF)
+            m = (k == s) & (t > cur[r])
+            np.minimum.at(nxt, r[m], t[m])
+            cur = nxt
+            counts[s] = int((cur < INF).sum())
+        return counts
+
+    def interior(b: pa.Table):
+        u = batch_to_numpy(b, "user_id")
+        if len(u) == 0:
+            return {"c": np.empty(0, np.int64), "step": np.empty(0, np.int64)}
+        inner = (u != u[0]) & (u != u[-1])
+        c = funnel_of(u[inner], batch_to_numpy(b, "t")[inner], batch_to_numpy(b, "k")[inner])
+        return {"c": c, "step": np.arange(S, dtype=np.int64)}
+
+    parts = srt.map_batches(interior, batch_format="pyarrow", batch_size=None).to_pandas()
+    total = parts.groupby("step")["c"].sum().reindex(range(S), fill_value=0).to_numpy()
+    btbl = collect_boundary_runs(srt, "user_id", columns=["user_id", "t", "k"], where="funnel")
+    if btbl is not None:
+        total = total + funnel_of(
+            batch_to_numpy(btbl, "user_id"),
+            batch_to_numpy(btbl, "t"),
+            batch_to_numpy(btbl, "k"),
+        )
+    return pa.table(
+        {
+            "step": pa.array(np.arange(1, S + 1, dtype=np.int64)),
+            "event_type": pa.array(list(steps)),
+            "users": pa.array(total.astype(np.int64)),
+        }
+    )
+
+
 def q_max_matching(sf_dir: str):
     """Greedy maximal matching by decreasing edge-hash priority (see
     :func:`llama_ray.algos.matching.maximal_matching`)."""

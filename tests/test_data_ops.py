@@ -511,6 +511,48 @@ def test_tfidf_and_bigram_topk_match_brute_force():
         assert list(zip(gbg["bigram"], gbg["cnt"])) == want_bg
 
 
+def test_events_funnel_matches_brute_force(tmp_path, monkeypatch):
+    """Funnel counts == per-user dict replay, with enough users that
+    runs straddle block boundaries (exercises the boundary pass)."""
+    import pyarrow.parquet as pq
+
+    from llama_ray.pipelines.queries import FUNNEL_STEPS, q_events_funnel
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    users = rng.integers(0, 400, n)
+    ts = rng.integers(0, 10_000_000, n).astype("datetime64[us]")
+    types = rng.choice(["view", "click", "purchase", "error", "signup"], size=n)
+    tbl = pa.table(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pa.array(ts),
+            "user_id": users.astype(np.int64),
+            "event_type": types,
+            "value": np.zeros(n),
+            "props": [""] * n,
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_funnel(str(tmp_path)).to_pandas()
+
+    # brute force: per user, first 'view', first 'click' after, ...
+    per_user: dict = {}
+    for u, t, k in sorted(zip(users.tolist(), ts.tolist(), types.tolist())):
+        per_user.setdefault(u, []).append((t, k))
+    counts = [0] * len(FUNNEL_STEPS)
+    for evs in per_user.values():
+        cur = None
+        for s, step in enumerate(FUNNEL_STEPS):
+            nxt = min((t for t, k in evs if k == step and (cur is None or t > cur)), default=None)
+            if nxt is None:
+                break
+            cur = nxt
+            counts[s] += 1
+    assert got["users"].tolist() == counts
+    assert got["event_type"].tolist() == list(FUNNEL_STEPS)
+
+
 def test_hash_split_deterministic_and_conserving():
     """98/1/1 hash split: totals conserved, deterministic across block
     layouts, and ~98% of docs land in train."""
