@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": q.q_doc_split,
         "pseudo_diameter": q.q_pseudo_diameter,
         "max_matching": q.q_max_matching,
+        "closeness": q.q_closeness,
         "events_funnel": q.q_events_funnel,
         "doc_len_quantiles": q.q_doc_len_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": o.doc_split_sql(),
         "pseudo_diameter": o.pseudo_diameter_sql(),
         "max_matching": o.matching_sql(),
+        "closeness": o.closeness_sql(),
         "events_funnel": o.events_funnel_sql(),
         "doc_len_quantiles": o.doc_len_quantiles_sql(),
         "tfidf_topk": o.tfidf_topk_sql(),

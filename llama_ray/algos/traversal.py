@@ -177,6 +177,56 @@ def bfs(graph: Graph, root_id: int, **kwargs) -> SuperstepResult:
     return sssp(graph, root_id, weighted=False, **kwargs)
 
 
+def closeness_sampled(graph: Graph, *, num_sources: int = 8) -> "pa.Table":
+    """Classic closeness centrality ``(reached-1)/sum_dist`` from the
+    ``num_sources`` smallest-id vertices, by directed BFS (out-edges —
+    the same semantics as the ``bfs`` query). Deterministic source set
+    so the DuckDB oracle can replay it; per level one
+    ``gather_max_masked`` over the cached forward pool, O(V) driver
+    frontier — the pseudo-diameter loop's envelope.
+
+    Returns (source, reached, sum_dist, closeness) per source;
+    closeness rounded to 6 decimals, 0 when the source reaches
+    nothing."""
+    import pyarrow as pa
+
+    from ..engine.bsp import shared_pool
+
+    n = graph.num_vertices
+    k = min(num_sources, n)
+    cols: dict[str, list] = {"source": [], "reached": [], "sum_dist": [], "closeness": []}
+    if k:
+        pool = shared_pool(graph)
+        ones = np.ones(n, np.int64)
+        for s in range(k):  # ids are sorted: dense 0..k-1 = k smallest ids
+            dist = np.full(n, -1, np.int64)
+            dist[s] = 0
+            frontier = np.zeros(n, bool)
+            frontier[s] = True
+            lvl = 0
+            while frontier.any():
+                lvl += 1
+                reach = pool.gather_max_masked(ones, frontier)
+                new = (reach == 1) & (dist < 0)
+                dist[new] = lvl
+                frontier = new
+            fin = dist >= 0
+            r = int(fin.sum())
+            sd = int(dist[fin].sum())
+            cols["source"].append(int(graph.ids[s]))
+            cols["reached"].append(r)
+            cols["sum_dist"].append(sd)
+            cols["closeness"].append(float(np.round((r - 1) / sd, 6)) if sd > 0 else 0.0)
+    return pa.table(
+        {
+            "source": pa.array(cols["source"], pa.int64()),
+            "reached": pa.array(cols["reached"], pa.int64()),
+            "sum_dist": pa.array(cols["sum_dist"], pa.int64()),
+            "closeness": pa.array(cols["closeness"], pa.float64()),
+        }
+    )
+
+
 def pseudo_diameter(graph: Graph) -> "pa.Table":
     """Double-sweep BFS diameter lower bound over the undirected simple
     graph (Magnien-Latapy-Habib 2009): BFS from the min-id vertex,

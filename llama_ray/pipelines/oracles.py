@@ -1409,16 +1409,16 @@ st(kind, a, b, p) AS (
 SELECT DISTINCT a, b FROM st WHERE kind = 1 ORDER BY a, b"""
 
 
-def _bfs_recursion(name: str, start_sql: str) -> str:
-    """One dynamic-round BFS as a recursive CTE over the undirected
-    simple graph (state-carried edges, same DuckDB 1.0 pattern as
+def _bfs_recursion(name: str, start_sql: str, edges: str = "un") -> str:
+    """One dynamic-round BFS as a recursive CTE over the simple graph
+    in CTE ``edges`` (state-carried edges, same DuckDB 1.0 pattern as
     coloring_sql): kind 0 = edges whose dst is still unreached, kind 1
     = reached (vertex, dist) rows; each iteration assigns the frontier
     dist = MAX(reached dist) + 1 and stops when no carried edge leaves
     the reached set."""
     return f"""{name}(kind, a, b, d) AS (
   SELECT * FROM (
-    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS d FROM un
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS d FROM {edges}
     UNION ALL
     SELECT 1, ({start_sql}), NULL, 0)
   UNION ALL
@@ -1440,6 +1440,32 @@ def _bfs_recursion(name: str, start_sql: str) -> str:
                 WHERE pe2.kind = 0
                   AND pe2.b NOT IN (SELECT a FROM {name} WHERE kind = 1))
 )"""
+
+
+def closeness_sql(num_sources: int = 8) -> str:
+    """Mirror of algos.traversal.closeness_sampled: directed BFS from
+    the ``num_sources`` smallest-id vertices, classic closeness
+    (reached-1)/sum_dist rounded to 6 (0 when nothing is reached).
+    One dynamic recursive-CTE BFS per source."""
+    bfs_parts = []
+    rows = []
+    for i in range(num_sources):
+        start = f"SELECT id FROM v ORDER BY id OFFSET {i} LIMIT 1"
+        bfs_parts.append(_bfs_recursion(f"cb{i}", start, edges="de"))
+        rows.append(
+            f"""SELECT ({start}) AS source,
+       (SELECT COUNT(*) FROM (SELECT a, MAX(d) FROM cb{i} WHERE kind = 1 GROUP BY a)) AS reached,
+       (SELECT COALESCE(SUM(d), 0) FROM (SELECT a, MAX(d) AS d FROM cb{i} WHERE kind = 1 GROUP BY a)) AS sum_dist"""
+        )
+    body = ",\n".join(bfs_parts)
+    union = " UNION ALL ".join(rows)
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+de AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src <> dst),
+{body}
+SELECT source, CAST(reached AS BIGINT) AS reached, CAST(sum_dist AS BIGINT) AS sum_dist,
+       CASE WHEN sum_dist > 0
+            THEN ROUND(CAST(reached - 1 AS DOUBLE) / sum_dist, 6) ELSE 0.0 END AS closeness
+FROM ({union}) ORDER BY source"""
 
 
 def pseudo_diameter_sql() -> str:

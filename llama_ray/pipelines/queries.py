@@ -977,6 +977,14 @@ def q_max_matching(sf_dir: str):
     return maximal_matching(_cached_tpch_graph(sf_dir))
 
 
+def q_closeness(sf_dir: str):
+    """Closeness centrality from the 8 smallest-id vertices (see
+    :func:`llama_ray.algos.traversal.closeness_sampled`)."""
+    from ..algos.traversal import closeness_sampled
+
+    return closeness_sampled(_cached_tpch_graph(sf_dir))
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of document length via the histogram method
     (see :func:`llama_ray.data_ops.text.exact_quantiles`)."""

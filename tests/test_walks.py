@@ -616,6 +616,55 @@ def test_link_prediction_matches_brute_force():
         assert abs(row.jaccard - jac) < 1e-6
 
 
+def test_closeness_sampled_matches_brute_force():
+    """Directed-BFS closeness from the 8 smallest ids == dict-BFS
+    oracle, layout-independent."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.traversal import closeness_sampled
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=7, avg_degree=3, seed=23)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())})).repartition(blocks)
+        )
+        outs.append(closeness_sampled(build_graph(ds)).to_pandas())
+    assert outs[0].equals(outs[1])
+
+    nbrs: dict[int, set] = {}
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    for v in verts:
+        nbrs[v] = set()
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        if a != b:
+            nbrs[a].add(b)
+
+    for row, s in zip(outs[0].itertuples(), verts[:8]):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in nbrs[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        r, sd = len(dist), sum(dist.values())
+        assert (row.source, row.reached, row.sum_dist) == (s, r, sd)
+        assert row.closeness == (round((r - 1) / sd, 6) if sd else 0.0)
+
+
 def test_maximal_matching_matches_sequential_greedy():
     """Local-max matching == sequential greedy over edges sorted by
     decreasing priority; output is a valid maximal matching;
