@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_matching": q.q_max_matching,
         "closeness": q.q_closeness,
         "events_funnel": q.q_events_funnel,
+        "dup_stats_by_source": q.q_dup_stats_by_source,
+        "top_users_by_value": q.q_top_users_by_value,
         "doc_len_quantiles": q.q_doc_len_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
         "bigram_topk": q.q_bigram_topk,
@@ -128,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "max_matching": o.matching_sql(),
         "closeness": o.closeness_sql(),
         "events_funnel": o.events_funnel_sql(),
+        "dup_stats_by_source": o.dup_stats_by_source_sql(),
+        "top_users_by_value": o.top_users_by_value_sql(),
         "doc_len_quantiles": o.doc_len_quantiles_sql(),
         "tfidf_topk": o.tfidf_topk_sql(),
         "bigram_topk": o.bigram_topk_sql(),

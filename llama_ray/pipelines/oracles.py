@@ -1337,6 +1337,23 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def dup_stats_by_source_sql() -> str:
+    """Mirror of queries.q_dup_stats_by_source (distinct-by-text ==
+    distinct-by-content-hash, the doc_exact_dedup equivalence)."""
+    return """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6) AS dup_pct
+FROM documents GROUP BY source"""
+
+
+def top_users_by_value_sql(k: int = 20) -> str:
+    """Mirror of queries.q_top_users_by_value (sum rounded to 4)."""
+    return f"""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total
+FROM events GROUP BY user_id
+ORDER BY total DESC, user_id LIMIT {k}"""
+
+
 def events_funnel_sql(steps: tuple = ("view", "click", "purchase")) -> str:
     """Mirror of queries.q_events_funnel: first-occurrence funnel —
     step s converts at the user's earliest steps[s] event strictly

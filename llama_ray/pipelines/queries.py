@@ -977,6 +977,74 @@ def q_max_matching(sf_dir: str):
     return maximal_matching(_cached_tpch_graph(sf_dir))
 
 
+def q_dup_stats_by_source(sf_dir: str):
+    """Duplication profile per source: total docs, distinct contents
+    (by the vectorized 64-bit content hash), and the duplicate
+    fraction — the per-shard health report of an exact-dedup run.
+    One (source, hash) groupby then a per-source rollup; nothing
+    doc-sized reaches the driver."""
+    from ..common import content_hash_column
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def hash_col(batch: pa.Table):
+        return {
+            "source": batch.column("source"),
+            "h": content_hash_column(batch.column("text")),
+        }
+
+    per = (
+        docs.map_batches(hash_col, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="copies"))
+        .groupby("source")
+        .aggregate(Count(alias_name="n_distinct"), Sum("copies", alias_name="n_docs"))
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        nd = batch_to_numpy(b, "n_distinct").astype(np.int64)
+        nt = batch_to_numpy(b, "n_docs").astype(np.int64)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": nt,
+                "n_distinct": nd,
+                "dup_pct": np.round(1.0 - nd / nt, 6),
+            }
+        )
+
+    return per.map_batches(final, batch_format="pyarrow")
+
+
+def q_top_users_by_value(sf_dir: str):
+    """Top-20 users by total event value (sum rounded to 4 decimals —
+    a 10M-row float sum's reduction-order error is ~1e-7, so 6-decimal
+    rounding could flip a hash at the boundary): groupby + partial
+    top-k merge, the degree-table pattern."""
+    from ..common import distributed_topk
+
+    agg = (
+        _read(sf_dir, "events", ["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total"), Count(alias_name="n"))
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n": b.column("n").cast(pa.int64()),
+                "total": np.round(batch_to_numpy(b, "total"), 4),
+            }
+        )
+
+    return distributed_topk(
+        agg.map_batches(rnd, batch_format="pyarrow"),
+        [("total", "descending"), ("user_id", "ascending")],
+        20,
+    )
+
+
 def q_closeness(sf_dir: str):
     """Closeness centrality from the 8 smallest-id vertices (see
     :func:`llama_ray.algos.traversal.closeness_sampled`)."""
