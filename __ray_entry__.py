@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_matching": q.q_max_matching,
         "closeness": q.q_closeness,
         "events_funnel": q.q_events_funnel,
+        "label_centroid_norms": q.q_label_centroid_norms,
         "dup_stats_by_source": q.q_dup_stats_by_source,
         "top_users_by_value": q.q_top_users_by_value,
         "doc_len_quantiles": q.q_doc_len_quantiles,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "max_matching": o.matching_sql(),
         "closeness": o.closeness_sql(),
         "events_funnel": o.events_funnel_sql(),
+        "label_centroid_norms": o.label_centroid_norms_sql(),
         "dup_stats_by_source": o.dup_stats_by_source_sql(),
         "top_users_by_value": o.top_users_by_value_sql(),
         "doc_len_quantiles": o.doc_len_quantiles_sql(),

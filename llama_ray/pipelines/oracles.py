@@ -1337,6 +1337,20 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def label_centroid_norms_sql() -> str:
+    """Mirror of queries.q_label_centroid_norms: per-dim double sums →
+    centroid norm, rounded 6."""
+    return """WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT label, dim, SUM(v) AS sv FROM x GROUP BY label, dim),
+n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+SELECT CAST(s.label AS BIGINT) AS label, CAST(n.n AS BIGINT) AS n,
+       ROUND(SQRT(SUM((s.sv / n.n) * (s.sv / n.n))), 6) AS centroid_norm
+FROM s JOIN n USING (label) GROUP BY s.label, n.n"""
+
+
 def dup_stats_by_source_sql() -> str:
     """Mirror of queries.q_dup_stats_by_source (distinct-by-text ==
     distinct-by-content-hash, the doc_exact_dedup equivalence)."""

@@ -1045,6 +1045,52 @@ def q_top_users_by_value(sf_dir: str):
     )
 
 
+def q_label_centroid_norms(sf_dir: str):
+    """Per-label embedding centroid L2 norm (+ member count): one
+    vectorized per-batch (label, dim) partial-sum pass, a
+    (label, dim) groupby, and a tiny labels×dims driver rollup —
+    the distributed-mean building block of IVF/k-means, oracle-exact."""
+    from ..data_ops.ann import _as_matrix
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table):
+        lab = batch_to_numpy(b, "label").astype(np.int64)
+        V = _as_matrix(b, "embedding", len(lab))
+        ul, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), V.shape[1]))
+        np.add.at(sums, inv, V)
+        cnt = np.bincount(inv).astype(np.int64)
+        dim = V.shape[1]
+        D = np.tile(np.arange(dim, dtype=np.int64), len(ul))
+        return {
+            "label": np.repeat(ul, dim),
+            "dim": D,
+            "s": sums.ravel(),
+            "n": np.where(D == 0, np.repeat(cnt, dim), 0),
+        }
+
+    per = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .sum(["s", "n"])
+        .to_pandas()  # labels × dims rows (≤ thousands)
+    )
+    out = []
+    for lab, g in per.groupby("label"):
+        n = int(g["sum(n)"].sum())
+        sv = g.sort_values("dim")["sum(s)"].to_numpy()
+        out.append((int(lab), n, float(np.round(np.sqrt(np.sum((sv / n) ** 2)), 6))))
+    out.sort()
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in out], pa.int64()),
+            "n": pa.array([r[1] for r in out], pa.int64()),
+            "centroid_norm": pa.array([r[2] for r in out], pa.float64()),
+        }
+    )
+
+
 def q_closeness(sf_dir: str):
     """Closeness centrality from the 8 smallest-id vertices (see
     :func:`llama_ray.algos.traversal.closeness_sampled`)."""
