@@ -293,7 +293,34 @@ def run_benchmark() -> dict:
     t0 = time.perf_counter()
     n_distinct = exact_dedup(docs_ds).count()
     timings["exact_dedup_1m"] = time.perf_counter() - t0
-    del docs_ds
+
+    # vocabulary top-k over the same 1M-doc corpus — byte-scan
+    # tokenizer + groupby(token) + partial top-k merge (r4)
+    from llama_ray.data_ops.text import vocab_topk
+
+    t0 = time.perf_counter()
+    vocab_topk(docs_ds.select_columns(["text"]), k=100).count()
+    timings["vocab_topk_1m"] = time.perf_counter() - t0
+
+    # MinHash sketch throughput over 100k docs — the O(text) stage of
+    # the LSH near-dup pipeline (batch buffer-roll featurizers, r4)
+    from llama_ray.data_ops.dedup import minhash_sketches
+
+    sk_docs = docs_ds.limit(100_000).materialize()
+    t0 = time.perf_counter()
+    minhash_sketches(sk_docs).count()
+    timings["minhash_sketch_100k"] = time.perf_counter() - t0
+    del sk_docs, docs_ds
+
+    # maximal matching at scale: rmat(18, 4) ≈ 1M edges through the
+    # local-max rounds (live-set Dataset shrinks per round)
+    from llama_ray.algos.matching import maximal_matching
+
+    g_m = build_graph(_rmat(18, 4, seed=7))
+    t0 = time.perf_counter()
+    n_matching = maximal_matching(g_m).num_rows
+    timings["matching_rmat18"] = time.perf_counter() - t0
+    del g_m
 
     # streaming micro-batch loop (reference benchmark.cc:1769-1893:
     # pull -> checkpoint -> window-advance -> task, per batch)
@@ -352,6 +379,7 @@ def run_benchmark() -> dict:
         "scc_components": n_scc,
         "dedup_docs": dedup_docs,
         "dedup_distinct": n_distinct,
+        "matching_edges": n_matching,
         "streaming_batches": n_batches,
         "streaming_window": window,
         "sf": sf_dir,
