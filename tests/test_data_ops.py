@@ -458,6 +458,42 @@ def test_vocab_topk_exact_counts_layout_independent():
     assert got == ranked
 
 
+def test_distributed_topk_exact_and_layout_independent():
+    """distributed_topk == full-sort head(k) under mixed orders, across
+    block layouts — the sort().limit() replacement (the Limit operator
+    consumes sorted blocks in arrival order, which mis-picked boundary
+    rows; this pins the partial-merge path)."""
+    from llama_ray.common import distributed_topk
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    tbl = pa.table(
+        {
+            "k1": rng.integers(0, 40, n),
+            "k2": np.array([f"s{i % 97:02d}" for i in range(n)]),
+            "payload": np.arange(n, dtype=np.int64),
+        }
+    )
+    want = (
+        tbl.to_pandas()
+        .sort_values(["k1", "k2", "payload"], ascending=[False, True, True])
+        .head(50)
+        .reset_index(drop=True)
+    )
+    for blocks in (1, 9):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        got = (
+            distributed_topk(
+                ds,
+                [("k1", "descending"), ("k2", "ascending"), ("payload", "ascending")],
+                50,
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+
 def test_exact_quantiles_match_numpy():
     """Histogram quantiles == the sorted-array ceil(q·n) element,
     layout-independent."""
