@@ -189,7 +189,28 @@ class Fingerprint:
         return format(int(acc[0]), "016x")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self.fingerprint(t) for t in batch.column("text").to_pylist()]
+        from ..common import copied_strings
+        from .dedup import _FNV, _GOLD, _mix64, _rolled_windows, _string_segments
+
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(copied_strings(batch.column("text")), r"\s+", " "),
+            " ",
+        )
+        data, offs = _string_segments(norm)
+        h, counts = _rolled_windows(data, offs, self.k, _FNV)
+        hm = _mix64(h)
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        empty_h = _mix64(np.zeros(1, np.uint64))  # per-row path's zero-width window
+        fps = []
+        for d in range(len(counts)):
+            hh = hm[bounds[d] : bounds[d + 1]]
+            if len(hh) == 0:
+                hh = empty_h
+            keep = np.partition(hh, self.keep - 1)[: self.keep] if len(hh) > self.keep else hh
+            acc = np.zeros(1, np.uint64)  # 1-elt array: scalar uint64 ops warn on wrap
+            for v in np.sort(keep):
+                acc = acc * _GOLD + v
+            fps.append(format(int(acc[0]), "016x"))
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 

@@ -429,6 +429,13 @@ def test_batch_featurizers_match_per_row():
     got = sh(pa.table({"doc_id": np.arange(2), "text": pa.array(fat)}))["simhash"]
     ref = sh._per_row(np.arange(2), fat)["simhash"]
     assert np.array_equal(got, ref)
+    # fingerprint batch path == per-row reference (incl. empty/short)
+    from llama_ray.data_ops.text import Fingerprint
+
+    fp = Fingerprint()
+    for col in (plain, sliced):
+        got_fp = fp(pa.table({"text": col})).column("fingerprint").to_pylist()
+        assert got_fp == [fp.fingerprint(t) for t in texts]
 
 
 def test_vocab_topk_exact_counts_layout_independent():
