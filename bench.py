@@ -485,6 +485,33 @@ def run_scaling_worker() -> dict:
         mh_secs.append(time.perf_counter() - t0)
     mh_sec = min(mh_secs)
 
+    # pure-CPU control: splitmix64 over an L2-resident array — zero
+    # DRAM traffic, so it isolates Ray scheduling + core scaling from
+    # the per-socket memory-bandwidth ceiling that caps the other two
+    # (the r4 batch featurizer made MinHash ~1.7× faster per core,
+    # which pushed IT toward the same ceiling the gather sits on)
+    import ray.data as _rd
+
+    from llama_ray.data_ops.dedup import _mix64 as _m64
+
+    def burn(batch):
+        import numpy as _np
+
+        v = _np.arange(1 << 17, dtype=_np.uint64)  # 1 MB, cache-resident
+        for _ in range(200):
+            v = _m64(v)
+        return {"n": [int(v[0] & _np.uint64(1))]}
+
+    n_tasks = 64
+    hsecs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _rd.range(n_tasks, override_num_blocks=n_tasks).map_batches(
+            burn, batch_size=None
+        ).count()
+        hsecs.append(time.perf_counter() - t0)
+    hash_sec = min(hsecs)
+
     out = {
         "num_cpus": num_cpus,
         "vertices": g.num_vertices,
@@ -497,6 +524,9 @@ def run_scaling_worker() -> dict:
         "minhash_docs": docs.count(),
         "minhash_sec": round(mh_sec, 3),
         "minhash_docs_per_sec": round(docs.count() / mh_sec),
+        "hash_tasks": n_tasks,
+        "hash_sec": round(hash_sec, 3),
+        "hash_tasks_per_sec": round(n_tasks / hash_sec, 2),
     }
     ray.shutdown()
     return out
@@ -533,8 +563,8 @@ def run_scaling() -> dict:
     def best(ncpu: int, key: str) -> float:
         return max(r[key] for r in runs[ncpu])
 
-    lo = {k: best(lo_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec")}
-    hi = {k: best(hi_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec")}
+    lo = {k: best(lo_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec", "hash_tasks_per_sec")}
+    hi = {k: best(hi_cpu, k) for k in ("edges_per_sec", "minhash_docs_per_sec", "hash_tasks_per_sec")}
     lo["ppr_10iter_sec"] = min(r["ppr_10iter_sec"] for r in runs[lo_cpu])
     hi["ppr_10iter_sec"] = min(r["ppr_10iter_sec"] for r in runs[hi_cpu])
     lo["edges"], lo["vertices"] = runs[lo_cpu][0]["edges"], runs[lo_cpu][0]["vertices"]
@@ -569,6 +599,17 @@ def run_scaling() -> dict:
             "sec": {str(lo_cpu): lo["ppr_10iter_sec"], str(hi_cpu): hi["ppr_10iter_sec"]},
             "efficiency": round(graph_eff, 3),
             "note": "DRAM-bandwidth-bound per socket; see BASELINE.md",
+        },
+        "cpu_control": {
+            "workload": "splitmix64_l2_resident",
+            "tasks_per_sec": {
+                str(lo_cpu): lo["hash_tasks_per_sec"],
+                str(hi_cpu): hi["hash_tasks_per_sec"],
+            },
+            "efficiency": round(
+                (hi["hash_tasks_per_sec"] / lo["hash_tasks_per_sec"]) / (hi_cpu / lo_cpu), 3
+            ),
+            "note": "zero-DRAM control: scheduling + core scaling only",
         },
     }
 
