@@ -29,7 +29,8 @@ def main(argv=None) -> int:
         choices=[
             "pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp",
             "bfs", "tc", "bc", "load", "walks", "sample", "mis", "anf",
-            "harmonic", "support", "featprop",
+            "harmonic", "support", "featprop", "matching", "diameter",
+            "closeness",
         ],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
@@ -257,6 +258,29 @@ def main(argv=None) -> int:
 
             _pq.write_table(tbl, args.output)
             summary["output"] = args.output
+    elif args.algorithm == "matching":
+        from .algos.matching import maximal_matching
+
+        tbl = maximal_matching(g, seed=args.seed)
+        summary.update(matched_edges=tbl.num_rows)
+        if args.output:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(tbl, args.output)
+            summary["output"] = args.output
+    elif args.algorithm == "diameter":
+        from .algos.traversal import pseudo_diameter
+
+        row = pseudo_diameter(g).to_pydict()
+        summary.update({k: v[0] for k, v in row.items()} if row["start"] else {})
+    elif args.algorithm == "closeness":
+        from .algos.traversal import closeness_sampled
+
+        tbl = closeness_sampled(g)
+        summary.update(sources=tbl.num_rows)
+        summary["closeness"] = [
+            dict(zip(tbl.column_names, r)) for r in zip(*[c.to_pylist() for c in tbl.columns])
+        ]
 
     if args.output and arrays:
         write_results_parquet(g, arrays, args.output)
