@@ -69,3 +69,13 @@ def test_cli_sampling_tasks(tmp_path):
     assert anf["rounds"] >= 1 and anf["effective_diameter"] <= anf["rounds"]
     sup = run_cli("support", "--input", "rmat(7,4)")
     assert sup["edges_undirected"] > 0 and sup["max_support"] >= 0
+
+
+@pytest.mark.slow
+def test_cli_structure_tasks(tmp_path):
+    m = run_cli("matching", "--input", "rmat(7,3)", "--output", str(tmp_path / "m.parquet"))
+    assert 0 < m["matched_edges"] <= m["vertices"] // 2
+    d = run_cli("diameter", "--input", "rmat(7,3)")
+    assert d["ecc_far"] >= d["ecc_start"] >= 1
+    c = run_cli("closeness", "--input", "rmat(7,3)")
+    assert c["sources"] == 8 and all(r["reached"] >= 1 for r in c["closeness"])
