@@ -240,7 +240,10 @@ def _char_shingle_hashes_batch(col, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 _WS_BYTES = np.zeros(256, bool)
-_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True  # \t \n \v \f \r space
+# \t \n \v \f \r space + \x1c-\x1f (Python str.split's ASCII whitespace
+# set; the only divergence left vs str.split is multi-byte Unicode
+# spaces such as \x85/\xa0, which clean corpora don't contain)
+_WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
 
 
 def _ws_token_spans(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -258,6 +261,8 @@ def _ws_token_spans(data: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.
         return np.empty(0, np.int64), np.empty(0, np.int64), np.zeros(D, np.int64)
     nonws = ~_WS_BYTES[data[lo:hi]]
     rel = offs[1:-1].astype(np.int64) - lo
+    rel = rel[rel < hi - lo]  # doc starts at the buffer end (trailing
+    # empty docs) have no byte to mark
     prev = np.empty(len(nonws), bool)
     prev[0] = False
     prev[1:] = nonws[:-1]

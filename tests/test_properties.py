@@ -136,3 +136,33 @@ def test_minhash_signature_deterministic_and_similarity(texts):
         for j, u in enumerate(texts):
             if t == u:
                 assert np.array_equal(sigs[i], sigs[j])
+
+
+# ------------------------------------------------------- tokenizer kernel
+
+ascii_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+        max_size=60,
+    ),
+    max_size=25,
+)
+
+
+@given(ascii_texts)
+@settings(max_examples=100, deadline=None)
+def test_ws_token_spans_match_str_split(texts):
+    """The byte-scan tokenizer == Python str.split on ASCII input
+    (including tabs, newlines, \\x0b/\\x0c, empty and all-whitespace
+    docs, and sliced Arrow columns)."""
+    from llama_ray.data_ops.dedup import _string_segments, _ws_token_spans
+
+    for col in (pa.array(texts, pa.string()), pa.array(["PAD pad"] * 2 + texts).slice(2)):
+        data, offs = _string_segments(col)
+        starts, lens, per_doc = _ws_token_spans(data, offs)
+        assert per_doc.tolist() == [len(t.split()) for t in texts]
+        got = []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            got.append(bytes(data[s : s + ln]).decode("utf-8"))
+        want = [tok for t in texts for tok in t.split()]
+        assert got == want
