@@ -166,3 +166,50 @@ def test_ws_token_spans_match_str_split(texts):
             got.append(bytes(data[s : s + ln]).decode("utf-8"))
         want = [tok for t in texts for tok in t.split()]
         assert got == want
+
+
+# Whitespace alphabets per path: the char path normalizes with RE2
+# (\s = [\t\n\f\r ], the SQL oracles' definition — no \x0b/\x1c-\x1f);
+# the word path uses the byte-scan tokenizer (str.split's ASCII set).
+re2_ws_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=126, include_characters="\t\n\x0c\r"
+        ),
+        max_size=50,
+    ),
+    max_size=15,
+)
+split_ws_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=9, max_codepoint=126),
+        max_size=50,
+    ),
+    max_size=15,
+)
+
+
+@given(re2_ws_texts)
+@settings(max_examples=60, deadline=None)
+def test_char_shingle_batch_fuzz_matches_per_row(texts):
+    from llama_ray.data_ops.dedup import _char_shingle_hashes, _char_shingle_hashes_batch
+
+    col = pa.array(texts, pa.string())
+    for k in (5, 2):
+        cat, lens = _char_shingle_hashes_batch(col, k)
+        starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        for i, t in enumerate(texts):
+            assert np.array_equal(_char_shingle_hashes(t, k), cat[starts[i] : starts[i + 1]])
+
+
+@given(split_ws_texts)
+@settings(max_examples=60, deadline=None)
+def test_word_ngram_batch_fuzz_matches_per_row(texts):
+    from llama_ray.data_ops.dedup import _word_ngram_hashes, _word_ngram_hashes_batch
+
+    col = pa.array(texts, pa.string())
+    for n in (3, 1):
+        cat, lens = _word_ngram_hashes_batch(col, n)
+        starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        for i, t in enumerate(texts):
+            assert np.array_equal(_word_ngram_hashes(t, n), cat[starts[i] : starts[i + 1]])
