@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_stats_by_source": q.q_dup_stats_by_source,
         "top_users_by_value": q.q_top_users_by_value,
         "doc_len_quantiles": q.q_doc_len_quantiles,
+        "events_value_quantiles": q.q_events_value_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
         "bigram_topk": q.q_bigram_topk,
     }
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_stats_by_source": o.dup_stats_by_source_sql(),
         "top_users_by_value": o.top_users_by_value_sql(),
         "doc_len_quantiles": o.doc_len_quantiles_sql(),
+        "events_value_quantiles": o.events_value_quantiles_sql(),
         "tfidf_topk": o.tfidf_topk_sql(),
         "bigram_topk": o.bigram_topk_sql(),
         # knn_ivf is the single rows-only query left: its spherical

@@ -317,6 +317,39 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     )
 
 
+def exact_quantiles_sorted(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
+    """Exact discrete quantiles of ANY orderable column — including
+    unbounded-cardinality floats the histogram method can't handle —
+    via one distributed range sort plus an order-statistic lookup:
+    per-block row counts locate the 1-based ``ceil(q·n)``-th element
+    (``quantile_disc`` semantics) and only the few target blocks are
+    ever fetched; the column never reaches the driver."""
+    import ray
+
+    from ..common import per_block_results
+
+    srt = ds.select_columns([col]).sort(col).materialize()
+    counts = np.array(per_block_results(srt, lambda t: t.num_rows), np.int64)
+    refs = srt.to_arrow_refs()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_v = []
+    cache: dict[int, pa.Table] = {}
+    for q in qs:
+        if n == 0:
+            out_v.append(float("nan"))
+            continue
+        pos = max(1, int(np.ceil(q * n)))
+        b = int(np.searchsorted(cum, pos))
+        if b not in cache:
+            cache[b] = ray.get(refs[b])
+        within = pos - (int(cum[b - 1]) if b else 0) - 1
+        out_v.append(cache[b].column(col)[within].as_py())
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
+
+
 def tfidf_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
     """Corpus-salient terms: top-k tokens by ``tf · ln(N/df)`` where tf
     is the total corpus frequency and df the number of documents

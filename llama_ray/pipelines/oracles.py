@@ -1306,6 +1306,17 @@ def doc_len_quantiles_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def events_value_quantiles_sql() -> str:
+    """Mirror of queries.q_events_value_quantiles: quantile_disc picks
+    the exact element at 1-based position ceil(q*n), so the doubles
+    compare bit-exactly."""
+    parts = [
+        f"SELECT {q} AS q, CAST(quantile_disc(value, {q}) AS DOUBLE) AS value FROM events"
+        for q in (0.5, 0.9, 0.99)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def tfidf_topk_sql(k: int = 20) -> str:
     """Mirror of data_ops.text.tfidf_topk: lowercase whitespace tokens,
     tf = corpus frequency, df = containing-doc count, score rounded to

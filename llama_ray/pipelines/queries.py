@@ -1107,6 +1107,17 @@ def q_doc_len_quantiles(sf_dir: str):
     return exact_quantiles(_read(sf_dir, "documents", ["n_chars"]), "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of the (float, unbounded-cardinality) event
+    value via distributed sort + order-statistic block lookup (see
+    :func:`llama_ray.data_ops.text.exact_quantiles_sorted`)."""
+    from ..data_ops.text import exact_quantiles_sorted
+
+    return exact_quantiles_sorted(
+        _read(sf_dir, "events", ["value"]), "value", [0.5, 0.9, 0.99]
+    )
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-20 corpus-salient tokens by tf·ln(N/df) (see
     :func:`llama_ray.data_ops.text.tfidf_topk`)."""

@@ -618,3 +618,18 @@ def test_hash_split_deterministic_and_conserving():
     assert int(s["n_chars"].sum()) == 10 * n
     assert 0.96 * n < s.loc["train", "n_docs"] < 0.995 * n
     assert s.loc["valid", "n_docs"] > 0 and s.loc["test", "n_docs"] > 0
+
+
+def test_exact_quantiles_sorted_matches_numpy():
+    """Sorted-path quantiles (float column) == sorted-array ceil(q·n)
+    element, layout-independent, bit-exact doubles."""
+    from llama_ray.data_ops.text import exact_quantiles_sorted
+
+    rng = np.random.default_rng(17)
+    vals = rng.normal(size=5000)
+    srt = np.sort(vals)
+    for blocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(blocks)
+        out = exact_quantiles_sorted(ds, "v", [0.5, 0.9, 0.99, 0.01]).to_pandas()
+        for q, v in zip(out["q"], out["value"]):
+            assert v == srt[max(1, int(np.ceil(q * len(vals)))) - 1]
