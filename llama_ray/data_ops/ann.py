@@ -284,12 +284,30 @@ def kmeans_spherical(
     centroid by one matmul and emits a (K, d) partial sum + (K,)
     counts; the driver reduces the tiny partials and renormalizes.
     O(K·d) driver state, corpus never leaves the blocks — the coarse
-    quantizer for :class:`IVFIndex`. Deterministic for a given seed
-    and block layout (init is a seeded draw from the first blocks)."""
-    from ..common import per_block_results
+    quantizer for :class:`IVFIndex`. The seed draw initializes from a
+    CONTENT-deterministic sample (the ``4·K`` vectors with the smallest
+    content hashes, via the partial top-k merge) — a bare ``limit()``
+    consumes blocks in the streaming executor's arrival order, which
+    made the centroids vary run to run. Lloyd's float partial sums
+    still reduce in block order, so exact bit-equality is per layout."""
+    from ..common import distributed_topk, per_block_results
 
     emb = emb.materialize() if not _is_materialized(emb) else emb
-    sample = emb.limit(max(4 * num_clusters, 64)).to_pandas()
+    sample_k = max(4 * num_clusters, 64)
+    _F = np.uint64(1099511628211)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        V32 = _as_matrix(b, vec_col, n).astype(np.float32)
+        u8 = np.ascontiguousarray(V32).view(np.uint8).reshape(n, -1)
+        h = np.zeros(n, np.uint64)
+        for j in range(0, u8.shape[1], 8):  # every 8th byte: cheap, content-stable
+            h = h * _F + u8[:, j]
+        return pa.table({"h": pa.array(h.view(np.int64)), vec_col: b.column(vec_col)})
+
+    sample = distributed_topk(
+        emb.map_batches(keyed, batch_format="pyarrow"), [("h", "ascending")], sample_k
+    ).to_pandas()
     if len(sample) == 0:
         raise ValueError("kmeans_spherical: empty embedding dataset — nothing to cluster")
     V0 = np.stack([np.asarray(v, np.float64) for v in sample[vec_col].to_numpy()])
