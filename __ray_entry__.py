@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": q.q_events_value_quantiles,
         "tfidf_topk": q.q_tfidf_topk,
         "bigram_topk": q.q_bigram_topk,
+        "seq_pack": q.q_seq_pack,
+        "contamination": q.q_contamination,
     }
 
 
@@ -165,4 +167,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": o.lang_stats_sql(),
         "events_hourly": o.events_hourly_sql(),
         "knn_cosine": o.knn_cosine_sql(),
+        "seq_pack": o.seq_pack_sql(),
+        "contamination": o.contamination_sql(),
     }

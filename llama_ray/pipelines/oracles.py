@@ -1531,3 +1531,70 @@ SELECT (SELECT s FROM s0) AS start,
        CAST((SELECT e FROM ecc1) AS BIGINT) AS ecc_start,
        (SELECT f FROM fv) AS far,
        CAST((SELECT e FROM ecc2) AS BIGINT) AS ecc_far"""
+
+
+def seq_pack_sql(seq_len: int = 2048) -> str:
+    """Mirror of data_ops.packing.pack_sequences: per-doc slot count
+    (whitespace tokens + 1 EOS), exclusive prefix sum in doc_id order,
+    each doc expanded over the fixed seq_len windows its span touches,
+    then per-window doc stats."""
+    return rf"""WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(text), '\s+')) END + 1 AS slots
+  FROM documents),
+sp AS (
+  SELECT doc_id, slots,
+         COALESCE(SUM(slots) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM toks),
+ex AS (
+  SELECT doc_id,
+         UNNEST(range(CAST(st // {seq_len} AS BIGINT),
+                      CAST((st + slots - 1) // {seq_len} + 1 AS BIGINT))) AS seq
+  FROM sp)
+SELECT CAST(seq AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM ex GROUP BY seq"""
+
+
+def contamination_sql(n: int = 8, seed: int = 20260818) -> str:
+    """Mirror of data_ops.packing.contamination: 10% id-hash holdout
+    (bucket >= 900) as the bench side, the rest scanned, word n-grams in the engine's hashed
+    feature space (token polynomial -> splitmix64 -> GOLD-rolled
+    window -> splitmix64; short docs one whole-doc gram), train docs
+    sharing >= 1 distinct gram with the bench union."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH dk AS MATERIALIZED (SELECT doc_id, {key} AS h FROM documents),
+{_mix64_ctes("dk", "doc_id", prefix="sp")},
+split AS MATERIALIZED (SELECT doc_id, CAST(h % 1000 AS BIGINT) AS b FROM sp5),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+g2 AS (SELECT doc_id, pos, g AS h FROM grams),
+{_mix64_ctes('g2', 'doc_id, pos', prefix='gm')},
+ug AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gm5),
+bench AS (SELECT DISTINCT u.h FROM ug u JOIN split s USING (doc_id) WHERE s.b >= 900),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ug GROUP BY doc_id),
+hits AS (
+  SELECT u.doc_id, COUNT(*) AS nh
+  FROM ug u JOIN bench b ON u.h = b.h JOIN split s ON s.doc_id = u.doc_id
+  WHERE s.b < 900 GROUP BY u.doc_id)
+SELECT h.doc_id, CAST(h.nh AS BIGINT) AS n_hits, CAST(z.sz AS BIGINT) AS n_ngrams,
+       ROUND(CAST(h.nh AS DOUBLE) / z.sz, 6) AS contam_frac
+FROM hits h JOIN sizes z ON z.doc_id = h.doc_id"""

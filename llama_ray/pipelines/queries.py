@@ -1132,3 +1132,23 @@ def q_bigram_topk(sf_dir: str):
     from ..data_ops.text import bigram_topk
 
     return bigram_topk(_read(sf_dir, "documents", ["text"]), k=20)
+
+
+def q_seq_pack(sf_dir: str, *, seq_len: int = 2048):
+    """Concat-and-chop packing manifest over documents (see
+    data_ops.packing.pack_sequences: distributed prefix scan, one
+    scalar per block on the driver)."""
+    from ..data_ops.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, seq_len=seq_len)
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination audit: train docs sharing an 8-gram
+    with the held-out test hash split (bench grams broadcast once,
+    searchsorted probe per train batch)."""
+    from ..data_ops.packing import contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination(docs)

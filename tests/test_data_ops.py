@@ -633,3 +633,97 @@ def test_exact_quantiles_sorted_matches_numpy():
         out = exact_quantiles_sorted(ds, "v", [0.5, 0.9, 0.99, 0.01]).to_pandas()
         for q, v in zip(out["q"], out["value"]):
             assert v == srt[max(1, int(np.ceil(q * len(vals)))) - 1]
+
+
+# ------------------------------------------------------- packing / contam
+
+
+def _pack_reference(ids, texts, L):
+    """Per-row reference for pack_sequences: slot spans -> window
+    overlap counts via a plain Python loop."""
+    from collections import defaultdict
+
+    pos = 0
+    per_seq = defaultdict(list)
+    for i, t in zip(ids, texts):
+        slots = len(t.split()) + 1
+        for s in range(pos // L, (pos + slots - 1) // L + 1):
+            per_seq[s].append(i)
+        pos += slots
+    return {
+        s: (len(d), min(d), max(d)) for s, d in sorted(per_seq.items())
+    }
+
+
+def test_pack_sequences_matches_reference():
+    from llama_ray.data_ops.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(300):
+        k = int(rng.integers(0, 40))
+        if i == 50:
+            k = 900  # one giant doc spanning many windows
+        texts.append(" ".join(f"w{j}" for j in range(k)))  # k tokens ('' for k=0)
+    ids = list(range(300))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(7)
+    out = pack_sequences(ds, seq_len=64).to_pandas().sort_values("seq_id")
+    ref = _pack_reference(ids, texts, 64)
+    assert out["seq_id"].tolist() == list(ref)
+    got = {
+        int(r.seq_id): (int(r.n_docs), int(r.first_doc), int(r.last_doc))
+        for r in out.itertuples()
+    }
+    assert got == ref
+    # total doc-window incidences: every doc appears in >= 1 window
+    assert out["n_docs"].sum() >= 300
+
+
+def test_pack_sequences_layout_independent():
+    from llama_ray.data_ops.packing import pack_sequences
+
+    texts = [" ".join(["tok"] * (i % 17)) for i in range(120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()), "text": pa.array(texts)})
+    a = pack_sequences(rd.from_arrow(tbl).repartition(3), seq_len=32).to_pandas()
+    b = pack_sequences(rd.from_arrow(tbl).repartition(11), seq_len=32).to_pandas()
+    a = a.sort_values("seq_id").reset_index(drop=True)
+    b = b.sort_values("seq_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_contamination_detects_shared_ngrams():
+    from llama_ray.data_ops.packing import _split_bucket, contamination
+
+    ids = np.arange(2000, dtype=np.int64)
+    buckets = _split_bucket(ids, 20260818)
+    bench_ids = ids[buckets >= 900]
+    train_ids = ids[buckets < 900]
+    assert len(bench_ids) > 2 and len(train_ids) > 2
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    texts = {}
+    for i in ids:
+        texts[int(i)] = f"filler{i} unique{i} content{i} row{i}"
+    # one bench doc and two train docs carry the shared 8-gram
+    b0 = int(bench_ids[0])
+    t0, t1 = int(train_ids[0]), int(train_ids[1])
+    texts[b0] = f"prefix{b0} {shared} suffix{b0}"
+    texts[t0] = f"{shared} tail{t0} more{t0}"
+    texts[t1] = f"{shared}"
+    # a short train doc whose whole-doc gram matches a short bench doc
+    b1, t2 = int(bench_ids[1]), int(train_ids[2])
+    texts[b1] = "tiny shared snippet"
+    texts[t2] = "tiny shared snippet"
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array([texts[int(i)] for i in ids])}
+        )
+    ).repartition(5)
+    out = contamination(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(out["doc_id"]) == {t0, t1, t2}
+    row = out.set_index("doc_id")
+    assert row.loc[t1, "n_hits"] == 1 and row.loc[t1, "n_ngrams"] == 1
+    assert row.loc[t1, "contam_frac"] == 1.0
+    assert row.loc[t2, "n_hits"] == 1  # whole-short-doc gram path
+    assert (out["n_hits"] <= out["n_ngrams"]).all()
