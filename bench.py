@@ -310,6 +310,29 @@ def run_benchmark() -> dict:
     t0 = time.perf_counter()
     minhash_sketches(sk_docs).count()
     timings["minhash_sketch_100k"] = time.perf_counter() - t0
+
+    # sequence packing over the same 1M docs — the two-wave distributed
+    # prefix scan (range sort + scalar-per-block offsets). Unique
+    # ordering ids come from the content hash (the bench corpus reuses
+    # per-block arange ids); hash order = shuffled-corpus packing.
+    from llama_ray.common import content_hash_column
+    from llama_ray.data_ops.packing import contamination, pack_sequences
+
+    def _hash_ids(b):
+        h = content_hash_column(b.column("text")).astype("int64")
+        return {"doc_id": h, "text": b.column("text")}
+
+    pk_docs = docs_ds.map_batches(_hash_ids, batch_format="pyarrow").materialize()
+    t0 = time.perf_counter()
+    n_seqs = pack_sequences(pk_docs, seq_len=2048).count()
+    timings["seq_pack_1m"] = time.perf_counter() - t0
+    del pk_docs
+
+    # contamination audit over the 100k subset — bench-gram broadcast +
+    # searchsorted train scan (the 90% side never shuffles)
+    t0 = time.perf_counter()
+    n_contam = contamination(sk_docs).count()
+    timings["contamination_100k"] = time.perf_counter() - t0
     del sk_docs, docs_ds
 
     # maximal matching at scale: rmat(18, 4) ≈ 1M edges through the
@@ -380,6 +403,8 @@ def run_benchmark() -> dict:
         "dedup_docs": dedup_docs,
         "dedup_distinct": n_distinct,
         "matching_edges": n_matching,
+        "packed_seqs": n_seqs,
+        "contaminated_docs": n_contam,
         "streaming_batches": n_batches,
         "streaming_window": window,
         "sf": sf_dir,
