@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": q.q_bigram_topk,
         "seq_pack": q.q_seq_pack,
         "contamination": q.q_contamination,
+        "doc_repetition": q.q_doc_repetition,
+        "source_cap": q.q_source_cap,
+        "lang_mix": q.q_lang_mix,
     }
 
 
@@ -169,4 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": o.knn_cosine_sql(),
         "seq_pack": o.seq_pack_sql(),
         "contamination": o.contamination_sql(),
+        "doc_repetition": o.doc_repetition_sql(),
+        "source_cap": o.source_cap_sql(),
+        "lang_mix": o.lang_mix_sql(),
     }

@@ -1,0 +1,192 @@
+"""Corpus-curation operators: within-document repetition, per-source
+caps, and deterministic language-mix downsampling.
+
+These are the filtering/rebalancing stages of a pretraining data
+pipeline (Gopher-style repetition rules, per-domain document caps,
+domain/language mixture targets), expressed Ray-Data-first:
+
+* repetition is a pure ``map_batches`` stage over the shared hashed
+  n-gram machinery (one buffer roll per batch, no per-row Python);
+* the per-group cap is ONE distributed sort + per-block run ranking,
+  with the ≤2 boundary groups per block resolved in a small driver
+  pass (the same boundary trick as ``dedup_edges`` / sessionization);
+* mix sampling is two passes: a tiny ``groupby(lang).count()`` whose
+  result (a handful of rows) parameterizes integer hash thresholds,
+  then a vectorized keep-mask scan.  Selection is content-independent
+  (splitmix64 of the doc id), so the sample is reproducible across
+  runs, engines, and block layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..common import batch_to_numpy, collect_boundary_runs
+from .dedup import (
+    _GOLD,
+    _mix64,
+    _rolled_windows,
+    _segment_unique,
+    _token_hashes_from_matrix,
+    _token_matrix,
+)
+
+# ------------------------------------------------------------ repetition
+
+
+def repetition_ratio(
+    docs: rd.Dataset,
+    *,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Within-document duplicate word-n-gram fraction (a Gopher-style
+    repetition quality rule): per doc, ``rep_frac = 1 - distinct/total``
+    over its word n-grams (lowercased whitespace tokens; docs shorter
+    than ``n`` tokens contribute one whole-doc gram, empty docs are
+    dropped).  Pure per-batch stage — the same one-buffer-roll n-gram
+    machinery as the dedup family, no shuffle at all."""
+
+    def stage(batch: pa.Table) -> dict:
+        starts, lens, per_doc, tdata = _token_matrix(batch.column(text_col))
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        offs = np.concatenate([[0], np.cumsum(per_doc)])
+        g, counts = _rolled_windows(th, offs, n, _GOLD)
+        _u, ucounts = _segment_unique(_mix64(g), counts)
+        ids = batch_to_numpy(batch, id_col)
+        m = counts > 0
+        total = counts[m].astype(np.int64)
+        distinct = ucounts[m].astype(np.int64)
+        return {
+            "doc_id": ids[m],
+            "n_grams": total,
+            "n_distinct": distinct,
+            "rep_frac": np.round(1.0 - distinct / total, 6),
+        }
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- per-group top-k
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    order_cols: list[str],
+    descending: list[bool],
+    k: int,
+) -> rd.Dataset:
+    """Keep the top ``k`` rows of every group under a total order —
+    the per-domain document cap of a curation pipeline (and the
+    generic window ``row_number() <= k``).
+
+    One distributed range sort by (group, *order_cols*); groups fully
+    interior to a block rank locally (vectorized run arithmetic); the
+    ≤2 groups touching each block edge are re-ranked in a small driver
+    pass over the collected boundary runs.  Adds a ``rank`` column
+    (1-based within group).
+    """
+    srt = ds.sort(
+        [group_col, *order_cols], descending=[False, *descending]
+    ).materialize()
+
+    def rank_rows(tbl: pa.Table) -> pa.Table:
+        g = tbl.column(group_col).combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(g)
+        new = np.ones(m, bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(m, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, m))
+        ) + 1
+        keep = rank <= k
+        out = tbl.filter(pa.array(keep))
+        return out.append_column("rank", pa.array(rank[keep]))
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        schema = tbl.schema.append(pa.field("rank", pa.int64()))
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        g = tbl.column(group_col).combine_chunks().to_numpy(zero_copy_only=False)
+        inner = (g != g[0]) & (g != g[-1])
+        if not inner.any():
+            return schema.empty_table()
+        return rank_rows(tbl.filter(pa.array(inner)))
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    btbl = collect_boundary_runs(srt, group_col, where="topk_per_group")
+    if btbl is not None:
+        main = main.union(rd.from_arrow(rank_rows(btbl)))
+    return main
+
+
+# ------------------------------------------------------------ mix sample
+
+
+def lang_mix_sample(
+    docs: rd.Dataset,
+    *,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 777,
+) -> pa.Table:
+    """Deterministic language rebalancing: downsample every language
+    to (approximately) the size of the smallest one.  Pass 1 counts
+    docs per language (tiny groupby); each language gets an integer
+    keep-threshold ``(min_count * 10^6) // count``; pass 2 keeps a doc
+    iff ``splitmix64(doc_id·GOLD ⊕ seed) mod 10^6 < threshold`` — a
+    content-independent coin that is exact integer arithmetic on both
+    engines.  Returns the per-language summary (lang, n_total,
+    threshold, n_kept)."""
+    cnt = (
+        docs.select_columns([lang_col, id_col])
+        .groupby(lang_col)
+        .count()
+        .to_pandas()  # one row per language
+    )
+    langs = cnt[lang_col].to_numpy()
+    totals = cnt["count()"].to_numpy().astype(np.int64)
+    mn = int(totals.min())
+    thresh = (mn * 1_000_000) // totals
+    tmap = dict(zip(langs.tolist(), thresh.tolist()))
+
+    def partial(batch: pa.Table) -> dict:
+        ids = batch_to_numpy(batch, id_col).astype(np.uint64)
+        bkt = (_mix64(ids * _GOLD ^ np.uint64(seed)) % np.uint64(1_000_000)).astype(
+            np.int64
+        )
+        langs_b, inv = np.unique(
+            batch.column(lang_col).combine_chunks().to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        th_b = np.array([tmap[l] for l in langs_b], np.int64)
+        kept = bkt < th_b[inv]
+        return {
+            "lang": langs_b,
+            "n_kept": np.bincount(inv, weights=kept).astype(np.int64),
+        }
+
+    kept = (
+        docs.select_columns([lang_col, id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n_kept")
+        .to_pandas()
+    )
+    kmap = dict(zip(kept["lang"], kept["sum(n_kept)"].astype(np.int64)))
+    order = np.argsort(langs)
+    return pa.table(
+        {
+            "lang": langs[order],
+            "n_total": totals[order],
+            "threshold": thresh[order].astype(np.int64),
+            "n_kept": pa.array(
+                [int(kmap.get(l, 0)) for l in langs[order]], pa.int64()
+            ),
+        }
+    )

@@ -1598,3 +1598,61 @@ hits AS (
 SELECT h.doc_id, CAST(h.nh AS BIGINT) AS n_hits, CAST(z.sz AS BIGINT) AS n_ngrams,
        ROUND(CAST(h.nh AS DOUBLE) / z.sz, 6) AS contam_frac
 FROM hits h JOIN sizes z ON z.doc_id = h.doc_id"""
+
+
+def doc_repetition_sql(n: int = 2) -> str:
+    """Mirror of data_ops.curation.repetition_ratio: per-doc total vs
+    distinct word n-grams in the engine's hashed gram space (token
+    polynomial -> splitmix64 -> GOLD-rolled window; short docs one
+    whole-doc gram, empty docs dropped)."""
+    gold = 0x9E3779B97F4A7C15
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS rep_frac
+FROM grams GROUP BY doc_id"""
+
+
+def source_cap_sql(k: int = 10) -> str:
+    """Mirror of queries.q_source_cap: row_number per source under
+    (n_chars desc, doc_id asc), capped at k."""
+    return f"""WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+           ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
+def lang_mix_sql(seed: int = 777) -> str:
+    """Mirror of data_ops.curation.lang_mix_sample: per-lang counts,
+    integer threshold (min_count*10^6)//count, keep iff
+    splitmix64(doc_id*GOLD xor seed) mod 10^6 < threshold."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS mn FROM c),
+th AS (SELECT lang, n, (mn * 1000000) // n AS thresh FROM c, m),
+dk AS MATERIALIZED (SELECT doc_id, lang, {key} AS h FROM documents),
+{_mix64_ctes("dk", "doc_id, lang", prefix="lx")},
+b AS (SELECT lang, CAST(h % 1000000 AS BIGINT) AS bkt FROM lx5)
+SELECT t.lang, CAST(t.n AS BIGINT) AS n_total, CAST(t.thresh AS BIGINT) AS threshold,
+       CAST(COUNT(CASE WHEN b.bkt < t.thresh THEN 1 END) AS BIGINT) AS n_kept
+FROM b JOIN th t USING (lang) GROUP BY t.lang, t.n, t.thresh"""

@@ -1152,3 +1152,38 @@ def q_contamination(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return contamination(docs)
+
+
+def q_doc_repetition(sf_dir: str):
+    """Within-doc duplicate bigram fraction (Gopher-style repetition
+    rule) — pure map_batches over the shared n-gram machinery."""
+    from ..data_ops.curation import repetition_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_ratio(docs, n=2)
+
+
+def q_source_cap(sf_dir: str, *, k: int = 10):
+    """Per-source document cap: keep the top-10 docs per source by
+    (n_chars desc, doc_id asc) — distributed sort + per-block run
+    ranking with a driver boundary pass."""
+    from ..data_ops.curation import topk_per_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return topk_per_group(
+        docs,
+        group_col="source",
+        order_cols=["n_chars", "doc_id"],
+        descending=[True, False],
+        k=k,
+    ).select_columns(["source", "doc_id", "n_chars", "rank"])
+
+
+def q_lang_mix(sf_dir: str):
+    """Deterministic language rebalancing summary: every language
+    downsampled toward the smallest one by an integer hash
+    threshold."""
+    from ..data_ops.curation import lang_mix_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return lang_mix_sample(docs)

@@ -727,3 +727,76 @@ def test_contamination_detects_shared_ngrams():
     assert row.loc[t1, "contam_frac"] == 1.0
     assert row.loc[t2, "n_hits"] == 1  # whole-short-doc gram path
     assert (out["n_hits"] <= out["n_ngrams"]).all()
+
+
+def test_repetition_ratio_counts():
+    from llama_ray.data_ops.curation import repetition_ratio
+
+    ds = docs_ds(["a b a b a", "x y z", "q q q q", "solo", ""])
+    out = repetition_ratio(ds, n=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: bigrams (a b),(b a),(a b),(b a) -> 4 total, 2 distinct
+    # doc 1: 2 distinct of 2; doc 2: (q q)x3 -> 3/1; doc 3: whole-doc gram 1/1
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]  # empty doc dropped
+    assert out["n_grams"].tolist() == [4, 2, 3, 1]
+    assert out["n_distinct"].tolist() == [2, 2, 1, 1]
+    assert out["rep_frac"].tolist() == [0.5, 0.0, pytest.approx(0.666667), 0.0]
+
+
+def test_topk_per_group_matches_pandas():
+    from llama_ray.data_ops.curation import topk_per_group
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 37, n)]),
+            "n_chars": pa.array(rng.integers(0, 50, n).astype(np.int64)),  # heavy ties
+        }
+    )
+    out = (
+        topk_per_group(
+            rd.from_arrow(tbl).repartition(13),
+            group_col="source",
+            order_cols=["n_chars", "doc_id"],
+            descending=[True, False],
+            k=7,
+        )
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = tbl.to_pandas()
+    ref["rank"] = (
+        ref.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source")
+        .cumcount()
+        + 1
+    )
+    ref = (
+        ref[ref["rank"] <= 7]
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)[out.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_lang_mix_sample_thresholds():
+    from llama_ray.data_ops.curation import lang_mix_sample
+    from llama_ray.data_ops.dedup import _GOLD, _mix64
+
+    ids = np.arange(4000, dtype=np.int64)
+    langs = np.where(ids % 10 < 7, "big", np.where(ids % 10 < 9, "mid", "small"))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+    ).repartition(6)
+    out = lang_mix_sample(ds).to_pandas().set_index("lang")
+    tot = {l: int((langs == l).sum()) for l in ("big", "mid", "small")}
+    mn = min(tot.values())
+    for l in tot:
+        th = (mn * 1_000_000) // tot[l]
+        assert out.loc[l, "threshold"] == th
+        assert out.loc[l, "n_total"] == tot[l]
+        bkt = _mix64(ids[langs == l].astype(np.uint64) * _GOLD ^ np.uint64(777)) % np.uint64(1_000_000)
+        assert out.loc[l, "n_kept"] == int((bkt.astype(np.int64) < th).sum())
+    assert out.loc["small", "n_kept"] == tot["small"]  # keep-all for the min lang
