@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.q_doc_repetition,
         "source_cap": q.q_source_cap,
         "lang_mix": q.q_lang_mix,
+        "events_retention": q.q_events_retention,
     }
 
 
@@ -175,4 +176,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": o.doc_repetition_sql(),
         "source_cap": o.source_cap_sql(),
         "lang_mix": o.lang_mix_sql(),
+        "events_retention": o.events_retention_sql(),
     }

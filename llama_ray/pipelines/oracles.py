@@ -1656,3 +1656,22 @@ b AS (SELECT lang, CAST(h % 1000000 AS BIGINT) AS bkt FROM lx5)
 SELECT t.lang, CAST(t.n AS BIGINT) AS n_total, CAST(t.thresh AS BIGINT) AS threshold,
        CAST(COUNT(CASE WHEN b.bkt < t.thresh THEN 1 END) AS BIGINT) AS n_kept
 FROM b JOIN th t USING (lang) GROUP BY t.lang, t.n, t.thresh"""
+
+
+def events_retention_sql() -> str:
+    """Mirror of queries.q_events_retention: distinct (user, epoch-day)
+    pairs; per day the active count and the users also present on
+    day+1."""
+    return """WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day
+  FROM events),
+act AS (SELECT day, COUNT(*) AS n_active FROM ud GROUP BY day),
+ret AS (
+  SELECT a.day, COUNT(*) AS n_ret
+  FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY a.day)
+SELECT act.day, CAST(act.n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(ret.n_ret, 0) AS BIGINT) AS n_retained_next,
+       ROUND(CAST(COALESCE(ret.n_ret, 0) AS DOUBLE) / act.n_active, 6) AS retention
+FROM act LEFT JOIN ret ON ret.day = act.day"""

@@ -1187,3 +1187,64 @@ def q_lang_mix(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang"])
     return lang_mix_sample(docs)
+
+
+def q_events_retention(sf_dir: str):
+    """Day-over-day retention cohort: per day, active users and how
+    many return the next day. Distinct (user, day) pairs via one
+    groupby shuffle; adjacency (day+1 present for the same user)
+    resolved with the usual range-sort + per-block runs + boundary
+    driver pass; the per-day join is a bounded driver merge (the day
+    domain is tiny next to the event count)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table):
+        t = (
+            b.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return {"user_id": batch_to_numpy(b, "user_id"), "day": t // 86_400_000_000}
+
+    pairs = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+        .select_columns(["user_id", "day"])
+        .materialize()
+    )
+    active = pairs.groupby("day").count().to_pandas()  # bounded: one row/day
+
+    def retained_of(u: np.ndarray, d: np.ndarray):
+        nxt = (u[1:] == u[:-1]) & (d[1:] == d[:-1] + 1)
+        return {"day": d[:-1][nxt], "n": np.ones(int(nxt.sum()), np.int64)}
+
+    srt = pairs.sort(["user_id", "day"]).materialize()
+
+    def interior(b: pa.Table):
+        u = batch_to_numpy(b, "user_id")
+        empty = {"day": np.empty(0, np.int64), "n": np.empty(0, np.int64)}
+        if len(u) < 2:
+            return empty
+        d = batch_to_numpy(b, "day")
+        inner = (u != u[0]) & (u != u[-1])
+        if not inner.any():
+            return empty
+        return retained_of(u[inner], d[inner])
+
+    from ..common import collect_boundary_runs
+
+    ret = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    btbl = collect_boundary_runs(srt, "user_id", where="retention")
+    if btbl is not None:
+        extra = retained_of(batch_to_numpy(btbl, "user_id"), batch_to_numpy(btbl, "day"))
+        ret = ret.union(rd.from_arrow(pa.table({k: pa.array(v) for k, v in extra.items()})))
+    retained = ret.groupby("day").sum("n").to_pandas()
+    out = active.rename(columns={"count()": "n_active"}).merge(
+        retained.rename(columns={"sum(n)": "n_retained_next"}), on="day", how="left"
+    )
+    out["n_retained_next"] = out["n_retained_next"].fillna(0).astype(np.int64)
+    out["retention"] = (out["n_retained_next"] / out["n_active"]).round(6)
+    return out[["day", "n_active", "n_retained_next", "retention"]]

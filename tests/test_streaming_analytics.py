@@ -53,3 +53,48 @@ def test_pagerank_over_sliding_window(tmp_path):
     ids = np.unique(np.concatenate([src, dst]))
     expect = pagerank_np(np.searchsorted(ids, src), np.searchsorted(ids, dst), len(ids))
     assert np.allclose(res.state["rank"], expect, atol=1e-12)
+
+
+def test_events_retention_matches_reference():
+    """Retention vs a pandas reference over synthetic multi-user days,
+    including a user whose days straddle block boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.pipelines.queries import q_events_retention
+
+    # build synthetic events parquet in tmp
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 40, n)
+    days = rng.integers(0, 12, n)
+    secs = days * 86_400 + rng.integers(0, 86_400, n)
+    ts = pa.array((secs * 1_000_000).astype("int64"), pa.timestamp("us"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": ts,
+            "user_id": pa.array(users.astype(np.int64)),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(td, "events.parquet"))
+        out = q_events_retention(td).sort_values("day").reset_index(drop=True)
+
+    df = pd.DataFrame({"user_id": users, "day": days}).drop_duplicates()
+    act = df.groupby("day").size()
+    nxt = df.assign(day=df["day"] - 1).merge(df, on=["user_id", "day"])
+    ret = nxt.groupby("day").size()
+    for _, row in out.iterrows():
+        d = int(row["day"])
+        assert row["n_active"] == act.get(d, 0)
+        assert row["n_retained_next"] == ret.get(d, 0)
+        assert row["retention"] == round(row["n_retained_next"] / row["n_active"], 6)
+    assert set(out["day"]) == set(act.index)
