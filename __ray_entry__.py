@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q.q_source_cap,
         "lang_mix": q.q_lang_mix,
         "events_retention": q.q_events_retention,
+        "events_user_hll": q.q_events_user_hll,
     }
 
 
@@ -177,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": o.source_cap_sql(),
         "lang_mix": o.lang_mix_sql(),
         "events_retention": o.events_retention_sql(),
+        "events_user_hll": o.events_user_hll_sql(),
     }

@@ -1675,3 +1675,34 @@ SELECT act.day, CAST(act.n_active AS BIGINT) AS n_active,
        CAST(COALESCE(ret.n_ret, 0) AS BIGINT) AS n_retained_next,
        ROUND(CAST(COALESCE(ret.n_ret, 0) AS DOUBLE) / act.n_active, 6) AS retention
 FROM act LEFT JOIN ret ON ret.day = act.day"""
+
+
+def events_user_hll_sql(seed: int = 20260818) -> str:
+    """Mirror of queries.q_events_user_hll: HLL register maxima per
+    event_type over splitmix64(user_id*GOLD xor seed) (bucket = h>>58,
+    rho = 59 - bit_length(h mod 2^58)) and the alpha_64 estimate with
+    the small-range correction."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(user_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    m58 = (1 << 58) - 1
+    return f"""WITH hk AS MATERIALIZED (SELECT event_type, {key} AS h FROM events),
+{_mix64_ctes("hk", "event_type", prefix="hm")},
+r AS (
+  SELECT event_type, CAST(h >> 58 AS BIGINT) AS bucket,
+         59 - length(ltrim(bin(CAST(h & {m58} AS BIGINT)), '0')) AS rho
+  FROM hm5),
+regs AS (
+  SELECT t.event_type, j.j,
+         COALESCE((SELECT MAX(rho) FROM r
+                   WHERE r.event_type = t.event_type AND r.bucket = j.j), 0) AS val
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+est AS (
+  SELECT event_type,
+         0.709 * 64 * 64 / SUM(pow(2.0, -val)) AS raw,
+         SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM regs GROUP BY event_type)
+SELECT event_type,
+       ROUND(CASE WHEN raw <= 2.5 * 64 AND zeros > 0
+                  THEN 64 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_distinct
+FROM est"""

@@ -1248,3 +1248,54 @@ def q_events_retention(sf_dir: str):
     out["n_retained_next"] = out["n_retained_next"].fillna(0).astype(np.int64)
     out["retention"] = (out["n_retained_next"] / out["n_active"]).round(6)
     return out[["day", "n_active", "n_retained_next", "retention"]]
+
+
+def q_events_user_hll(sf_dir: str, *, seed: int = 20260818):
+    """Approximate distinct users per event_type via HyperLogLog (64
+    registers, the HyperANF register family): per-batch (type, bucket)
+    rho maxima -> tiny groupby max shuffle (|types|x64 rows per block)
+    -> driver estimate. The mergeable-sketch shape is the 100-TB way
+    to count distincts: register partials are O(types x 64) regardless
+    of row count, and the merge is an idempotent elementwise max."""
+    from ..algos.hyperanf import ALPHA_64, M, _bit_length_u64
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(b: pa.Table):
+        et = b.column("event_type").combine_chunks().to_numpy(zero_copy_only=False)
+        u = batch_to_numpy(b, "user_id").astype(np.uint64)
+        h = _mix64(u * _GOLD ^ np.uint64(seed))
+        bucket = (h >> np.uint64(58)).astype(np.int64)
+        rho = 59 - _bit_length_u64(h & np.uint64((1 << 58) - 1))
+        types, inv = np.unique(et, return_inverse=True)
+        mx = np.zeros(len(types) * M, np.int64)
+        np.maximum.at(mx, inv * M + bucket, rho)
+        return {
+            "event_type": np.repeat(types, M),
+            "reg": np.tile(np.arange(M, dtype=np.int64), len(types)),
+            "val": mx,
+        }
+
+    regs = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .max("val")
+        .to_pandas()  # bounded: |event types| x 64 rows
+    )
+    out = []
+    for et, grp in regs.groupby("event_type"):
+        R = np.zeros(M, np.int64)
+        R[grp["reg"].to_numpy()] = grp["max(val)"].to_numpy()
+        est = ALPHA_64 * M * M / np.sum(np.exp2(-R.astype(np.float64)))
+        zeros = int(np.sum(R == 0))
+        if est <= 2.5 * M and zeros > 0:
+            est = M * np.log(M / zeros)
+        out.append((et, round(float(est), 4)))
+    out.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([t for t, _ in out]),
+            "hll_distinct": pa.array([v for _, v in out], pa.float64()),
+        }
+    )

