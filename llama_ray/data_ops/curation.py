@@ -9,7 +9,8 @@ domain/language mixture targets), expressed Ray-Data-first:
   n-gram machinery (one buffer roll per batch, no per-row Python);
 * the per-group cap is ONE distributed sort + per-block run ranking,
   with the ≤2 boundary groups per block resolved in a small driver
-  pass (the same boundary trick as ``dedup_edges`` / sessionization);
+  pass over bounded per-block top-k prefixes (≤2k rows per block no
+  matter how large the group);
 * mix sampling is two passes: a tiny ``groupby(lang).count()`` whose
   result (a handful of rows) parameterizes integer hash thresholds,
   then a vectorized keep-mask scan.  Selection is content-independent
@@ -23,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from ..common import batch_to_numpy, collect_boundary_runs
+from ..common import batch_to_numpy
 from .dedup import (
     _GOLD,
     _mix64,
@@ -88,8 +89,13 @@ def topk_per_group(
     One distributed range sort by (group, *order_cols*); groups fully
     interior to a block rank locally (vectorized run arithmetic); the
     ≤2 groups touching each block edge are re-ranked in a small driver
-    pass over the collected boundary runs.  Adds a ``rank`` column
-    (1-based within group).
+    pass.  Boundary collection is bounded: a group's global top-k is
+    contained in the union of each block's first ``k`` rows of that
+    group (block segments are contiguous and already ordered), so only
+    ≤2k rows per block ever reach the driver — a group spanning many
+    whole blocks (the common case at scale: one hot domain ≫ block
+    size) costs O(k) per block, not its full row count.  Adds a
+    ``rank`` column (1-based within group).
     """
     srt = ds.sort(
         [group_col, *order_cols], descending=[False, *descending]
@@ -119,9 +125,30 @@ def topk_per_group(
         return rank_rows(tbl.filter(pa.array(inner)))
 
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
-    btbl = collect_boundary_runs(srt, group_col, where="topk_per_group")
-    if btbl is not None:
-        main = main.union(rd.from_arrow(rank_rows(btbl)))
+
+    def edge_prefixes(tbl: pa.Table):
+        """First k rows of the block's first-group run and last-group
+        run (the only rows of a boundary group that can make top-k)."""
+        if tbl.num_rows == 0:
+            return None
+        g = tbl.column(group_col).combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(g)
+        first_end = int(np.searchsorted(g != g[0], True))  # first run length
+        last_start = m - int(np.searchsorted(g[::-1] != g[-1], True))
+        take = np.zeros(m, bool)
+        take[:min(first_end, k)] = True
+        take[last_start : last_start + k] = True
+        return tbl.filter(pa.array(take))
+
+    from ..common import per_block_results
+
+    parts = [
+        t for t in per_block_results(srt, edge_prefixes) if t is not None and t.num_rows
+    ]
+    if parts:
+        # block order preserves the global sort, so concatenated
+        # boundary prefixes are in-order per group
+        main = main.union(rd.from_arrow(rank_rows(pa.concat_tables(parts))))
     return main
 
 

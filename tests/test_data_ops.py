@@ -800,3 +800,46 @@ def test_lang_mix_sample_thresholds():
         bkt = _mix64(ids[langs == l].astype(np.uint64) * _GOLD ^ np.uint64(777)) % np.uint64(1_000_000)
         assert out.loc[l, "n_kept"] == int((bkt.astype(np.int64) < th).sum())
     assert out.loc["small", "n_kept"] == tot["small"]  # keep-all for the min lang
+
+
+def test_topk_per_group_hot_group_spanning_blocks():
+    """One hot group much larger than a block: boundary collection
+    stays O(k) per block and ranks remain exact."""
+    from llama_ray.data_ops.curation import topk_per_group
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.where(ids < 19_000, "hot", np.where(ids % 2 == 0, "a", "b"))
+    val = (ids * 7919) % 1000  # ties + scatter
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(src),
+            "n_chars": pa.array(val.astype(np.int64)),
+        }
+    )
+    out = (
+        topk_per_group(
+            rd.from_arrow(tbl).repartition(16),
+            group_col="source",
+            order_cols=["n_chars", "doc_id"],
+            descending=[True, False],
+            k=5,
+        )
+        .to_pandas()
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = tbl.to_pandas()
+    ref["rank"] = (
+        ref.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .groupby("source")
+        .cumcount()
+        + 1
+    )
+    ref = (
+        ref[ref["rank"] <= 5]
+        .sort_values(["source", "rank"])
+        .reset_index(drop=True)[out.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(out, ref)
