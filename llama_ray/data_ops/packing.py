@@ -170,6 +170,7 @@ def contamination(
     seed: int = 20260818,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bench_grams: int = 100_000_000,
 ) -> rd.Dataset:
     """Benchmark-contamination audit.
 
@@ -213,6 +214,18 @@ def contamination(
     bench = (
         np.unique(np.concatenate(blocks)) if blocks else np.empty(0, _U64)
     )
+    if len(bench) > max_bench_grams:
+        # The broadcast design assumes the bench side is a benchmark
+        # suite — bounded by its nature (100M grams ≈ 800 MB already
+        # stretches it). A bench side at corpus scale is a different
+        # problem: use the MinHash-LSH near-dup pipeline
+        # (dedup.minhash_lsh_dedup) between the two corpora instead.
+        raise ValueError(
+            f"bench side has {len(bench)} distinct {n}-grams "
+            f"(> max_bench_grams={max_bench_grams}); contamination "
+            "expects a bounded benchmark suite — for corpus-vs-corpus "
+            "overlap use the MinHash-LSH near-dup operator"
+        )
     bench_ref = ray.put(bench)
 
     def train_scan(batch: pa.Table) -> dict:

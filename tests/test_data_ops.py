@@ -843,3 +843,13 @@ def test_topk_per_group_hot_group_spanning_blocks():
         .reset_index(drop=True)[out.columns.tolist()]
     )
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_contamination_bench_size_guard():
+    from llama_ray.data_ops.packing import _split_bucket, contamination
+
+    ids = np.arange(2000, dtype=np.int64)
+    texts = [f"word{i} item{i} thing{i}" for i in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    with pytest.raises(ValueError, match="bounded benchmark suite"):
+        contamination(ds, max_bench_grams=10)
