@@ -239,6 +239,24 @@ def run_benchmark() -> dict:
     ingest_sec = time.perf_counter() - t0
     timings["repo_ingest"] = ingest_sec
 
+    # the north-star metric verbatim: PageRank edges/sec on the REPO
+    # link graph (ingested edges -> dedup -> dense CSR -> 10 BSP
+    # supersteps)
+    from llama_ray.ingest.canonicalize import dedup_edges as _dedup_edges
+
+    t0 = time.perf_counter()
+    g_repo = build_graph(_dedup_edges(link_edges.select_columns(["src", "dst"])))
+    repo_build_sec = time.perf_counter() - t0
+    timings["repo_graph_build"] = repo_build_sec
+    timings["repo_pagerank_10iter"], pr_repo = best_of(
+        lambda: pagerank(g_repo, max_iters=10, engine="bsp"), 2
+    )
+    repo_pr_edges_per_sec = round(
+        g_repo.num_edges * pr_repo.iterations / timings["repo_pagerank_10iter"]
+    )
+    n_repo_vertices, n_repo_edges = g_repo.num_vertices, g_repo.num_edges
+    del g_repo, pr_repo
+
     # --- fresh Ray session for the standalone heavyweight rows ---
     # SCC/dedup/streaming are separate jobs in a real deployment; run
     # them that way. Measured: after the ~20 dataset executions and 4
@@ -404,6 +422,9 @@ def run_benchmark() -> dict:
         "dedup_distinct": n_distinct,
         "matching_edges": n_matching,
         "packed_seqs": n_seqs,
+        "repo_vertices": n_repo_vertices,
+        "repo_edges": n_repo_edges,
+        "repo_pagerank_edges_per_sec": repo_pr_edges_per_sec,
         "contaminated_docs": n_contam,
         "streaming_batches": n_batches,
         "streaming_window": window,
