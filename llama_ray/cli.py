@@ -30,7 +30,7 @@ def main(argv=None) -> int:
             "pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp",
             "bfs", "tc", "bc", "load", "walks", "sample", "mis", "anf",
             "harmonic", "support", "featprop", "matching", "diameter",
-            "closeness",
+            "closeness", "pack", "contam", "repetition", "dedup_docs",
         ],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
@@ -52,6 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--rounds", type=int, default=2, help="propagation sweeps (featprop)")
     p.add_argument("--fanout", type=int, default=3, help="neighbors per vertex (sample)")
     p.add_argument("--seed", type=int, default=20260818, help="sampling seed (walks/sample/mis/anf)")
+    p.add_argument("--docs", default=None, help="documents parquet (pack/contam/repetition/dedup_docs)")
+    p.add_argument("--seq-len", type=int, default=2048, help="packed sequence length (pack)")
+    p.add_argument("--ngram", type=int, default=None, help="word n-gram width (contam/repetition)")
     args = p.parse_args(argv)
 
     import ray
@@ -98,6 +101,36 @@ def main(argv=None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.algorithm in ("pack", "contam", "repetition", "dedup_docs"):
+        if not args.docs:
+            p.error(f"'{args.algorithm}' requires --docs <parquet>")
+        import ray.data as rd
+
+        docs = rd.read_parquet(args.docs)
+        if args.algorithm == "pack":
+            from .data_ops.packing import pack_sequences
+
+            out = pack_sequences(docs, seq_len=args.seq_len)
+        elif args.algorithm == "contam":
+            from .data_ops.packing import contamination
+
+            out = contamination(docs, **({"n": args.ngram} if args.ngram else {}))
+        elif args.algorithm == "repetition":
+            from .data_ops.curation import repetition_ratio
+
+            out = repetition_ratio(docs, **({"n": args.ngram} if args.ngram else {}))
+        else:
+            from .data_ops.dedup import exact_dedup
+
+            out = exact_dedup(docs)
+        if args.output:
+            out.write_parquet(args.output)
+            rows = rd.read_parquet(args.output).count()
+        else:
+            rows = out.count()
+        print(json.dumps({"algorithm": args.algorithm, "docs": args.docs, "rows": rows}))
         return 0
 
     if args.from_db:

@@ -79,3 +79,24 @@ def test_cli_structure_tasks(tmp_path):
     assert d["ecc_far"] >= d["ecc_start"] >= 1
     c = run_cli("closeness", "--input", "rmat(7,3)")
     assert c["sources"] == 8 and all(r["reached"] >= 1 for r in c["closeness"])
+
+
+def test_cli_doc_tasks(tmp_path, capsys):
+    import json
+
+    from llama_ray.cli import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    assert main(["pack", "--docs", docs, "--seq-len", "512"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["algorithm"] == "pack" and rec["rows"] > 0
+
+    out = str(tmp_path / "rep_out")
+    assert main(["repetition", "--docs", docs, "--ngram", "2", "--output", out]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 500
+    import ray.data as rd
+
+    assert set(rd.read_parquet(out).schema().names) == {
+        "doc_id", "n_grams", "n_distinct", "rep_frac",
+    }
