@@ -176,6 +176,11 @@ def lang_mix_sample(
         .count()
         .to_pandas()  # one row per language
     )
+    if len(cnt) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"lang": pa.array([], pa.string()), "n_total": e, "threshold": e, "n_kept": e}
+        )
     langs = cnt[lang_col].to_numpy()
     totals = cnt["count()"].to_numpy().astype(np.int64)
     mn = int(totals.min())

@@ -64,13 +64,16 @@ def _pack_block(tbl: pa.Table, start: int, seq_len: int) -> pa.Table:
     """Expand one sorted block of (doc_id, slots) starting at global
     stream offset ``start`` into per-(sequence, doc) overlap rows,
     partially aggregated per sequence within the block."""
-    doc = tbl.column("doc_id").to_numpy()
-    slots = tbl.column("slots").to_numpy()
+    if "doc_id" not in tbl.schema.names or tbl.num_rows == 0:
+        doc = np.empty(0, np.int64)
+    else:
+        doc = tbl.column("doc_id").to_numpy()
     if len(doc) == 0:
         empty = np.empty(0, np.int64)
         return pa.table(
             {"seq_id": empty, "n_docs": empty, "first_doc": empty, "last_doc": empty}
         )
+    slots = tbl.column("slots").to_numpy()
     ends = start + np.cumsum(slots)
     starts = ends - slots
     first_seq = starts // seq_len
@@ -128,7 +131,13 @@ def pack_sequences(
         .materialize()
     )
     # wave 1: one scalar per block; driver O(num_blocks) exclusive scan
-    sums = per_block_results(srt, lambda t: int(np.sum(t.column("slots").to_numpy())))
+    # (empty blocks from an empty input lose their schema — treat as 0)
+    sums = per_block_results(
+        srt,
+        lambda t: int(np.sum(t.column("slots").to_numpy()))
+        if "slots" in t.schema.names
+        else 0,
+    )
     offsets = np.concatenate([[0], np.cumsum(sums[:-1])]).astype(np.int64)
     # wave 2: per-block expansion with its start offset (plain tasks
     # over the already-materialized sorted block refs)
@@ -209,7 +218,10 @@ def contamination(
     bench_ds = docs.map_batches(bench_part, batch_format="pyarrow")
     # collect per-block unique gram arrays (bounded: bench split is small)
     blocks = per_block_results(
-        bench_ds.materialize(), lambda t: t.column("g").to_numpy()
+        bench_ds.materialize(),
+        lambda t: t.column("g").to_numpy()
+        if "g" in t.schema.names
+        else np.empty(0, np.uint64),
     )
     bench = (
         np.unique(np.concatenate(blocks)) if blocks else np.empty(0, _U64)

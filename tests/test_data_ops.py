@@ -853,3 +853,32 @@ def test_contamination_bench_size_guard():
     ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
     with pytest.raises(ValueError, match="bounded benchmark suite"):
         contamination(ds, max_bench_grams=10)
+
+
+def test_packing_curation_empty_inputs():
+    from llama_ray.data_ops.curation import lang_mix_sample, repetition_ratio, topk_per_group
+    from llama_ray.data_ops.packing import contamination, pack_sequences
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert pack_sequences(empty, seq_len=64).count() == 0
+    assert contamination(empty).count() == 0
+    assert repetition_ratio(empty).count() == 0
+    e2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert (
+        topk_per_group(e2, group_col="source", order_cols=["n_chars"], descending=[True], k=3).count()
+        == 0
+    )
+    e3 = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())})
+    )
+    assert lang_mix_sample(e3).num_rows == 0
