@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_prop_stats": q.q_edge_prop_stats,
         "pagerank": q.q_pagerank,
         "pagerank_top10": q.q_pagerank_top10,
+        "pagerank_weighted": q.q_pagerank_weighted,
+        "katz": q.q_katz,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
         "scc": q.q_scc,
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_prop_stats": o.edge_prop_stats_sql(),
         "pagerank": o.pagerank_sql(),
         "pagerank_top10": o.pagerank_top10_sql(),
+        "pagerank_weighted": o.pagerank_weighted_sql(),
+        "katz": o.katz_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),
         "label_propagation": o.label_propagation_sql(),

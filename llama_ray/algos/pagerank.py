@@ -62,6 +62,7 @@ def pagerank(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     bsp_build: str = "auto",
+    weight_col: Optional[str] = None,
 ) -> SuperstepResult:
     """Returns SuperstepResult with ``state['rank']`` (float64, dense
     vertex order — ``graph.ids[i]`` ↔ ``rank[i]``).
@@ -78,17 +79,48 @@ def pagerank(
     ``'scan'`` (single-node: P parallel zero-copy plasma scans),
     ``'sort'`` (multi-node: range-sort by dst so each actor fetches
     only its contiguous blocks), or ``'auto'`` (pick by cluster size).
+
+    ``weight_col``: edge-weighted PageRank — contributions are
+    ``w_e · pr(src) / strength(src)`` with strength = per-src weight
+    sum (zero-strength vertices leak mass like the unweighted
+    danglers). Dataset engine only.
     """
     if mode not in ("pull", "push"):
         raise ValueError(f"unknown mode {mode}")
     if engine not in ("dataset", "bsp", "bsp_sharded"):
         raise ValueError(f"unknown engine {engine}")
+    if weight_col is not None and engine != "dataset":
+        # the pool gathers are unweighted reduceat kernels; the
+        # weighted variant scatters w_e · rank[src]/strength[src] over
+        # the edge Dataset (same plan shape, one extra column read)
+        raise ValueError("weight_col requires engine='dataset'")
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"rank": np.empty(0)}, 0, True, [])
-    inv_deg = np.zeros(n, dtype=np.float64)
-    nz = graph.out_degrees > 0
-    inv_deg[nz] = 1.0 / graph.out_degrees[nz]
+    if weight_col is not None:
+        # weighted out-strength replaces out-degree in the normalization
+        def strength_partial(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
+            src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            w = (
+                batch.column(weight_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            return sparse_partial_sum(src, w)
+
+        s_idx, s_sum = block_scatter(graph, strength_partial, "sum")
+        strength = np.zeros(n, dtype=np.float64)
+        strength[s_idx] = s_sum
+        inv_deg = np.zeros(n, dtype=np.float64)
+        nz = strength > 0
+        inv_deg[nz] = 1.0 / strength[nz]
+    else:
+        inv_deg = np.zeros(n, dtype=np.float64)
+        nz = graph.out_degrees > 0
+        inv_deg[nz] = 1.0 / graph.out_degrees[nz]
     base = (1.0 - damping) / n
 
     edges = graph.edges
@@ -133,7 +165,15 @@ def pagerank(
                 w = ray.get(w_ref)  # zero-copy plasma read of the broadcast state
                 src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
                 dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
-                return sparse_partial_sum(dst, w[src])
+                contrib = w[src]
+                if weight_col is not None:
+                    contrib = contrib * (
+                        batch.column(weight_col)
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                    )
+                return sparse_partial_sum(dst, contrib)
 
             dsts, sums = block_scatter(graph, scatter, "sum")
             acc = np.zeros(n, dtype=np.float64)

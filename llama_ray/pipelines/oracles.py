@@ -76,6 +76,53 @@ SELECT id AS vertex, ROUND(rank, 8) AS rank FROM r{iters}
 ORDER BY rank DESC, vertex ASC LIMIT 10"""
 
 
+def pagerank_weighted_sql(iters: int = 10) -> str:
+    """Edge-weighted PageRank: per-pair summed weights, contributions
+    rank·w/strength — same unrolled chain as ``pagerank_sql``."""
+    pre = """ew AS MATERIALIZED (SELECT src, dst, SUM(weight) AS w FROM raw_edges GROUP BY src, dst),
+wdeg AS MATERIALIZED (SELECT src, SUM(w) AS wd FROM ew GROUP BY src)"""
+    steps = ["w0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v)"]
+    for k in range(iters):
+        steps.append(
+            f"""w{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         (CAST(1 AS DOUBLE) - {DAMPING}) / (SELECT n FROM nn)
+         + {DAMPING} * COALESCE(s.contrib, 0) AS rank
+  FROM v LEFT JOIN (
+    SELECT ew.dst AS id, SUM(w{k}.rank * ew.w / wdeg.wd) AS contrib
+    FROM ew JOIN w{k} ON w{k}.id = ew.src JOIN wdeg ON wdeg.src = ew.src
+    GROUP BY ew.dst
+  ) s ON s.id = v.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{pre},
+{body}
+SELECT id AS vertex, ROUND(rank, 8) AS rank FROM w{iters}"""
+
+
+def katz_sql(iters: int = 8, alpha: float = 0.0625, beta: float = 1.0) -> str:
+    """Katz centrality, truncated series from x0=0 — unrolled like
+    PageRank but with the unnormalized in-neighbor sum. The dyadic
+    alpha (2^-4) keeps every intermediate exactly representable, so
+    no ROUND margin is needed (see ``algos/katz.py``)."""
+    steps = ["k0 AS MATERIALIZED (SELECT id, CAST(0 AS DOUBLE) AS score FROM v)"]
+    for k in range(iters):
+        steps.append(
+            f"""k{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         CAST({beta} AS DOUBLE) + CAST({alpha} AS DOUBLE) * COALESCE(s.contrib, 0) AS score
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, SUM(k{k}.score) AS contrib
+    FROM e JOIN k{k} ON k{k}.id = e.src GROUP BY e.dst
+  ) s ON s.id = v.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex, score AS katz FROM k{iters}"""
+
+
 def ppr_sql(iters: int = 10, seeds=(1, 2, 3)) -> str:
     seed_cte = " UNION ALL ".join(f"SELECT CAST({s} AS BIGINT) AS seed" for s in seeds)
     steps = [

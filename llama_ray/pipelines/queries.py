@@ -138,6 +138,40 @@ def q_pagerank_top10(sf_dir: str):
     )
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank: contributions are w·pr(src)/strength(src)
+    over the deduped edge list with per-pair summed weights (duplicate
+    raw edges fold into one weighted edge — the reference's streaming
+    "weights instead of duplicates" semantic, ``ll_writable_graph.h``).
+    Rounded to 8 decimals (reduction-order margin, like ``pagerank``)."""
+    g = _GRAPH_CACHE.get(("gw_sum", sf_dir))
+    if g is None:
+        g = build_graph(
+            dedup_edges(
+                raw_edges(sf_dir).select_columns(["src", "dst", "weight"]),
+                weights="sum",
+            )
+        )
+        _GRAPH_CACHE[("gw_sum", sf_dir)] = g
+    res = pagerank(g, max_iters=10, weight_col="weight")
+    return pa.table(
+        {"vertex": g.ids, "rank": np.round(res.state["rank"], 8)}
+    )
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality, 8 truncated-series iterations (α=1/16, β=1) on
+    the BSP gather pool — the unnormalized-sum sibling of PageRank.
+    No rounding: the dyadic alpha makes every score an exact dyadic
+    rational (see ``algos/katz.py``), bit-identical to the DuckDB
+    chain in any reduction order."""
+    from ..algos.katz import katz_centrality
+
+    g = _cached_tpch_graph(sf_dir)
+    res = katz_centrality(g, alpha=0.0625, beta=1.0, iterations=8, engine="bsp")
+    return pa.table({"vertex": g.ids, "katz": res.state["katz"]})
+
+
 def q_wcc(sf_dir: str):
     g = _cached_tpch_graph(sf_dir)
     res = weakly_connected_components(g)

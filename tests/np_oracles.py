@@ -204,3 +204,31 @@ def core_numbers_np(src, dst, n):
                     if deg[u] <= k:
                         peel.append(u)
     return core
+
+
+def katz_np(src, dst, n, *, iters=8, alpha=0.0625, beta=1.0):
+    """Truncated-series Katz from x0=0; duplicate edges contribute."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    x = np.zeros(n)
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, dst, x[src])
+        x = beta + alpha * acc
+    return x
+
+
+def pagerank_weighted_np(src, dst, w, n, *, iters=10, d=0.85):
+    """Edge-weighted PageRank: contributions w_e * r[src]/strength[src]."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = np.asarray(w, np.float64)
+    strength = np.bincount(src, weights=w, minlength=n)
+    inv = np.zeros(n)
+    inv[strength > 0] = 1.0 / strength[strength > 0]
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, dst, w * r[src] * inv[src])
+        r = (1 - d) / n + d * acc
+    return r

@@ -390,3 +390,81 @@ def test_hits_matches_dense_oracle(name):
     if name == "star_hub":
         assert np.argmax(a) == int(np.searchsorted(g.ids, 0))
         assert a.max() == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- Katz
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_katz_matches_oracle(name):
+    from np_oracles import katz_np
+
+    from llama_ray.algos.katz import katz_centrality
+
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    ds_, dd_, ids = dense(src, dst)
+    expect = katz_np(ds_, dd_, len(ids))
+    a = katz_centrality(g, iterations=8, engine="dataset")
+    b = katz_centrality(g, iterations=8, engine="bsp")
+    # bit-exact, not just close: the dyadic default alpha (2^-4) makes
+    # every partial sum exact, so reduction order cannot matter
+    assert np.array_equal(a.state["katz"], expect)
+    assert np.array_equal(b.state["katz"], expect)
+
+
+def test_katz_star_orders_hub_first():
+    from llama_ray.algos.katz import katz_centrality
+
+    src, dst = map(np.array, FIXTURES["star_hub"])
+    g = build_graph(edges_ds(src, dst))
+    x = katz_centrality(g).state["katz"]
+    assert np.argmax(x) == 0  # all 99 spokes point at the hub
+
+
+# ------------------------------------------------------ weighted PageRank
+
+
+def test_pagerank_weighted_matches_oracle():
+    from np_oracles import pagerank_weighted_np
+
+    src = np.array([0, 0, 1, 2, 3, 3])
+    dst = np.array([1, 2, 2, 3, 0, 1])
+    w = np.array([3.0, 1.0, 2.0, 5.0, 1.0, 4.0])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds)
+    res = pagerank(g, max_iters=10, weight_col="weight")
+    expect = pagerank_weighted_np(src, dst, w, 4)
+    assert np.allclose(res.state["rank"], expect, atol=1e-12)
+
+
+def test_pagerank_weighted_unit_weights_equal_unweighted():
+    src, dst = map(np.array, FIXTURES["k4"])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(np.ones(len(src)), pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds)
+    a = pagerank(g, max_iters=10, weight_col="weight")
+    b = pagerank(g, max_iters=10)
+    assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-12)
+
+
+def test_pagerank_weighted_requires_dataset_engine():
+    src, dst = map(np.array, FIXTURES["chain5"])
+    g = build_graph(edges_ds(src, dst))
+    with pytest.raises(ValueError, match="dataset"):
+        pagerank(g, weight_col="weight", engine="bsp")
