@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top10": q.q_pagerank_top10,
         "pagerank_weighted": q.q_pagerank_weighted,
         "katz": q.q_katz,
+        "louvain": q.q_louvain,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
         "scc": q.q_scc,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top10": o.pagerank_top10_sql(),
         "pagerank_weighted": o.pagerank_weighted_sql(),
         "katz": o.katz_sql(),
+        "louvain": o.louvain_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),
         "label_propagation": o.label_propagation_sql(),

@@ -483,6 +483,94 @@ class _GatherPartition:
             out[self.local_dst[r:r_end]] = np.add.reduceat(ind, rs)
         return out
 
+    def gather_best_community(
+        self, labels, tot, deg, two_m, gate=None, chunk: int = 1 << 18
+    ):
+        """Louvain local-moving combine for this actor's dst slice:
+        for each dst v the community C maximizing the integer
+        modularity-gain score
+
+            2m·e(v,C) − k_v·(tot(C) − k_v·[C = labels[v]])
+
+        over C ∈ {labels[src] of in-neighbors} ∪ {labels[v]}; ties
+        prefer STAYING (the own community), then the smallest C —
+        moving only on strictly positive gain is what makes the
+        local-moving dynamics converge instead of id-churning. −1
+        where no in-edge (caller keeps the current label). Comparing
+        ΔQ across candidates multiplied through by 2m keeps every
+        quantity int64 — exact in any reduction order, so the result
+        is bit-identical to an unrolled SQL chain.
+        Chunked run-aligned like gather_mode; nothing per-(vertex,
+        community) ever reaches the driver. ``gate`` (bool per global
+        dense vertex) restricts the argmax to gated dst runs — the
+        parity-alternation of Louvain local moving — skipping the sort
+        for the other half of the edges."""
+        out = np.full(self.hi - self.lo, -1, np.int64)
+        m = len(self.src)
+        if m == 0:
+            return out
+        cbounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(cbounds[:-1], cbounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            n_e = e1 - e0
+            rs = self.run_starts[r:r_end] - e0
+            run_len = np.diff(np.append(rs, n_e))
+            local = self.local_dst[r:r_end]
+            lab_src = self.src[e0:e1]
+            if gate is not None:
+                keep = gate[(local + self.lo).astype(np.int64, copy=False)]
+                if not keep.any():
+                    continue
+                lab_src = lab_src[np.repeat(keep, run_len)]
+                run_len = run_len[keep]
+                local = local[keep]
+                rs = np.concatenate([[0], np.cumsum(run_len)[:-1]]).astype(rs.dtype)
+                n_e = len(lab_src)
+            lab = labels[lab_src].astype(np.int64, copy=False)
+            run_id = np.repeat(np.arange(len(rs)), run_len)
+            # per-(run, label) segment counts — the packed radix sort
+            # of gather_mode
+            lo_l = int(lab.min())
+            span = int(lab.max()) - lo_l + 1
+            if len(rs) * span < (1 << 62):
+                key = run_id * np.int64(span) + (lab - lo_l)
+                order = np.argsort(key, kind="stable")
+            else:
+                order = np.lexsort((lab, run_id))
+            rl = run_id[order]
+            ll = lab[order]
+            new = np.ones(n_e, bool)
+            new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, n_e)).astype(np.int64)
+            grp_run = rl[starts]
+            grp_lab = ll[starts]
+            # the vertex's own community always competes, entering as a
+            # zero-count candidate; when it is also a real segment the
+            # higher-score real duplicate wins the argmax and both
+            # carry the same label, so the duplicate is harmless
+            dvert = (local + self.lo).astype(np.int64, copy=False)
+            own = labels[dvert].astype(np.int64, copy=False)
+            kd = deg[dvert].astype(np.int64, copy=False)
+            nr = len(rs)
+            g_run = np.concatenate([grp_run, np.arange(nr)])
+            g_lab = np.concatenate([grp_lab, own])
+            g_cnt = np.concatenate([cnt, np.zeros(nr, np.int64)])
+            kd_g = kd[g_run]
+            own_g = own[g_run]
+            is_own = g_lab == own_g
+            score = np.int64(two_m) * g_cnt - kd_g * (
+                tot[g_lab] - np.where(is_own, kd_g, np.int64(0))
+            )
+            o2 = np.lexsort((g_lab, ~is_own, -score, g_run))
+            gr = g_run[o2]
+            first = np.ones(len(gr), bool)
+            first[1:] = gr[1:] != gr[:-1]
+            out[local[gr[first]]] = g_lab[o2][first]
+        return out
+
     def gather_min_plus(self, dist, active):
         """min over active src of dist[src] + weight (or +1) for this
         actor's dst slice; inf where no message."""
@@ -1205,6 +1293,30 @@ class BSPGather:
         v_ref = ray.put(value)
         parts = ray.get([a.gather_hindex.remote(v_ref) for a in self.actors])
         return np.concatenate(parts) if parts else np.zeros(self.num_vertices, np.int64)
+
+    def gather_best_community(
+        self,
+        labels: np.ndarray,
+        tot: np.ndarray,
+        deg: np.ndarray,
+        two_m: int,
+        gate: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Dense per-dst best Louvain move (highest integer
+        modularity-gain score, ties → smallest community; -1 = no
+        in-edge or dst not gated). ``labels``/``tot``/``deg``/``gate``
+        are O(V) broadcasts like gather_mode's label vector."""
+        l_ref = ray.put(labels)
+        t_ref = ray.put(tot)
+        d_ref = ray.put(deg)
+        g_ref = ray.put(gate) if gate is not None else None
+        parts = ray.get(
+            [
+                a.gather_best_community.remote(l_ref, t_ref, d_ref, two_m, g_ref)
+                for a in self.actors
+            ]
+        )
+        return np.concatenate(parts) if parts else np.full(self.num_vertices, -1, np.int64)
 
     def gather_min_plus(self, dist: np.ndarray, active: np.ndarray) -> np.ndarray:
         """Dense min-relax vector (inf = no message)."""

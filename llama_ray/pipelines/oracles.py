@@ -192,6 +192,59 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 SELECT id AS vertex, label FROM p{rounds}"""
 
 
+def louvain_sql(rounds: int = 6) -> str:
+    """Mirror of algos.louvain.louvain_communities: parity-gated
+    synchronous local moving with integer modularity-gain scores over
+    the canonical undirected simple graph (same ``cu``/``ue``/``cv``
+    CTEs as label propagation). Per round, gated vertices (id parity
+    == round parity) move to the candidate community with the highest
+    2m·e − k·(tot − k·[own]) score; ties prefer staying, then the
+    smallest community id. All-integer scores ⇒ hash-exact."""
+    steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
+    for r in range(rounds):
+        steps.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT l.label AS c, CAST(SUM(dk.k) AS BIGINT) AS tot
+  FROM l{r} l JOIN dk ON dk.id = l.id GROUP BY l.label),
+l{r + 1} AS MATERIALIZED (
+  SELECT l{r}.id,
+         CASE WHEN l{r}.id % 2 = {r % 2}
+              THEN COALESCE(b.c, l{r}.label)
+              ELSE l{r}.label END AS label
+  FROM l{r} LEFT JOIN (
+    SELECT id, c FROM (
+      SELECT cand.id, cand.c,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.id
+               ORDER BY ((SELECT m2 FROM mm) * cand.e
+                         - dk.k * (t{r}.tot
+                                   - CASE WHEN cand.c = l.label
+                                          THEN dk.k ELSE 0 END)) DESC,
+                        CASE WHEN cand.c = l.label THEN 0 ELSE 1 END ASC,
+                        cand.c ASC) AS rn
+      FROM (
+        SELECT ue.b AS id, nl.label AS c, CAST(COUNT(*) AS BIGINT) AS e
+        FROM ue JOIN l{r} nl ON nl.id = ue.a GROUP BY ue.b, nl.label
+        UNION ALL
+        SELECT id, label AS c, CAST(0 AS BIGINT) AS e FROM l{r}
+      ) cand
+      JOIN dk ON dk.id = cand.id
+      JOIN l{r} l ON l.id = cand.id
+      JOIN t{r} ON t{r}.c = cand.c
+    ) WHERE rn = 1
+  ) b ON b.id = l{r}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+dk AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM ue GROUP BY a),
+mm AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM dk),
+{body}
+SELECT id AS vertex, label AS community FROM l{rounds}"""
+
+
 def core_numbers_sql(rounds: int = CORE_ROUNDS) -> str:
     """H-index iteration from degree init, unrolled ``rounds`` times
     over the canonical undirected simple graph (same ``cu``/``ue``

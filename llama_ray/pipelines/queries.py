@@ -184,6 +184,18 @@ def q_label_propagation(sf_dir: str):
     return pa.table({"vertex": g.ids, "label": res.state["label"]})
 
 
+def q_louvain(sf_dir: str):
+    """Louvain-style community detection (parity-gated synchronous
+    local moving, 6 rounds, integer modularity-gain scores — see
+    :mod:`llama_ray.algos.louvain`) over the canonical undirected
+    simple graph. Community = founding member's original id."""
+    from ..algos.louvain import louvain_communities
+
+    g = _cached_canonical_graph(sf_dir)
+    res = louvain_communities(g, rounds=6, engine="bsp")
+    return pa.table({"vertex": g.ids, "community": res.state["label"]})
+
+
 def q_core_numbers(sf_dir: str):
     """k-core decomposition over the canonical undirected simple
     graph (H-index iteration to fixpoint — see

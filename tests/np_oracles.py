@@ -232,3 +232,53 @@ def pagerank_weighted_np(src, dst, w, n, *, iters=10, d=0.85):
         np.add.at(acc, dst, w * r[src] * inv[src])
         r = (1 - d) / n + d * acc
     return r
+
+
+def louvain_np(src, dst, n, *, rounds=6, ids=None):
+    """Deterministic synchronous Louvain local-moving (integer scores):
+    each round the PARITY-GATED vertices (original id parity == round
+    parity) move to the candidate community with the highest
+    2m*e - k*(tot - k*[own]) score, ties to smallest id. ``ids`` maps
+    dense index -> original id for the gate (defaults to identity)."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    keep = a != b
+    pairs = {(int(x), int(y)) for x, y in zip(a[keep], b[keep])}
+    adj = [[] for _ in range(n)]
+    for x, y in pairs:
+        adj[x].append(y)
+        adj[y].append(x)
+    deg = np.array([len(nb) for nb in adj], dtype=np.int64)
+    two_m = int(deg.sum())
+    ids = np.arange(n) if ids is None else np.asarray(ids)
+    c = np.arange(n, dtype=np.int64)
+    for k in range(rounds):
+        tot = np.zeros(n, np.int64)
+        np.add.at(tot, c, deg)
+        new = c.copy()
+        for v in range(n):
+            if int(ids[v]) % 2 != k % 2:
+                continue
+            cand = {int(c[v]): 0}
+            for u in adj[v]:
+                cand[int(c[u])] = cand.get(int(c[u]), 0) + 1
+
+            def score(C):
+                return two_m * cand[C] - int(deg[v]) * (
+                    int(tot[C]) - (int(deg[v]) if C == c[v] else 0)
+                )
+
+            # stay on ties: move only on strictly positive gain, then
+            # smallest community id among the strictly-better
+            best_c, best_s = int(c[v]), score(int(c[v]))
+            for C in sorted(cand):
+                if C == c[v]:
+                    continue
+                s = score(C)
+                if s > best_s:
+                    best_c, best_s = C, s
+            new[v] = best_c
+        c = new
+    return c

@@ -468,3 +468,63 @@ def test_pagerank_weighted_requires_dataset_engine():
     g = build_graph(edges_ds(src, dst))
     with pytest.raises(ValueError, match="dataset"):
         pagerank(g, weight_col="weight", engine="bsp")
+
+
+# ---------------------------------------------------------------- Louvain
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_louvain_matches_oracle(name):
+    from np_oracles import louvain_np
+
+    from llama_ray.algos.louvain import louvain_communities
+
+    src, dst = map(np.array, FIXTURES[name])
+    canonical = dedup_edges(undirected_ordered(edges_ds(src, dst), drop_self_loops=True))
+    g = build_graph(canonical)
+    cs = canonical.to_pandas()
+    ids = np.unique(np.concatenate([cs["src"], cs["dst"]]))
+    s = np.searchsorted(ids, cs["src"].to_numpy())
+    d = np.searchsorted(ids, cs["dst"].to_numpy())
+    expect = ids[louvain_np(s, d, len(ids), rounds=6, ids=ids)]
+    a = louvain_communities(g, rounds=6, engine="dataset")
+    b = louvain_communities(g, rounds=6, engine="bsp")
+    # integer scores: bit-identical across engines and the oracle
+    assert np.array_equal(a.state["label"], expect)
+    assert np.array_equal(b.state["label"], expect)
+
+
+def test_louvain_two_cliques_with_bridge():
+    """Two K5s joined by one bridge edge must resolve to exactly two
+    communities (one per clique) — the canonical Louvain sanity case
+    LP famously fails when labels flood across the bridge."""
+    from llama_ray.algos.louvain import louvain_communities
+
+    e = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                e.append((base + i, base + j))
+    e.append((0, 5))
+    src = np.array([a for a, _ in e])
+    dst = np.array([b for _, b in e])
+    g = build_graph(dedup_edges(undirected_ordered(edges_ds(src, dst), drop_self_loops=True)))
+    res = louvain_communities(g, rounds=6)
+    lab = res.state["label"]
+    pos = np.searchsorted(g.ids, np.arange(10))
+    left = set(lab[pos[:5]].tolist())
+    right = set(lab[pos[5:]].tolist())
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_louvain_improves_modularity_over_singletons():
+    from llama_ray.algos.louvain import louvain_communities
+    from llama_ray.algos.stats import modularity
+    from llama_ray.sources.generators import rmat
+
+    g = build_graph(
+        dedup_edges(undirected_ordered(rmat(9, 12, seed=7), drop_self_loops=True))
+    )
+    res = louvain_communities(g, rounds=6)
+    q = modularity(g, res.state["dense_label"])["modularity"][0].as_py()
+    assert q > 0.05  # singleton partition scores ~0
