@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pack": q.q_seq_pack,
         "contamination": q.q_contamination,
         "doc_repetition": q.q_doc_repetition,
+        "doc_dup_spans": q.q_doc_dup_spans,
         "source_cap": q.q_source_cap,
         "lang_mix": q.q_lang_mix,
         "events_retention": q.q_events_retention,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": o.seq_pack_sql(),
         "contamination": o.contamination_sql(),
         "doc_repetition": o.doc_repetition_sql(),
+        "doc_dup_spans": o.duplicate_spans_sql(),
         "source_cap": o.source_cap_sql(),
         "lang_mix": o.lang_mix_sql(),
         "events_retention": o.events_retention_sql(),

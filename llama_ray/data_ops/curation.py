@@ -222,3 +222,131 @@ def lang_mix_sample(
             ),
         }
     )
+
+
+# ------------------------------------------------------- duplicate spans
+
+
+def duplicate_spans(
+    docs: rd.Dataset,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Cross-document duplicate-span profile (the substring-dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", in hashed-gram form): for each document,
+    how many of its DISTINCT word ``n``-grams also appear in at least
+    one OTHER document, and the resulting duplicate fraction. Docs
+    with a high ``dup_frac`` are boilerplate/template-heavy even when
+    no whole-document near-dup fires.
+
+    Gram space is shared with the n-gram Jaccard / contamination
+    operators (lowercased whitespace tokens → polynomial token hash →
+    splitmix64 → GOLD-rolled window → splitmix64; docs shorter than
+    ``n`` tokens yield one whole-doc gram, empty docs none and are
+    dropped).
+
+    Join-free at scale: a gram held by exactly ONE document attributes
+    to that document directly, so per-doc duplicate counts are
+    ``total − unique`` —
+
+    1. per-batch: (gram, doc) pairs (distinct per doc) + per-doc
+       totals (no shuffle);
+    2. ``groupby(gram)``: (count, min doc) — the one wide exchange,
+       O(distinct grams) rows with scalar aggregates (hot template
+       grams cost one combiner row each, not a group blowup);
+    3. grams with count == 1 → ``groupby(doc)`` count = per-doc
+       unique-gram totals (second, much smaller shuffle);
+    4. totals ∪ uniques → one O(docs)-row groupby sum; dup = total −
+       unique. No join, no driver materialization, no broadcast side.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    def emit_pairs(batch: pa.Table) -> dict:
+        empty = {"g": np.empty(0, np.int64), "doc_id": np.empty(0, np.int64)}
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return empty
+        starts, lens, per_doc, tdata = _token_matrix(batch.column(text_col))
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        offs = np.concatenate([[0], np.cumsum(per_doc)])
+        g, counts = _rolled_windows(th, offs, n, _GOLD)
+        g, counts = _segment_unique(_mix64(g), counts)
+        ids = np.repeat(batch_to_numpy(batch, id_col), counts)
+        # bitcast to int64 for the shuffle key (the engine convention
+        # for u64 hashes — equality is all the groupby needs)
+        return {"g": g.view(np.int64), "doc_id": ids}
+
+    def emit_totals(batch: pa.Table) -> dict:
+        empty = {
+            "doc_id": np.empty(0, np.int64),
+            "n_ngrams": np.empty(0, np.int64),
+            "n_unique": np.empty(0, np.int64),
+        }
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return empty
+        starts, lens, per_doc, tdata = _token_matrix(batch.column(text_col))
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        offs = np.concatenate([[0], np.cumsum(per_doc)])
+        g, counts = _rolled_windows(th, offs, n, _GOLD)
+        _g, ucounts = _segment_unique(_mix64(g), counts)
+        ids = batch_to_numpy(batch, id_col)
+        keep = ucounts > 0
+        return {
+            "doc_id": ids[keep],
+            "n_ngrams": ucounts[keep],
+            "n_unique": np.zeros(int(keep.sum()), np.int64),
+        }
+
+    pairs = docs.map_batches(emit_pairs, batch_format="pyarrow")
+    per_gram = pairs.groupby("g").aggregate(
+        Count(alias_name="nd"), Min("doc_id", alias_name="d0")
+    )
+    uniq = (
+        per_gram.map_batches(
+            lambda t: t.filter(pc.equal(t.column("nd"), 1)).select(["d0"])
+            if t.num_rows and "nd" in t.schema.names
+            else pa.table({"d0": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("d0")
+        .aggregate(Count(alias_name="n_unique"))
+        .map_batches(
+            lambda t: {
+                "doc_id": batch_to_numpy(t, "d0"),
+                "n_ngrams": np.zeros(t.num_rows, np.int64),
+                "n_unique": batch_to_numpy(t, "n_unique").astype(np.int64),
+            }
+            if t.num_rows
+            else {
+                "doc_id": np.empty(0, np.int64),
+                "n_ngrams": np.empty(0, np.int64),
+                "n_unique": np.empty(0, np.int64),
+            },
+            batch_format="pyarrow",
+        )
+    )
+    totals = docs.map_batches(emit_totals, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> dict:
+        tot = batch_to_numpy(t, "n_ngrams").astype(np.int64)
+        unq = batch_to_numpy(t, "n_unique").astype(np.int64)
+        dup = tot - unq
+        return {
+            "doc_id": batch_to_numpy(t, "doc_id"),
+            "n_ngrams": tot,
+            "n_dup": dup,
+            "dup_frac": np.round(dup / np.maximum(tot, 1), 6),
+        }
+
+    return (
+        totals.union(uniq)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_ngrams", alias_name="n_ngrams"),
+            Sum("n_unique", alias_name="n_unique"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

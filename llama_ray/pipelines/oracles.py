@@ -1729,6 +1729,39 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def duplicate_spans_sql(n: int = 8) -> str:
+    """Mirror of data_ops.curation.duplicate_spans: per doc the count
+    of its DISTINCT word n-grams shared with at least one other doc.
+    Same gram CTEs as doc_repetition_sql; grouping on the rolled gram
+    is equivalent to the engine's mixed key because the splitmix64
+    finalizer is a bijection."""
+    gold = 0x9E3779B97F4A7C15
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+ug AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
+cnt AS MATERIALIZED (SELECT g, COUNT(*) AS nd FROM ug GROUP BY g)
+SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM ug u JOIN cnt c USING (g) GROUP BY u.doc_id"""
+
+
 def source_cap_sql(k: int = 10) -> str:
     """Mirror of queries.q_source_cap: row_number per source under
     (n_chars desc, doc_id asc), capped at k."""

@@ -1209,6 +1209,18 @@ def q_doc_repetition(sf_dir: str):
     return repetition_ratio(docs, n=2)
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Cross-document duplicate-span profile (Lee et al. 2022
+    substring-dedup signal): per doc, distinct 8-gram count and the
+    fraction shared with at least one other doc. Join-free
+    total−unique decomposition — see
+    :func:`llama_ray.data_ops.curation.duplicate_spans`."""
+    from ..data_ops.curation import duplicate_spans
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(docs, n=8)
+
+
 def q_source_cap(sf_dir: str, *, k: int = 10):
     """Per-source document cap: keep the top-10 docs per source by
     (n_chars desc, doc_id asc) — distributed sort + per-block run

@@ -882,3 +882,60 @@ def test_packing_curation_empty_inputs():
         pa.table({"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string())})
     )
     assert lang_mix_sample(e3).num_rows == 0
+
+
+def test_duplicate_spans_total_minus_unique():
+    """duplicate_spans vs a brute-force set reference: per doc the
+    distinct n-grams shared with >= 1 other doc; empty docs dropped,
+    short docs one whole-doc gram; layout-independent."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.curation import duplicate_spans
+
+    texts = [
+        "a b c d e f",        # shares "b c d" window content with doc 2
+        "z b c d e q",
+        "unique words only here now",
+        "",
+        "tiny",
+        "tiny",               # exact dup of doc 4 (one whole-doc gram)
+    ]
+    n = 3
+    # brute force over literal token windows (hashing is injective in
+    # expectation; equal windows <=> equal hashes)
+    def grams(t):
+        toks = t.lower().split()
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    gsets = [grams(t) for t in texts]
+    expect = {}
+    for i, gs in enumerate(gsets):
+        if not gs:
+            continue
+        dup = sum(
+            1 for g in gs if any(g in o for j, o in enumerate(gsets) if j != i)
+        )
+        expect[i] = (len(gs), dup)
+
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    for parts in (1, 4):
+        out = (
+            duplicate_spans(rd.from_arrow(tbl).repartition(parts), n=n)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = {
+            int(r.doc_id): (int(r.n_ngrams), int(r.n_dup))
+            for r in out.itertuples()
+        }
+        assert got == expect
+        assert np.allclose(
+            out["dup_frac"], out["n_dup"] / out["n_ngrams"], atol=1e-6
+        )
