@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q.q_contamination,
         "doc_repetition": q.q_doc_repetition,
         "doc_dup_spans": q.q_doc_dup_spans,
+        "doc_scrub": q.q_doc_scrub,
         "source_cap": q.q_source_cap,
         "lang_mix": q.q_lang_mix,
         "events_retention": q.q_events_retention,
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from llama_ray.data_ops.text import SCRUB_DEMO_PATTERNS
     from llama_ray.pipelines import oracles as o
 
     return {
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": o.contamination_sql(),
         "doc_repetition": o.doc_repetition_sql(),
         "doc_dup_spans": o.duplicate_spans_sql(),
+        "doc_scrub": o.scrub_sql(SCRUB_DEMO_PATTERNS),
         "source_cap": o.source_cap_sql(),
         "lang_mix": o.lang_mix_sql(),
         "events_retention": o.events_retention_sql(),

@@ -497,3 +497,63 @@ def hash_split_summary(docs: rd.Dataset, *, seed: int = 20260818) -> pa.Table:
             "n_chars": parts["sum(n_chars)"].to_numpy().astype(np.int64),
         }
     )
+
+
+# ----------------------------------------------------------- PII scrub
+
+PII_PATTERNS: tuple[str, ...] = (
+    # email, phone-ish digit run, IPv4 — the standard pretraining
+    # scrub list; callers substitute their own (denylists, SSNs, ...)
+    r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    r"\+?\d[\d\- ]{7,}\d",
+    r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+)
+
+
+def scrub_patterns(
+    docs: rd.Dataset,
+    *,
+    patterns: tuple[str, ...] = PII_PATTERNS,
+    repl: str = "[REDACTED]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """PII / denylist redaction: replace every non-overlapping match
+    of each pattern (applied in order) with ``repl``; per doc also the
+    total match count and the scrubbed length. Pure ``map_batches``
+    over Arrow's RE2 kernels (``count_substring_regex`` +
+    ``replace_substring_regex``) — no per-row Python, no shuffle, and
+    since DuckDB's regex engine is RE2 too, the oracle's
+    ``regexp_replace(..., 'g')`` matches byte-for-byte."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "n_redactions": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        txt = batch.column(text_col).combine_chunks()
+        hits = pa.nulls(len(txt), pa.int64()).fill_null(0)
+        for pat in patterns:
+            hits = pc.add(hits, pc.count_substring_regex(txt, pat))
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "text": txt,
+                "n_redactions": hits,
+                "n_chars": pc.utf8_length(txt),
+            }
+        )
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+# The demo/query pattern set: the standard PII list plus a denylist
+# term pattern that actually occurs in the synthetic corpus (so the
+# oracle exercises real replacements, not just no-ops).
+SCRUB_DEMO_PATTERNS: tuple[str, ...] = PII_PATTERNS + (r"\b(customer|supplier)\b",)

@@ -1729,6 +1729,29 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def scrub_sql(patterns: tuple[str, ...], repl: str = "[REDACTED]") -> str:
+    """Mirror of data_ops.text.scrub_patterns: patterns applied in
+    order, each counted on the text state it sees (DuckDB's regex is
+    RE2 like Arrow's, so matches are byte-identical)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    steps = ["s0 AS (SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS hits FROM documents)"]
+    for k, pat in enumerate(patterns):
+        steps.append(
+            f"""s{k + 1} AS (
+  SELECT doc_id,
+         regexp_replace(t, {lit(pat)}, {lit(repl)}, 'g') AS t,
+         hits + len(regexp_extract_all(t, {lit(pat)})) AS hits
+  FROM s{k})"""
+        )
+    last = f"s{len(patterns)}"
+    return f"""WITH {','.join(steps)}
+SELECT doc_id, t AS text, CAST(hits AS BIGINT) AS n_redactions,
+       CAST(length(t) AS BIGINT) AS n_chars FROM {last}"""
+
+
 def duplicate_spans_sql(n: int = 8) -> str:
     """Mirror of data_ops.curation.duplicate_spans: per doc the count
     of its DISTINCT word n-grams shared with at least one other doc.

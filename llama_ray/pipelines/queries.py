@@ -1209,6 +1209,16 @@ def q_doc_repetition(sf_dir: str):
     return repetition_ratio(docs, n=2)
 
 
+def q_doc_scrub(sf_dir: str):
+    """PII/denylist redaction over the corpus: Arrow RE2 kernels,
+    byte-identical to DuckDB's regexp_replace (both RE2). Patterns =
+    the standard PII trio plus a denylist term with corpus signal."""
+    from ..data_ops.text import SCRUB_DEMO_PATTERNS, scrub_patterns
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_patterns(docs, patterns=SCRUB_DEMO_PATTERNS)
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Cross-document duplicate-span profile (Lee et al. 2022
     substring-dedup signal): per doc, distinct 8-gram count and the

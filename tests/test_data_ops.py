@@ -939,3 +939,35 @@ def test_duplicate_spans_total_minus_unique():
         assert np.allclose(
             out["dup_frac"], out["n_dup"] / out["n_ngrams"], atol=1e-6
         )
+
+
+def test_scrub_patterns_redacts_pii():
+    """scrub_patterns: email/phone/IPv4 redaction with exact counts;
+    sequential pattern application; no-op docs pass through."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.text import scrub_patterns
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "contact john.doe@example.com or +1 555-123-4567 now",
+                    "hosts 192.168.1.1 and 10.0.0.255; mail admin@foo.org",
+                    "nothing sensitive here",
+                ]
+            ),
+        }
+    )
+    out = (
+        scrub_patterns(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_redactions"].tolist() == [2, 3, 0]
+    assert "@" not in out["text"][0] and "555" not in out["text"][0]
+    assert "192.168" not in out["text"][1] and "admin" not in out["text"][1]
+    assert out["text"][2] == "nothing sensitive here"
+    assert (out["n_chars"] == out["text"].str.len()).all()
