@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": q.q_pagerank_weighted,
         "katz": q.q_katz,
         "louvain": q.q_louvain,
+        "dag_layers": q.q_dag_layers,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
         "scc": q.q_scc,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": o.pagerank_weighted_sql(),
         "katz": o.katz_sql(),
         "louvain": o.louvain_sql(),
+        "dag_layers": o.dag_layers_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),
         "label_propagation": o.label_propagation_sql(),

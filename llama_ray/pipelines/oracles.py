@@ -1729,6 +1729,43 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def dag_layers_sql() -> str:
+    """Mirror of algos.dag.dag_layers over the canonical acyclic
+    orientation (a < b): longest-path level per vertex via monotone
+    max-plus relaxation. State-carrying recursive CTE (edges + layers
+    re-emitted while any layer changed — the coloring_sql pattern);
+    layers are monotone nondecreasing, so the final value is the MAX
+    across iterations."""
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+st(kind, a, b, layer) AS (
+  SELECT * FROM (
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS layer FROM cu
+    UNION ALL
+    SELECT 1, id, NULL, CAST(0 AS BIGINT) FROM cv)
+  UNION ALL
+  SELECT * FROM (
+    WITH prev_e AS MATERIALIZED (SELECT a, b FROM st WHERE kind = 0),
+         prev_v AS MATERIALIZED (SELECT a AS id, layer FROM st WHERE kind = 1),
+         relax AS MATERIALIZED (
+           SELECT pv.id,
+                  GREATEST(pv.layer, COALESCE(m.mx + 1, 0)) AS layer
+           FROM prev_v pv LEFT JOIN (
+             SELECT pe.b AS id, MAX(u.layer) AS mx
+             FROM prev_e pe JOIN prev_v u ON u.id = pe.a GROUP BY pe.b) m
+           ON m.id = pv.id),
+         ch AS MATERIALIZED (
+           SELECT COUNT(*) AS c FROM relax r
+           JOIN prev_v p ON p.id = r.id AND p.layer <> r.layer)
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) FROM prev_e
+    WHERE (SELECT c FROM ch) > 0
+    UNION ALL
+    SELECT 1, id, NULL, layer FROM relax WHERE (SELECT c FROM ch) > 0))
+SELECT a AS vertex, CAST(MAX(layer) AS BIGINT) AS layer
+FROM st WHERE kind = 1 GROUP BY a"""
+
+
 def scrub_sql(patterns: tuple[str, ...], repl: str = "[REDACTED]") -> str:
     """Mirror of data_ops.text.scrub_patterns: patterns applied in
     order, each counted on the text state it sees (DuckDB's regex is

@@ -196,6 +196,17 @@ def q_louvain(sf_dir: str):
     return pa.table({"vertex": g.ids, "community": res.state["label"]})
 
 
+def q_dag_layers(sf_dir: str):
+    """Longest-path DAG levels over the canonical acyclic orientation
+    (src < dst) — the maximally-parallel topological schedule; see
+    :mod:`llama_ray.algos.dag`."""
+    from ..algos.dag import dag_layers
+
+    g = _cached_canonical_graph(sf_dir)
+    res = dag_layers(g)
+    return pa.table({"vertex": g.ids, "layer": res.state["layer"]})
+
+
 def q_core_numbers(sf_dir: str):
     """k-core decomposition over the canonical undirected simple
     graph (H-index iteration to fixpoint — see

@@ -528,3 +528,49 @@ def test_louvain_improves_modularity_over_singletons():
     res = louvain_communities(g, rounds=6)
     q = modularity(g, res.state["dense_label"])["modularity"][0].as_py()
     assert q > 0.05  # singleton partition scores ~0
+
+
+# -------------------------------------------------------------- DAG layers
+
+
+def test_dag_layers_matches_topo_dp():
+    """Longest-path levels over the canonical a<b orientation vs a
+    sequential topological DP (ids ascending IS a topo order)."""
+    from llama_ray.algos.dag import dag_layers
+    from llama_ray.graph import canonical_undirected
+
+    edges = rmat(8, 6, seed=13).materialize()
+    g = canonical_undirected(build_graph(edges))
+    res = dag_layers(g)
+    t = g.edges.to_pandas()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    expect = np.zeros(g.num_vertices, np.int64)
+    order = np.lexsort((src, dst))  # process edges by dst ascending
+    for s, d in zip(src[order], dst[order]):
+        expect[d] = max(expect[d], expect[s] + 1)
+    assert np.array_equal(res.state["layer"], expect)
+    assert res.state["layer"].max() > 1  # non-trivial depth
+
+
+def test_dag_layers_raises_on_cycle():
+    from llama_ray.algos.dag import dag_layers
+
+    # a directed 3-cycle straight into the layering (no canonical
+    # orientation): must raise, not return wrong levels
+    g = build_graph(edges_ds([0, 1, 2], [1, 2, 0]))
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_layers(g)
+
+
+def test_dag_layers_chain_and_star():
+    from llama_ray.algos.dag import dag_layers
+    from llama_ray.graph import canonical_undirected
+
+    src, dst = map(np.array, FIXTURES["chain5"])
+    g = canonical_undirected(build_graph(edges_ds(src, dst)))
+    assert np.array_equal(dag_layers(g).state["layer"], [0, 1, 2, 3, 4])
+    src, dst = map(np.array, FIXTURES["star_hub"])
+    g2 = canonical_undirected(build_graph(edges_ds(src, dst)))
+    lay = dag_layers(g2).state["layer"]
+    pos0 = int(np.searchsorted(g2.ids, 0))
+    assert lay[pos0] == 0 and set(np.delete(lay, pos0)) == {1}
