@@ -204,6 +204,16 @@ def run_benchmark() -> dict:
 
     timings["label_propagation"], _ = best_of(lp_run, 2)
 
+    # Louvain local moving (6 parity-gated rounds, integer gain argmax
+    # inside the dst-range actors) over the same canonical graph
+    from llama_ray.algos.louvain import louvain_communities
+
+    def louvain_run():
+        return louvain_communities(_canon(g), rounds=6, engine="bsp")
+
+    timings["louvain"], louv = best_of(louvain_run, 2)
+    n_communities = int(len(np.unique(louv.state["dense_label"])))
+
     root = int(g.ids[0])
     timings["bfs"], _ = best_of(lambda: bfs(g, root), 2)
 
@@ -351,7 +361,18 @@ def run_benchmark() -> dict:
     t0 = time.perf_counter()
     n_contam = contamination(sk_docs).count()
     timings["contamination_100k"] = time.perf_counter() - t0
-    del sk_docs, docs_ds
+
+    # cross-doc duplicate spans over the same 100k subset — the
+    # join-free total-minus-unique decomposition (sort + run scan, no
+    # groupby; content-hash ids since the bench corpus reuses
+    # per-block arange ids and this op is per-doc)
+    from llama_ray.data_ops.curation import duplicate_spans
+
+    span_docs = sk_docs.map_batches(_hash_ids, batch_format="pyarrow").materialize()
+    t0 = time.perf_counter()
+    n_dup_span = duplicate_spans(span_docs, n=8).count()
+    timings["dup_spans_100k"] = time.perf_counter() - t0
+    del span_docs, sk_docs, docs_ds
 
     # maximal matching at scale: rmat(18, 4) ≈ 1M edges through the
     # local-max rounds (live-set Dataset shrinks per round)
@@ -418,6 +439,8 @@ def run_benchmark() -> dict:
         "steal_pct": steal_pct,
         "regressions": regressions,
         "scc_components": n_scc,
+        "louvain_communities": n_communities,
+        "dup_span_docs": n_dup_span,
         "dedup_docs": dedup_docs,
         "dedup_distinct": n_distinct,
         "matching_edges": n_matching,

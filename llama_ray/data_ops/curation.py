@@ -224,7 +224,74 @@ def lang_mix_sample(
     )
 
 
+
+
 # ------------------------------------------------------- duplicate spans
+
+
+def _group_sum_sorted(ds: rd.Dataset, key_col: str, val_cols: list[str]) -> rd.Dataset:
+    """Per-key integer sums via ONE range sort + per-block run
+    reduceat — Ray's generic ``groupby().aggregate()`` measured ~200×
+    slower than the sort on multi-million-row hash keys (64.7 s vs
+    0.3 s at 3.2M rows / 8 CPUs), so every many-row aggregation in
+    this module takes this path.  Keys touching a block edge
+    contribute ≤2 partial rows per block to a driver merge (sums are
+    mergeable, unlike the run-length-1 test in the caller)."""
+    from ..common import per_block_results
+
+    srt = ds.sort(key_col).materialize()
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field(key_col, pa.int64())]
+            + [pa.field(c, pa.int64()) for c in val_cols]
+        )
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        k = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        inner = (k != k[0]) & (k != k[-1])
+        if not inner.any():
+            return schema.empty_table()
+        sel = np.flatnonzero(inner)
+        ks = k[sel]
+        new = np.ones(len(ks), bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        out = {key_col: ks[starts].astype(np.int64)}
+        for c in val_cols:
+            v = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)[sel]
+            out[c] = np.add.reduceat(v.astype(np.int64), starts)
+        return pa.table(out)
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    def edge_partials(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        k = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        edge = (k == k[0]) | (k == k[-1])
+        sel = np.flatnonzero(edge)
+        ks = k[sel]
+        new = np.ones(len(ks), bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        out = {key_col: ks[starts].astype(np.int64)}
+        for c in val_cols:
+            v = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)[sel]
+            out[c] = np.add.reduceat(v.astype(np.int64), starts)
+        return out
+
+    parts = [p for p in per_block_results(srt, edge_partials) if p is not None]
+    if parts:
+        keys = np.concatenate([p[key_col] for p in parts])
+        uk, inv = np.unique(keys, return_inverse=True)
+        merged = {key_col: uk}
+        for c in val_cols:
+            acc = np.zeros(len(uk), np.int64)
+            np.add.at(acc, inv, np.concatenate([p[c] for p in parts]))
+            merged[c] = acc
+        main = main.union(rd.from_arrow(pa.table(merged)))
+    return main
 
 
 def duplicate_spans(
@@ -238,7 +305,7 @@ def duplicate_spans(
     signal of Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better", in hashed-gram form): for each document,
     how many of its DISTINCT word ``n``-grams also appear in at least
-    one OTHER document, and the resulting duplicate fraction. Docs
+    one OTHER document, and the resulting duplicate fraction.  Docs
     with a high ``dup_frac`` are boilerplate/template-heavy even when
     no whole-document near-dup fires.
 
@@ -248,22 +315,24 @@ def duplicate_spans(
     ``n`` tokens yield one whole-doc gram, empty docs none and are
     dropped).
 
-    Join-free at scale: a gram held by exactly ONE document attributes
-    to that document directly, so per-doc duplicate counts are
-    ``total − unique`` —
+    Join-free and groupby-free at scale — a gram held by exactly ONE
+    document attributes to that document, so per-doc duplicate counts
+    are ``total − unique``:
 
-    1. per-batch: (gram, doc) pairs (distinct per doc) + per-doc
-       totals (no shuffle);
-    2. ``groupby(gram)``: (count, min doc) — the one wide exchange,
-       O(distinct grams) rows with scalar aggregates (hot template
-       grams cost one combiner row each, not a group blowup);
-    3. grams with count == 1 → ``groupby(doc)`` count = per-doc
-       unique-gram totals (second, much smaller shuffle);
-    4. totals ∪ uniques → one O(docs)-row groupby sum; dup = total −
-       unique. No join, no driver materialization, no broadcast side.
+    1. per-batch featurize: (gram, doc) pairs, distinct per doc, plus
+       a per-doc totals stream (no shuffle);
+    2. ONE range sort of the pair table by gram; per sorted block,
+       interior single-row runs are globally-unique grams (a length-1
+       run can never span blocks) and attribute locally; each block's
+       two EDGE runs ship one summary row each — (gram, in-block
+       count, candidate doc) — to a driver merge that is O(blocks),
+       not O(rows), no matter how hot the template grams are;
+    3. totals ∪ attributions reduce per doc through the same
+       sort + run-reduceat path (``_group_sum_sorted``); dup = total −
+       unique.  No broadcast side, no driver text, and the only
+       O(rows) exchanges are two range sorts.
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Min, Sum
+    from ..common import per_block_results
 
     def emit_pairs(batch: pa.Table) -> dict:
         empty = {"g": np.empty(0, np.int64), "doc_id": np.empty(0, np.int64)}
@@ -275,8 +344,8 @@ def duplicate_spans(
         g, counts = _rolled_windows(th, offs, n, _GOLD)
         g, counts = _segment_unique(_mix64(g), counts)
         ids = np.repeat(batch_to_numpy(batch, id_col), counts)
-        # bitcast to int64 for the shuffle key (the engine convention
-        # for u64 hashes — equality is all the groupby needs)
+        # bitcast to int64 for the sort key (the engine convention for
+        # u64 hashes — only equality/contiguity matters here)
         return {"g": g.view(np.int64), "doc_id": ids}
 
     def emit_totals(batch: pa.Table) -> dict:
@@ -296,41 +365,106 @@ def duplicate_spans(
         keep = ucounts > 0
         return {
             "doc_id": ids[keep],
-            "n_ngrams": ucounts[keep],
+            "n_ngrams": ucounts[keep].astype(np.int64),
             "n_unique": np.zeros(int(keep.sum()), np.int64),
         }
 
-    pairs = docs.map_batches(emit_pairs, batch_format="pyarrow")
-    per_gram = pairs.groupby("g").aggregate(
-        Count(alias_name="nd"), Min("doc_id", alias_name="d0")
-    )
-    uniq = (
-        per_gram.map_batches(
-            lambda t: t.filter(pc.equal(t.column("nd"), 1)).select(["d0"])
-            if t.num_rows and "nd" in t.schema.names
-            else pa.table({"d0": pa.array([], pa.int64())}),
-            batch_format="pyarrow",
+    srt = docs.map_batches(emit_pairs, batch_format="pyarrow").sort("g").materialize()
+
+    def interior_uniques(tbl: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("n_ngrams", pa.int64()),
+                pa.field("n_unique", pa.int64()),
+            ]
         )
-        .groupby("d0")
-        .aggregate(Count(alias_name="n_unique"))
-        .map_batches(
-            lambda t: {
-                "doc_id": batch_to_numpy(t, "d0"),
-                "n_ngrams": np.zeros(t.num_rows, np.int64),
-                "n_unique": batch_to_numpy(t, "n_unique").astype(np.int64),
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        g = tbl.column("g").combine_chunks().to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(g)
+        new = np.ones(m, bool)
+        new[1:] = g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, m))
+        # interior = not the block's first or last VALUE run
+        inner = (g[starts] != g[0]) & (g[starts] != g[-1])
+        single = inner & (lens == 1)
+        docs_u = d[starts[single]]
+        if not len(docs_u):
+            return schema.empty_table()
+        ud, cnt = np.unique(docs_u, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": ud.astype(np.int64),
+                "n_ngrams": np.zeros(len(ud), np.int64),
+                "n_unique": cnt.astype(np.int64),
             }
-            if t.num_rows
-            else {
-                "doc_id": np.empty(0, np.int64),
-                "n_ngrams": np.empty(0, np.int64),
-                "n_unique": np.empty(0, np.int64),
-            },
-            batch_format="pyarrow",
         )
+
+    uniq_interior = srt.map_batches(
+        interior_uniques, batch_format="pyarrow", batch_size=None
     )
-    totals = docs.map_batches(emit_totals, batch_format="pyarrow")
+
+    def edge_summaries(tbl: pa.Table):
+        """≤2 rows: (gram, in-block count, doc if count==1 else -1)
+        for the block's first and last value runs."""
+        if tbl.num_rows == 0:
+            return None
+        g = tbl.column("g").combine_chunks().to_numpy(zero_copy_only=False)
+        d = tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        rows = []
+        for val in {int(g[0]), int(g[-1])}:
+            mask = g == val
+            c = int(mask.sum())
+            rows.append((val, c, int(d[np.argmax(mask)]) if c == 1 else -1))
+        return rows
+
+    edge_rows = [
+        r
+        for part in per_block_results(srt, edge_summaries)
+        if part is not None
+        for r in part
+    ]
+    streams = [docs.map_batches(emit_totals, batch_format="pyarrow"), uniq_interior]
+    if edge_rows:
+        gs = np.array([r[0] for r in edge_rows], np.int64)
+        cs = np.array([r[1] for r in edge_rows], np.int64)
+        ds_ = np.array([r[2] for r in edge_rows], np.int64)
+        uk, inv = np.unique(gs, return_inverse=True)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, cs)
+        # a globally-unique edge gram: total count 1 -> its single
+        # (count==1) summary row carries the doc
+        one = tot[inv] == 1
+        docs_edge = ds_[one & (ds_ >= 0)]
+        if len(docs_edge):
+            ud, cnt = np.unique(docs_edge, return_counts=True)
+            streams.append(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": ud,
+                            "n_ngrams": np.zeros(len(ud), np.int64),
+                            "n_unique": cnt.astype(np.int64),
+                        }
+                    )
+                )
+            )
+
+    merged = _group_sum_sorted(
+        streams[0].union(*streams[1:]), "doc_id", ["n_ngrams", "n_unique"]
+    )
 
     def finalize(t: pa.Table) -> dict:
+        if t.num_rows == 0:
+            return {
+                "doc_id": np.empty(0, np.int64),
+                "n_ngrams": np.empty(0, np.int64),
+                "n_dup": np.empty(0, np.int64),
+                "dup_frac": np.empty(0, np.float64),
+            }
         tot = batch_to_numpy(t, "n_ngrams").astype(np.int64)
         unq = batch_to_numpy(t, "n_unique").astype(np.int64)
         dup = tot - unq
@@ -341,12 +475,4 @@ def duplicate_spans(
             "dup_frac": np.round(dup / np.maximum(tot, 1), 6),
         }
 
-    return (
-        totals.union(uniq)
-        .groupby("doc_id")
-        .aggregate(
-            Sum("n_ngrams", alias_name="n_ngrams"),
-            Sum("n_unique", alias_name="n_unique"),
-        )
-        .map_batches(finalize, batch_format="pyarrow")
-    )
+    return merged.map_batches(finalize, batch_format="pyarrow")
