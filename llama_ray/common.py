@@ -14,6 +14,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Canonical edge-table column names (analogue of the reference's
 # node_pair_t {tail, head}, ll_common.h:113-116).
@@ -331,3 +332,107 @@ def collect_boundary_runs(srt, key_col: str, *, columns=None, where: str = "boun
     out = pa.concat_tables(parts)
     check_boundary_size(out.num_rows, where)
     return out
+
+
+# ------------------------------------------------------- sorted group-sum
+
+
+def group_sum_sorted(ds, key_col: str, val_cols: list[str]):
+    """Per-key integer sums via ONE range sort + per-block run
+    reduceat — Ray's generic ``groupby().aggregate()`` measured ~200×
+    slower than the sort on multi-million-row keys (64.7 s vs 0.3 s at
+    3.2M rows / 8 CPUs), so many-row aggregations take this path.
+
+    Interior runs reduce locally inside each sorted block; the ≤2 runs
+    touching a block edge ship one mergeable partial row each to an
+    O(blocks) driver merge — bounded no matter how hot a key is.
+    Key dtype is preserved (int or string; run detection uses Arrow
+    kernels). Returns a Dataset with columns [key_col, *val_cols]
+    (int64 sums)."""
+    import ray.data as rd
+
+    srt = ds.sort(key_col).materialize()
+
+    def _runs(tbl):
+        key = tbl.column(key_col).combine_chunks()
+        m = len(key)
+        if m == 1:
+            new = np.ones(1, bool)
+        else:
+            new = np.concatenate(
+                [[True], pc.not_equal(key.slice(1), key.slice(0, m - 1)).to_numpy(zero_copy_only=False)]
+            )
+        # nulls never appear in these pipelines' keys; not_equal with a
+        # null would poison the run detection
+        return key, np.flatnonzero(new)
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [tbl.schema.field(key_col)]
+            + [pa.field(c, pa.int64()) for c in val_cols]
+        )
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+        key, starts = _runs(tbl)
+        m = len(key)
+        first, last = key[0], key[m - 1]
+        run_keys = key.take(pa.array(starts))
+        keep = pc.and_(
+            pc.not_equal(run_keys, first), pc.not_equal(run_keys, last)
+        ).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return schema.empty_table()
+        out = {key_col: run_keys.filter(pa.array(keep))}
+        for c in val_cols:
+            v = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            out[c] = np.add.reduceat(v.astype(np.int64), starts)[keep]
+        return pa.table(out)
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    def edge_partials(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        key = tbl.column(key_col).combine_chunks()
+        m = len(key)
+        vals = {
+            c: tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            for c in val_cols
+        }
+        rows = []
+        edge_keys = [key[0]]
+        if m > 1 and key[m - 1] != key[0]:
+            edge_keys.append(key[m - 1])
+        for kv in edge_keys:
+            mask = pc.equal(key, kv).to_numpy(zero_copy_only=False)
+            rows.append(
+                (kv.as_py(), [int(vals[c][mask].astype(np.int64).sum()) for c in val_cols])
+            )
+        return rows
+
+    edge = [
+        r
+        for part in per_block_results(srt, edge_partials)
+        if part is not None
+        for r in part
+    ]
+    if edge:
+        agg: dict = {}
+        for kv, sums in edge:
+            if kv in agg:
+                agg[kv] = [a + b for a, b in zip(agg[kv], sums)]
+            else:
+                agg[kv] = sums
+        keys = list(agg)
+        key_type = srt.schema().base_schema.field(key_col).type
+        tbl = pa.table(
+            {
+                key_col: pa.array(keys, key_type),
+                **{
+                    c: pa.array([agg[kv][i] for kv in keys], pa.int64())
+                    for i, c in enumerate(val_cols)
+                },
+            }
+        )
+        main = main.union(rd.from_arrow(tbl))
+    return main

@@ -229,69 +229,7 @@ def lang_mix_sample(
 # ------------------------------------------------------- duplicate spans
 
 
-def _group_sum_sorted(ds: rd.Dataset, key_col: str, val_cols: list[str]) -> rd.Dataset:
-    """Per-key integer sums via ONE range sort + per-block run
-    reduceat — Ray's generic ``groupby().aggregate()`` measured ~200×
-    slower than the sort on multi-million-row hash keys (64.7 s vs
-    0.3 s at 3.2M rows / 8 CPUs), so every many-row aggregation in
-    this module takes this path.  Keys touching a block edge
-    contribute ≤2 partial rows per block to a driver merge (sums are
-    mergeable, unlike the run-length-1 test in the caller)."""
-    from ..common import per_block_results
-
-    srt = ds.sort(key_col).materialize()
-
-    def interior(tbl: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [pa.field(key_col, pa.int64())]
-            + [pa.field(c, pa.int64()) for c in val_cols]
-        )
-        if tbl.num_rows == 0:
-            return schema.empty_table()
-        k = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        inner = (k != k[0]) & (k != k[-1])
-        if not inner.any():
-            return schema.empty_table()
-        sel = np.flatnonzero(inner)
-        ks = k[sel]
-        new = np.ones(len(ks), bool)
-        new[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(new)
-        out = {key_col: ks[starts].astype(np.int64)}
-        for c in val_cols:
-            v = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)[sel]
-            out[c] = np.add.reduceat(v.astype(np.int64), starts)
-        return pa.table(out)
-
-    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
-
-    def edge_partials(tbl: pa.Table):
-        if tbl.num_rows == 0:
-            return None
-        k = tbl.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        edge = (k == k[0]) | (k == k[-1])
-        sel = np.flatnonzero(edge)
-        ks = k[sel]
-        new = np.ones(len(ks), bool)
-        new[1:] = ks[1:] != ks[:-1]
-        starts = np.flatnonzero(new)
-        out = {key_col: ks[starts].astype(np.int64)}
-        for c in val_cols:
-            v = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)[sel]
-            out[c] = np.add.reduceat(v.astype(np.int64), starts)
-        return out
-
-    parts = [p for p in per_block_results(srt, edge_partials) if p is not None]
-    if parts:
-        keys = np.concatenate([p[key_col] for p in parts])
-        uk, inv = np.unique(keys, return_inverse=True)
-        merged = {key_col: uk}
-        for c in val_cols:
-            acc = np.zeros(len(uk), np.int64)
-            np.add.at(acc, inv, np.concatenate([p[c] for p in parts]))
-            merged[c] = acc
-        main = main.union(rd.from_arrow(pa.table(merged)))
-    return main
+from ..common import group_sum_sorted as _group_sum_sorted  # noqa: E402
 
 
 def duplicate_spans(
