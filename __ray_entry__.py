@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": q.q_pagerank_weighted,
         "katz": q.q_katz,
         "louvain": q.q_louvain,
+        "louvain_modularity": q.q_louvain_modularity,
         "dag_layers": q.q_dag_layers,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": o.pagerank_weighted_sql(),
         "katz": o.katz_sql(),
         "louvain": o.louvain_sql(),
+        "louvain_modularity": o.louvain_modularity_sql(),
         "dag_layers": o.dag_layers_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),

@@ -192,14 +192,9 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 SELECT id AS vertex, label FROM p{rounds}"""
 
 
-def louvain_sql(rounds: int = 6) -> str:
-    """Mirror of algos.louvain.louvain_communities: parity-gated
-    synchronous local moving with integer modularity-gain scores over
-    the canonical undirected simple graph (same ``cu``/``ue``/``cv``
-    CTEs as label propagation). Per round, gated vertices (id parity
-    == round parity) move to the candidate community with the highest
-    2m·e − k·(tot − k·[own]) score; ties prefer staying, then the
-    smallest community id. All-integer scores ⇒ hash-exact."""
+def _louvain_chain(rounds: int) -> str:
+    """The shared WITH-body of the Louvain oracles: graph CTEs +
+    ``rounds`` parity-gated local-moving rounds ending at ``l{rounds}``."""
     steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
     for r in range(rounds):
         steps.append(
@@ -235,14 +230,45 @@ l{r + 1} AS MATERIALIZED (
   ) b ON b.id = l{r}.id)"""
         )
     body = ",\n".join(steps)
-    return f"""WITH {GRAPH_CTES},
+    return f"""{GRAPH_CTES},
 cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
 ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
 cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 dk AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM ue GROUP BY a),
 mm AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM dk),
-{body}
+{body}"""
+
+
+def louvain_sql(rounds: int = 6) -> str:
+    """Mirror of algos.louvain.louvain_communities: parity-gated
+    synchronous local moving with integer modularity-gain scores over
+    the canonical undirected simple graph (same ``cu``/``ue``/``cv``
+    CTEs as label propagation). Per round, gated vertices (id parity
+    == round parity) move to the candidate community with the highest
+    2m·e − k·(tot − k·[own]) score; ties prefer staying, then the
+    smallest community id. All-integer scores ⇒ hash-exact."""
+    return f"""WITH {_louvain_chain(rounds)}
 SELECT id AS vertex, label AS community FROM l{rounds}"""
+
+
+def louvain_modularity_sql(rounds: int = 6) -> str:
+    """Modularity Q of the Louvain partition — the same chain as
+    louvain_sql, then the integer-aggregate Q tail shared with
+    lp_modularity_sql."""
+    return f"""WITH {_louvain_chain(rounds)},
+ac AS (SELECT p.label, SUM(dk.k) AS s
+       FROM l{rounds} p JOIN dk ON dk.id = p.id GROUP BY p.label),
+st AS (SELECT (SELECT COUNT(*) FROM cu) AS m,
+              (SELECT COUNT(*) FROM cu
+               JOIN l{rounds} la ON la.id = cu.a
+               JOIN l{rounds} lb ON lb.id = cu.b
+               WHERE la.label = lb.label) AS intra,
+              (SELECT SUM(s * s) FROM ac) AS ssq)
+SELECT CAST(m AS BIGINT) AS num_edges,
+       CAST(intra AS BIGINT) AS intra_edges,
+       ROUND(CAST(intra AS DOUBLE) / CAST(m AS DOUBLE)
+             - CAST(ssq AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 6) AS modularity
+FROM st"""
 
 
 def core_numbers_sql(rounds: int = CORE_ROUNDS) -> str:

@@ -96,7 +96,18 @@ def q_edge_kind_counts(sf_dir: str):
 
 
 def q_out_degrees(sf_dir: str):
-    return _cached_dedup_edges(sf_dir).groupby("src").aggregate(Count(alias_name="degree"))
+    """Out-degree per vertex with ≥1 out-edge. The cached dense graph
+    already holds exact out-degrees from its build pass (bincount
+    partials), so this is a zero-shuffle projection — no second
+    groupby over the edge list."""
+    g = _cached_tpch_graph(sf_dir)
+    nz = g.out_degrees > 0
+    return pa.table(
+        {
+            "src": pa.array(g.ids[nz], pa.int64()),
+            "degree": pa.array(g.out_degrees[nz].astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def q_degree_distribution(sf_dir: str):
@@ -194,6 +205,23 @@ def q_louvain(sf_dir: str):
     g = _cached_canonical_graph(sf_dir)
     res = louvain_communities(g, rounds=6, engine="bsp")
     return pa.table({"vertex": g.ids, "community": res.state["label"]})
+
+
+def q_louvain_modularity(sf_dir: str):
+    """Modularity Q of the 6-round Louvain partition — the quality
+    composition query for community detection (same shape as
+    ``lp_modularity``)."""
+    from ..algos.louvain import louvain_communities
+    from ..algos.stats import modularity
+
+    g = _cached_canonical_graph(sf_dir)
+    res = louvain_communities(g, rounds=6, engine="bsp")
+    t = modularity(g, res.state["dense_label"])
+    return t.set_column(
+        t.schema.get_field_index("modularity"),
+        "modularity",
+        pc.round(t.column("modularity"), 6),
+    )
 
 
 def q_dag_layers(sf_dir: str):
