@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q.q_doc_repetition,
         "doc_dup_spans": q.q_doc_dup_spans,
         "doc_scrub": q.q_doc_scrub,
+        "corpus_pipeline": q.q_corpus_pipeline,
         "source_cap": q.q_source_cap,
         "lang_mix": q.q_lang_mix,
         "events_retention": q.q_events_retention,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": o.doc_repetition_sql(),
         "doc_dup_spans": o.duplicate_spans_sql(),
         "doc_scrub": o.scrub_sql(SCRUB_DEMO_PATTERNS),
+        "corpus_pipeline": o.corpus_pipeline_sql(SCRUB_DEMO_PATTERNS),
         "source_cap": o.source_cap_sql(),
         "lang_mix": o.lang_mix_sql(),
         "events_retention": o.events_retention_sql(),

@@ -1110,3 +1110,109 @@ def embedding_near_dup(
                 rd.from_arrow(pa.table({k: pa.array(v) for k, v in out.items()}))
             )
     return main
+
+
+def dedup_survivors(
+    docs: rd.Dataset, *, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Exact dedup as a FILTER: the surviving rows themselves (min id
+    per distinct content), full row carried — the stage a curation
+    pipeline actually feeds downstream, where :func:`exact_dedup` is
+    the report.
+
+    One range sort of the full rows by content hash (text rides the
+    shuffle — that IS the cost of content dedup; the hash is computed
+    once per row, not once per comparison); per sorted block the
+    min-id row of every interior run survives locally, and each block
+    ships ≤2 edge-run min-id candidate rows to an O(blocks) driver
+    pick. Hash collisions across distinct texts are broken by exact
+    text equality inside the run (64-bit xxhash over 100 TB WILL see
+    birthday collisions; a collision without the tie-break would drop
+    a distinct document silently)."""
+    from ..common import per_block_results
+
+    def hash_col(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__h", pa.array([], pa.int64()))
+        return batch.append_column(
+            "__h", pa.array(content_hash_column(batch.column(text_col)))
+        )
+
+    srt = docs.map_batches(hash_col, batch_format="pyarrow").sort("__h").materialize()
+
+    def _survivor_mask(tbl: pa.Table, sel: np.ndarray) -> np.ndarray:
+        """Row indices (into tbl) of min-id rows per (hash, text) group
+        among the selected row indices."""
+        ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)[sel]
+        txt = tbl.column(text_col).combine_chunks().take(pa.array(sel))
+        import pyarrow.compute as pc
+
+        # group by exact text within the hash run (collision tie-break):
+        # dictionary-encode then lexsort (code, id)
+        enc = pc.dictionary_encode(txt)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        first = np.ones(len(order), bool)
+        first[1:] = codes[order][1:] != codes[order][:-1]
+        return sel[order[first]]
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        base = tbl.drop_columns(["__h"])
+        if tbl.num_rows == 0:
+            return base
+        h = tbl.column("__h").combine_chunks().to_numpy(zero_copy_only=False)
+        inner = (h != h[0]) & (h != h[-1])
+        if not inner.any():
+            return base.slice(0, 0)
+        m = len(h)
+        new = np.ones(m, bool)
+        new[1:] = h[1:] != h[:-1]
+        run_starts = np.flatnonzero(new)
+        keep_run = inner[run_starts]
+        starts = run_starts[keep_run]
+        lens = np.diff(np.append(run_starts, m))[keep_run]
+        # expand per-run selections; most runs are singletons — handle
+        # them in one vectorized take, longer runs via the mask helper
+        single = lens == 1
+        keep_idx = [starts[single]]
+        for st, ln in zip(starts[~single], lens[~single]):
+            sel = np.arange(st, st + ln)
+            keep_idx.append(_survivor_mask(tbl, sel))
+        idx = np.sort(np.concatenate(keep_idx))
+        return base.take(pa.array(idx))
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    def edge_rows(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        h = tbl.column("__h").combine_chunks().to_numpy(zero_copy_only=False)
+        edge = (h == h[0]) | (h == h[-1])
+        sel = np.flatnonzero(edge)
+        idx = _survivor_mask(tbl, sel)  # per-text min-id candidates
+        return tbl.take(pa.array(np.sort(idx)))
+
+    parts = [
+        t for t in per_block_results(srt, edge_rows) if t is not None and t.num_rows
+    ]
+    if parts:
+        cand = pa.concat_tables(parts)
+        # global pick: min id per (hash, text) across block candidates
+        h = cand.column("__h").combine_chunks().to_numpy(zero_copy_only=False)
+        ids = cand.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(cand.column(text_col).combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes, h))
+        first = np.ones(len(order), bool)
+        first[1:] = (h[order][1:] != h[order][:-1]) | (
+            codes[order][1:] != codes[order][:-1]
+        )
+        picked = cand.take(pa.array(order[first])).drop_columns(["__h"])
+        main = main.union(rd.from_arrow(picked))
+    return main

@@ -1792,6 +1792,80 @@ SELECT a AS vertex, CAST(MAX(layer) AS BIGINT) AS layer
 FROM st WHERE kind = 1 GROUP BY a"""
 
 
+def corpus_pipeline_sql(
+    patterns: tuple[str, ...],
+    *,
+    quality_min: float = 0.5,
+    seq_len: int = 512,
+    repl: str = "[REDACTED]",
+) -> str:
+    """Mirror of queries.q_corpus_pipeline: dedup survivors (min id per
+    exact text) → quality >= threshold (doc_quality_sql's formula,
+    rounded to 6 like the engine so the boundary matches) → the scrub
+    chain → seq_pack_sql's slot expansion over the SCRUBBED text in
+    doc_id order → one audit row."""
+
+    def lit(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    stop = r"\b(the|and|of|to|in|is|that|with|for)\b"
+    steps = ["s0 AS (SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS hits FROM keepq)"]
+    for k, pat in enumerate(patterns):
+        steps.append(
+            f"""s{k + 1} AS (
+  SELECT doc_id, regexp_replace(t, {lit(pat)}, {lit(repl)}, 'g') AS t,
+         hits + len(regexp_extract_all(t, {lit(pat)})) AS hits
+  FROM s{k})"""
+        )
+    last = f"s{len(patterns)}"
+    return f"""WITH surv AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS len,
+         CAST(length(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]+')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}_]')) AS DOUBLE) AS n_word_chars,
+         CAST(length(regexp_extract_all(lower(text), {lit(stop)})) AS DOUBLE) AS n_stop
+  FROM surv),
+g AS (
+  SELECT doc_id, len,
+         n_punct / greatest(len, 1.0) AS punct_ratio,
+         n_stop / greatest(n_words, 1.0) AS stop_ratio,
+         CASE WHEN n_words > 0 THEN n_word_chars / greatest(n_words, 1.0) ELSE 0.0 END AS mwl
+  FROM f),
+qual AS (
+  SELECT doc_id,
+         ROUND(least(greatest(len / 500.0, 0), 1) * 0.3
+             + least(greatest(1 - punct_ratio * 4, 0), 1) * 0.3
+             + least(greatest(stop_ratio * 5, 0), 1) * 0.2
+             + least(greatest(1 - abs(mwl - 5) / 5, 0), 1) * 0.2, 6) AS quality
+  FROM g),
+keepq AS MATERIALIZED (
+  SELECT s.doc_id, s.text FROM surv s JOIN qual q ON q.doc_id = s.doc_id
+  WHERE q.quality >= {quality_min}),
+{','.join(steps)},
+toks AS (
+  SELECT doc_id,
+         CASE WHEN TRIM(t) = '' THEN 0
+              ELSE len(regexp_split_to_array(TRIM(t), '\\s+')) END + 1 AS slots
+  FROM {last}),
+sp AS (
+  SELECT doc_id, slots,
+         COALESCE(SUM(slots) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM toks),
+ex AS (
+  SELECT UNNEST(range(CAST(st // {seq_len} AS BIGINT),
+                      CAST((st + slots - 1) // {seq_len} + 1 AS BIGINT))) AS seq
+  FROM sp)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(*) FROM surv) AS n_unique,
+       (SELECT COUNT(*) FROM keepq) AS n_quality,
+       (SELECT CAST(COALESCE(SUM(hits), 0) AS BIGINT) FROM {last}) AS n_redactions,
+       (SELECT CAST(COUNT(DISTINCT seq) AS BIGINT) FROM ex) AS n_seqs"""
+
+
 def scrub_sql(patterns: tuple[str, ...], repl: str = "[REDACTED]") -> str:
     """Mirror of data_ops.text.scrub_patterns: patterns applied in
     order, each counted on the text state it sees (DuckDB's regex is

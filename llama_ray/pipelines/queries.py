@@ -1270,6 +1270,50 @@ def q_doc_dup_spans(sf_dir: str):
     return duplicate_spans(docs, n=8)
 
 
+def q_corpus_pipeline(sf_dir: str, *, quality_min: float = 0.5, seq_len: int = 512):
+    """End-to-end corpus curation, composed as ONE streaming Ray
+    pipeline: exact dedup (survivor FILTER, text rides the hash sort)
+    → quality filter (Arrow RE2 features, 6-decimal rounded threshold
+    compare so the SQL boundary matches bit-for-bit) → PII/denylist
+    scrub → sequence packing. Returns the one-row audit summary
+    (doc counts at each stage, total redactions, packed sequences) —
+    the numbers a data-curation run reports."""
+    from ..data_ops.dedup import dedup_survivors
+    from ..data_ops.packing import pack_sequences
+    from ..data_ops.text import SCRUB_DEMO_PATTERNS, QualityScore, scrub_patterns
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+    surv = dedup_survivors(docs).materialize()
+    n_unique = surv.count()
+
+    def qual_filter(batch: pa.Table) -> pa.Table:
+        scored = QualityScore()(batch)
+        q = np.round(
+            scored.column("quality").to_numpy(zero_copy_only=False), 6
+        )
+        return batch.filter(pa.array(q >= quality_min))
+
+    kept = surv.map_batches(qual_filter, batch_format="pyarrow")
+    scrubbed = scrub_patterns(kept, patterns=SCRUB_DEMO_PATTERNS).materialize()
+    n_quality = scrubbed.count()
+    n_red = int(
+        scrubbed.aggregate(Sum("n_redactions", alias_name="s"))["s"] or 0
+    )
+    n_seqs = pack_sequences(
+        scrubbed.select_columns(["doc_id", "text"]), seq_len=seq_len
+    ).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_unique": pa.array([n_unique], pa.int64()),
+            "n_quality": pa.array([n_quality], pa.int64()),
+            "n_redactions": pa.array([n_red], pa.int64()),
+            "n_seqs": pa.array([n_seqs], pa.int64()),
+        }
+    )
+
+
 def q_source_cap(sf_dir: str, *, k: int = 10):
     """Per-source document cap: keep the top-10 docs per source by
     (n_chars desc, doc_id asc) — distributed sort + per-block run

@@ -971,3 +971,48 @@ def test_scrub_patterns_redacts_pii():
     assert "192.168" not in out["text"][1] and "admin" not in out["text"][1]
     assert out["text"][2] == "nothing sensitive here"
     assert (out["n_chars"] == out["text"].str.len()).all()
+
+
+def test_dedup_survivors_filters_min_id_rows():
+    """dedup_survivors: surviving ROWS (min id per distinct text),
+    extra columns carried through, layout-independent."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.dedup import dedup_survivors
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "gamma"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 9, 7, 3], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(list("abcdef")),
+        }
+    )
+    expect = {("alpha beta", 2), ("gamma", 1), ("delta", 9)}
+    for parts in (1, 3):
+        out = (
+            dedup_survivors(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        got = {(r.text, int(r.doc_id)) for r in out.itertuples()}
+        assert got == expect
+        # the full original row survives (lang column of the min-id row)
+        lang = dict(zip(out["doc_id"], out["lang"]))
+        assert lang == {2: "c", 1: "b", 9: "d"}
+
+
+def test_dedup_survivors_matches_exact_dedup_report():
+    import ray.data as rd
+
+    from llama_ray.data_ops.dedup import dedup_survivors, exact_dedup
+
+    rng = np.random.default_rng(3)
+    texts = [f"doc body {int(v)}" for v in rng.integers(0, 300, 1000)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1000), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    surv = set(dedup_survivors(ds).to_pandas()["doc_id"])
+    report = set(exact_dedup(ds).to_pandas()["doc_id"])
+    assert surv == report and len(surv) == len(set(texts))
