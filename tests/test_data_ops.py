@@ -1016,3 +1016,55 @@ def test_dedup_survivors_matches_exact_dedup_report():
     surv = set(dedup_survivors(ds).to_pandas()["doc_id"])
     report = set(exact_dedup(ds).to_pandas()["doc_id"])
     assert surv == report and len(surv) == len(set(texts))
+
+
+def test_group_sum_sorted_matches_pandas():
+    """group_sum_sorted vs pandas groupby-sum: int and string keys,
+    hot keys spanning many blocks, multiple value columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    from llama_ray.common import group_sum_sorted
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    # zipf-ish: one key owns ~half the rows (spans every block)
+    keys_int = np.where(
+        rng.random(n) < 0.5, 7, rng.integers(0, 500, n)
+    ).astype(np.int64)
+    v1 = rng.integers(-5, 100, n).astype(np.int64)
+    v2 = rng.integers(0, 3, n).astype(np.int64)
+    tbl = pa.table({"k": keys_int, "a": v1, "b": v2})
+    expect = (
+        pd.DataFrame({"k": keys_int, "a": v1, "b": v2})
+        .groupby("k", as_index=False)
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for parts in (1, 13):
+        got = (
+            group_sum_sorted(rd.from_arrow(tbl).repartition(parts), "k", ["a", "b"])
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+    # string keys
+    keys_str = np.array(["tok%03d" % i for i in keys_int % 37], object)
+    tbl2 = pa.table({"k": pa.array(keys_str, pa.string()), "a": v1})
+    expect2 = (
+        pd.DataFrame({"k": keys_str, "a": v1})
+        .groupby("k", as_index=False)
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got2 = (
+        group_sum_sorted(rd.from_arrow(tbl2).repartition(9), "k", ["a"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, expect2, check_dtype=False)
