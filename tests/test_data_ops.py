@@ -1068,3 +1068,51 @@ def test_group_sum_sorted_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, expect2, check_dtype=False)
+
+
+def test_dedup_survivors_hot_group_spans_blocks():
+    """A text duplicated across tens of thousands of rows occupies
+    many whole sorted blocks — every block sees it as an edge run and
+    the driver pick must still yield exactly one min-id survivor."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.dedup import dedup_survivors
+
+    n = 50_000
+    rng = np.random.default_rng(5)
+    hot = rng.random(n) < 0.6
+    texts = np.where(hot, "the one hot template document body", "")
+    uniq = np.array([f"unique body {i}" for i in range(n)], object)
+    texts = np.where(hot, texts, uniq)
+    ids = rng.permutation(n).astype(np.int64)  # min id NOT first in layout
+    tbl = pa.table({"doc_id": ids, "text": pa.array(texts.tolist(), pa.string())})
+    out = dedup_survivors(rd.from_arrow(tbl).repartition(16)).to_pandas()
+    hot_ids = ids[hot]
+    assert len(out) == int((~hot).sum()) + 1
+    hot_rows = out[out["text"] == "the one hot template document body"]
+    assert len(hot_rows) == 1 and int(hot_rows["doc_id"].iloc[0]) == int(hot_ids.min())
+
+
+def test_duplicate_spans_hot_gram_spans_blocks():
+    """One gram shared by most docs (its run spans many sorted blocks)
+    plus per-doc unique grams: dup counts must match brute force."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.curation import duplicate_spans
+
+    n = 4_000
+    texts = [f"shared shingle body u{i} v{i} w{i}" for i in range(n)]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}
+    )
+    out = (
+        duplicate_spans(rd.from_arrow(tbl).repartition(11), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # per doc grams (n=3, 6 tokens -> 4 windows): only "shared shingle
+    # body" is cross-doc; the other 3 windows contain per-doc tokens
+    assert len(out) == n
+    assert (out["n_ngrams"] == 4).all()
+    assert (out["n_dup"] == 1).all()
