@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": q.q_katz,
         "louvain": q.q_louvain,
         "louvain_modularity": q.q_louvain_modularity,
+        "louvain_weighted": q.q_louvain_weighted,
         "dag_layers": q.q_dag_layers,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "katz": o.katz_sql(),
         "louvain": o.louvain_sql(),
         "louvain_modularity": o.louvain_modularity_sql(),
+        "louvain_weighted": o.louvain_weighted_sql(),
         "dag_layers": o.dag_layers_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),

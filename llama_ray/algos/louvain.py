@@ -74,12 +74,19 @@ def louvain_communities(
     *,
     rounds: int = 6,
     engine: str = "bsp",
+    weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
     """``state['label'][i]`` = community of dense vertex ``i`` as an
     original vertex id (the founding member's id); ``dense_label`` =
     the same as dense indices. Pass a canonical undirected graph.
+
+    ``weight_col``: integer edge multiplicities (the reference's
+    streaming weights-instead-of-duplicates semantic,
+    ``ll_writable_graph.h:725-779``) — e(v,C), k_v and tot(C) become
+    weighted sums, still exact int64, so the weighted argmax stays
+    bit-identical across engines and in SQL.
     """
     if engine not in ("dataset", "bsp"):
         raise ValueError(f"unknown engine {engine}")
@@ -89,7 +96,29 @@ def louvain_communities(
 
     from ..engine.bsp import UndirectedView, shared_pool
 
-    deg = UndirectedView(graph).in_degrees().astype(np.int64)
+    if weight_col is not None:
+        from ..common import sparse_partial_sum
+
+        def wdeg_partial(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
+            s = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            d = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            w = (
+                batch.column(weight_col)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            return sparse_partial_sum(
+                np.concatenate([s, d]).astype(np.int64), np.concatenate([w, w])
+            )
+
+        idx, sums = block_scatter(graph, wdeg_partial, "sum")
+        deg = np.zeros(n, np.int64)
+        deg[idx] = np.rint(sums).astype(np.int64)  # integer-valued, < 2^53
+    else:
+        deg = UndirectedView(graph).in_degrees().astype(np.int64)
     two_m = int(deg.sum())
     max_deg = int(deg.max()) if n else 0
     if two_m * max(max_deg, 1) >= (1 << 62):
@@ -103,7 +132,7 @@ def louvain_communities(
 
     gat = None
     if engine == "bsp":
-        gat = shared_pool(graph, view="undirected")
+        gat = shared_pool(graph, view="undirected", weighted=weight_col is not None)
     elif n >= (1 << 31):
         raise NotImplementedError(
             "packed-key louvain dataset engine valid to ~2e9 vertices; use engine='bsp'"
@@ -119,7 +148,9 @@ def louvain_communities(
         tot = _community_totals(c, deg, n)
         gate = parity == (k % 2)
         if gat is not None:
-            best = gat.gather_best_community(c, tot, deg, two_m, gate=gate)
+            best = gat.gather_best_community(
+                c, tot, deg, two_m, gate=gate, weighted=weight_col is not None
+            )
             new = np.where(best >= 0, best, c)
         else:
             c_ref = ray.put(c)
@@ -131,10 +162,22 @@ def louvain_communities(
                 src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
                 dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
                 keep = src != dst  # doubled simple view, like LP
+                if weight_col is not None:
+                    w = (
+                        batch.column(weight_col)
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)[keep]
+                    )
                 src, dst = src[keep], dst[keep]
                 nodes = np.concatenate([dst, src]).astype(np.int64)
                 labels = np.concatenate([lab[src], lab[dst]])
                 packed = nodes * n + labels
+                if weight_col is not None:
+                    u, inv = np.unique(packed, return_inverse=True)
+                    acc = np.zeros(len(u), np.float64)
+                    np.add.at(acc, inv, np.concatenate([w, w]))
+                    return u, acc
                 u, counts = np.unique(packed, return_counts=True)
                 return u, counts.astype(np.float64)
 

@@ -484,7 +484,7 @@ class _GatherPartition:
         return out
 
     def gather_best_community(
-        self, labels, tot, deg, two_m, gate=None, chunk: int = 1 << 18
+        self, labels, tot, deg, two_m, gate=None, weighted=False, chunk: int = 1 << 18
     ):
         """Louvain local-moving combine for this actor's dst slice:
         for each dst v the community C maximizing the integer
@@ -504,11 +504,16 @@ class _GatherPartition:
         community) ever reaches the driver. ``gate`` (bool per global
         dense vertex) restricts the argmax to gated dst runs — the
         parity-alternation of Louvain local moving — skipping the sort
-        for the other half of the edges."""
+        for the other half of the edges. ``weighted``: e(v,C) sums the
+        pinned integer edge weights instead of counting edges (the
+        weights-instead-of-duplicates semantic); sums stay exact
+        (integer-valued float64 < 2^53 → int64)."""
         out = np.full(self.hi - self.lo, -1, np.int64)
         m = len(self.src)
         if m == 0:
             return out
+        if weighted and self.w is None:
+            raise ValueError("weighted gather on a pool built without weights")
         cbounds = self._chunk_bounds(chunk)
         R = len(self.run_starts)
         for r, r_end in zip(cbounds[:-1], cbounds[1:]):
@@ -519,11 +524,15 @@ class _GatherPartition:
             run_len = np.diff(np.append(rs, n_e))
             local = self.local_dst[r:r_end]
             lab_src = self.src[e0:e1]
+            wts = self.w[e0:e1] if weighted else None
             if gate is not None:
                 keep = gate[(local + self.lo).astype(np.int64, copy=False)]
                 if not keep.any():
                     continue
-                lab_src = lab_src[np.repeat(keep, run_len)]
+                emask = np.repeat(keep, run_len)
+                lab_src = lab_src[emask]
+                if wts is not None:
+                    wts = wts[emask]
                 run_len = run_len[keep]
                 local = local[keep]
                 rs = np.concatenate([[0], np.cumsum(run_len)[:-1]]).astype(rs.dtype)
@@ -544,7 +553,10 @@ class _GatherPartition:
             new = np.ones(n_e, bool)
             new[1:] = (rl[1:] != rl[:-1]) | (ll[1:] != ll[:-1])
             starts = np.flatnonzero(new)
-            cnt = np.diff(np.append(starts, n_e)).astype(np.int64)
+            if weighted:
+                cnt = np.add.reduceat(wts[order], starts).astype(np.int64)
+            else:
+                cnt = np.diff(np.append(starts, n_e)).astype(np.int64)
             grp_run = rl[starts]
             grp_lab = ll[starts]
             # the vertex's own community always competes, entering as a
@@ -1301,6 +1313,7 @@ class BSPGather:
         deg: np.ndarray,
         two_m: int,
         gate: np.ndarray | None = None,
+        weighted: bool = False,
     ) -> np.ndarray:
         """Dense per-dst best Louvain move (highest integer
         modularity-gain score, ties → smallest community; -1 = no
@@ -1312,7 +1325,9 @@ class BSPGather:
         g_ref = ray.put(gate) if gate is not None else None
         parts = ray.get(
             [
-                a.gather_best_community.remote(l_ref, t_ref, d_ref, two_m, g_ref)
+                a.gather_best_community.remote(
+                    l_ref, t_ref, d_ref, two_m, g_ref, weighted
+                )
                 for a in self.actors
             ]
         )

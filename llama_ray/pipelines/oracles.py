@@ -192,9 +192,12 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 SELECT id AS vertex, label FROM p{rounds}"""
 
 
-def _louvain_chain(rounds: int) -> str:
+def _louvain_chain(rounds: int, weighted: bool = False) -> str:
     """The shared WITH-body of the Louvain oracles: graph CTEs +
-    ``rounds`` parity-gated local-moving rounds ending at ``l{rounds}``."""
+    ``rounds`` parity-gated local-moving rounds ending at ``l{rounds}``.
+    ``weighted``: per-pair edge weight = duplicate multiplicity over
+    both orientations of the deduped edge list; e/k/tot become
+    weighted sums (still integer-exact)."""
     steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
     for r in range(rounds):
         steps.append(
@@ -218,7 +221,7 @@ l{r + 1} AS MATERIALIZED (
                         CASE WHEN cand.c = l.label THEN 0 ELSE 1 END ASC,
                         cand.c ASC) AS rn
       FROM (
-        SELECT ue.b AS id, nl.label AS c, CAST(COUNT(*) AS BIGINT) AS e
+        SELECT ue.b AS id, nl.label AS c, CAST({'SUM(ue.w)' if weighted else 'COUNT(*)'} AS BIGINT) AS e
         FROM ue JOIN l{r} nl ON nl.id = ue.a GROUP BY ue.b, nl.label
         UNION ALL
         SELECT id, label AS c, CAST(0 AS BIGINT) AS e FROM l{r}
@@ -230,12 +233,20 @@ l{r + 1} AS MATERIALIZED (
   ) b ON b.id = l{r}.id)"""
         )
     body = ",\n".join(steps)
-    return f"""{GRAPH_CTES},
-cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+    if weighted:
+        prefix = """cu AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, CAST(COUNT(*) AS BIGINT) AS w FROM e WHERE src <> dst GROUP BY 1, 2),
+ue AS MATERIALIZED (SELECT a, b, w FROM cu UNION ALL SELECT b, a, w FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+dk AS MATERIALIZED (SELECT a AS id, CAST(SUM(w) AS BIGINT) AS k FROM ue GROUP BY a),
+mm AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM dk)"""
+    else:
+        prefix = """cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
 ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
 cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 dk AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS k FROM ue GROUP BY a),
-mm AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM dk),
+mm AS MATERIALIZED (SELECT CAST(SUM(k) AS BIGINT) AS m2 FROM dk)"""
+    return f"""{GRAPH_CTES},
+{prefix},
 {body}"""
 
 
@@ -248,6 +259,15 @@ def louvain_sql(rounds: int = 6) -> str:
     2m·e − k·(tot − k·[own]) score; ties prefer staying, then the
     smallest community id. All-integer scores ⇒ hash-exact."""
     return f"""WITH {_louvain_chain(rounds)}
+SELECT id AS vertex, label AS community FROM l{rounds}"""
+
+
+def louvain_weighted_sql(rounds: int = 6) -> str:
+    """Weighted Louvain: per-pair weight = duplicate multiplicity over
+    both orientations of the deduped edge list (the streaming
+    weights-instead-of-duplicates semantic); same parity-gated chain,
+    weighted sums, integer-exact."""
+    return f"""WITH {_louvain_chain(rounds, weighted=True)}
 SELECT id AS vertex, label AS community FROM l{rounds}"""
 
 

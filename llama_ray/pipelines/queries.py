@@ -207,6 +207,29 @@ def q_louvain(sf_dir: str):
     return pa.table({"vertex": g.ids, "community": res.state["label"]})
 
 
+def q_louvain_weighted(sf_dir: str):
+    """Weighted Louvain: per-pair edge weight = duplicate multiplicity
+    over both orientations of the deduped edge list (the streaming
+    weights-instead-of-duplicates semantic). Weighted sums stay exact
+    int64 — bit-identical to the DuckDB chain."""
+    from ..algos.louvain import louvain_communities
+    from ..ingest.canonicalize import undirected_ordered
+
+    g = _GRAPH_CACHE.get(("canon_w", sf_dir))
+    if g is None:
+        g = build_graph(
+            dedup_edges(
+                undirected_ordered(
+                    _cached_dedup_edges(sf_dir), drop_self_loops=True
+                ),
+                weights="count",
+            )
+        )
+        _GRAPH_CACHE[("canon_w", sf_dir)] = g
+    res = louvain_communities(g, rounds=6, engine="bsp", weight_col="weight")
+    return pa.table({"vertex": g.ids, "community": res.state["label"]})
+
+
 def q_louvain_modularity(sf_dir: str):
     """Modularity Q of the 6-round Louvain partition — the quality
     composition query for community detection (same shape as

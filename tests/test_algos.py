@@ -574,3 +574,50 @@ def test_dag_layers_chain_and_star():
     lay = dag_layers(g2).state["layer"]
     pos0 = int(np.searchsorted(g2.ids, 0))
     assert lay[pos0] == 0 and set(np.delete(lay, pos0)) == {1}
+
+
+def test_louvain_weighted_unit_weights_equal_unweighted():
+    from llama_ray.algos.louvain import louvain_communities
+
+    src, dst = map(np.array, FIXTURES["k4"])
+    canonical = dedup_edges(undirected_ordered(edges_ds(src, dst), drop_self_loops=True))
+    g_plain = build_graph(canonical)
+    gw = build_graph(
+        dedup_edges(
+            undirected_ordered(edges_ds(src, dst), drop_self_loops=True),
+            weights="count",
+        )
+    )
+    a = louvain_communities(g_plain, rounds=6)
+    b = louvain_communities(gw, rounds=6, weight_col="weight")
+    c = louvain_communities(gw, rounds=6, engine="dataset", weight_col="weight")
+    assert np.array_equal(a.state["label"], b.state["label"])
+    assert np.array_equal(b.state["label"], c.state["label"])
+
+
+def test_louvain_weighted_multiplicity_changes_partition():
+    """Two triangles joined by a bridge; the bridge carries weight 10.
+    Unweighted Louvain separates the triangles; the heavy bridge pulls
+    its endpoints into one community."""
+    import ray.data as rd
+
+    from llama_ray.algos.louvain import louvain_communities
+
+    base = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)] * 10
+    src = np.array([a for a, _ in base + bridge])
+    dst = np.array([b for _, b in base + bridge])
+    gw = build_graph(
+        dedup_edges(
+            undirected_ordered(edges_ds(src, dst), drop_self_loops=True),
+            weights="count",
+        )
+    )
+    resw = louvain_communities(gw, rounds=6, weight_col="weight")
+    lab = resw.state["label"]
+    pos = np.searchsorted(gw.ids, np.arange(6))
+    assert lab[pos[2]] == lab[pos[3]]  # heavy bridge merges its endpoints
+    res_plain = louvain_communities(build_graph(dedup_edges(
+        undirected_ordered(edges_ds(src, dst), drop_self_loops=True))), rounds=6)
+    lp = res_plain.state["label"]
+    assert lp[pos[2]] != lp[pos[3]]  # unweighted: triangles stay apart
