@@ -83,17 +83,18 @@ def pagerank(
     ``weight_col``: edge-weighted PageRank — contributions are
     ``w_e · pr(src) / strength(src)`` with strength = per-src weight
     sum (zero-strength vertices leak mass like the unweighted
-    danglers). Dataset engine only.
+    danglers). ``dataset`` and ``bsp`` engines (the pool pins the
+    weights once; per superstep one weighted reduceat).
     """
     if mode not in ("pull", "push"):
         raise ValueError(f"unknown mode {mode}")
     if engine not in ("dataset", "bsp", "bsp_sharded"):
         raise ValueError(f"unknown engine {engine}")
-    if weight_col is not None and engine != "dataset":
-        # the pool gathers are unweighted reduceat kernels; the
-        # weighted variant scatters w_e · rank[src]/strength[src] over
-        # the edge Dataset (same plan shape, one extra column read)
-        raise ValueError("weight_col requires engine='dataset'")
+    if weight_col is not None and engine == "bsp_sharded":
+        # the sharded actor-resident loop is unweighted-only for now;
+        # 'bsp' uses the weighted pool (gather_sum_weighted) and
+        # 'dataset' scatters w_e · rank/strength over the edge blocks
+        raise ValueError("weight_col supports engine='dataset' or 'bsp'")
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"rank": np.empty(0)}, 0, True, [])
@@ -147,7 +148,9 @@ def pagerank(
     if engine == "bsp":
         from ..engine.bsp import shared_pool
 
-        gatherer = shared_pool(graph, build=bsp_build)
+        gatherer = shared_pool(
+            graph, build=bsp_build, weighted=weight_col is not None
+        )
 
     def init_state():
         return {"rank": np.full(n, 1.0 / n, dtype=np.float64)}
@@ -155,7 +158,10 @@ def pagerank(
     def step(state, k):
         rank = state["rank"]
         if gatherer is not None:
-            acc = gatherer.gather_sum(rank * inv_deg)
+            if weight_col is not None:
+                acc = gatherer.gather_sum_weighted(rank * inv_deg)
+            else:
+                acc = gatherer.gather_sum(rank * inv_deg)
         else:
             w_ref = ray.put(rank * inv_deg)
 

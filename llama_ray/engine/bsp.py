@@ -298,6 +298,26 @@ class _GatherPartition:
             )
         return out
 
+    def gather_sum_weighted(self, value, chunk: int = 1 << 16):
+        """Σ w_e · value[src] per dst in this actor's slice — the
+        edge-weighted PageRank combine. Chunked reduceat like
+        gather_sum; requires a weighted pool."""
+        if self.w is None:
+            raise ValueError("weighted gather on a pool built without weights")
+        out = np.zeros(self.hi - self.lo)
+        m = len(self.src)
+        if m == 0:
+            return out
+        cbounds = self._chunk_bounds(chunk)
+        R = len(self.run_starts)
+        for r, r_end in zip(cbounds[:-1], cbounds[1:]):
+            e0 = self.run_starts[r]
+            e1 = self.run_starts[r_end] if r_end < R else m
+            rs = self.run_starts[r:r_end] - e0
+            vals = value[self.src[e0:e1]] * self.w[e0:e1]
+            out[self.local_dst[r:r_end]] = np.add.reduceat(vals, rs)
+        return out
+
     def gather_min(self, value, chunk: int = 1 << 16):
         """Dense min of value[src] per dst for this actor's slice
         (+inf / int max where no in-edge) — the WCC/label min-combine.
@@ -1257,6 +1277,13 @@ class BSPGather:
         """Dense Σ value[src] per dst (length num_vertices)."""
         v_ref = ray.put(value)
         parts = ray.get([a.gather_sum.remote(v_ref) for a in self.actors])
+        return np.concatenate(parts) if parts else np.zeros(self.num_vertices)
+
+    def gather_sum_weighted(self, value: np.ndarray) -> np.ndarray:
+        """Dense Σ w_e · value[src] per dst — the weighted-PageRank
+        combine (pool must be built with weighted=True)."""
+        v_ref = ray.put(value)
+        parts = ray.get([a.gather_sum_weighted.remote(v_ref) for a in self.actors])
         return np.concatenate(parts) if parts else np.zeros(self.num_vertices)
 
     def gather_min(self, value: np.ndarray) -> np.ndarray:

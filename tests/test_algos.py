@@ -463,11 +463,25 @@ def test_pagerank_weighted_unit_weights_equal_unweighted():
     assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-12)
 
 
-def test_pagerank_weighted_requires_dataset_engine():
-    src, dst = map(np.array, FIXTURES["chain5"])
-    g = build_graph(edges_ds(src, dst))
-    with pytest.raises(ValueError, match="dataset"):
-        pagerank(g, weight_col="weight", engine="bsp")
+def test_pagerank_weighted_bsp_matches_dataset():
+    src = np.array([0, 0, 1, 2, 3, 3])
+    dst = np.array([1, 2, 2, 3, 0, 1])
+    w = np.array([3.0, 1.0, 2.0, 5.0, 1.0, 4.0])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds)
+    a = pagerank(g, max_iters=10, weight_col="weight", engine="dataset")
+    b = pagerank(g, max_iters=10, weight_col="weight", engine="bsp")
+    assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-15)
+    with pytest.raises(ValueError, match="dataset.*bsp"):
+        pagerank(g, weight_col="weight", engine="bsp_sharded")
 
 
 # ---------------------------------------------------------------- Louvain
