@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": q.q_louvain,
         "louvain_modularity": q.q_louvain_modularity,
         "louvain_weighted": q.q_louvain_weighted,
+        "louvain_multilevel": q.q_louvain_multilevel,
         "dag_layers": q.q_dag_layers,
         "wcc": q.q_wcc,
         "core_numbers": q.q_core_numbers,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain": o.louvain_sql(),
         "louvain_modularity": o.louvain_modularity_sql(),
         "louvain_weighted": o.louvain_weighted_sql(),
+        "louvain_multilevel": o.louvain_multilevel_sql(),
         "dag_layers": o.dag_layers_sql(),
         "wcc": o.wcc_sql(),
         "core_numbers": o.core_numbers_sql(),

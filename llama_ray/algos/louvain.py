@@ -75,6 +75,8 @@ def louvain_communities(
     rounds: int = 6,
     engine: str = "bsp",
     weight_col: str | None = None,
+    self_w: np.ndarray | None = None,
+    two_m_override: int | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -87,6 +89,12 @@ def louvain_communities(
     ``ll_writable_graph.h:725-779``) — e(v,C), k_v and tot(C) become
     weighted sums, still exact int64, so the weighted argmax stays
     bit-identical across engines and in SQL.
+
+    ``self_w`` (dense int64) + ``two_m_override``: the multi-level
+    hooks — a coarsened vertex's self-loop mass counts toward its
+    degree (2·self_w) and toward e(v, own); 2m stays the ORIGINAL
+    graph's edge mass (the modularity denominator), not the coarse
+    sum.
     """
     if engine not in ("dataset", "bsp"):
         raise ValueError(f"unknown engine {engine}")
@@ -119,7 +127,9 @@ def louvain_communities(
         deg[idx] = np.rint(sums).astype(np.int64)  # integer-valued, < 2^53
     else:
         deg = UndirectedView(graph).in_degrees().astype(np.int64)
-    two_m = int(deg.sum())
+    if self_w is not None:
+        deg = deg + 2 * self_w.astype(np.int64)
+    two_m = int(deg.sum()) if two_m_override is None else int(two_m_override)
     max_deg = int(deg.max()) if n else 0
     if two_m * max(max_deg, 1) >= (1 << 62):
         # 2m·e(v,C) and k_v·tot(C) are both ≤ 2m·k_max
@@ -149,7 +159,13 @@ def louvain_communities(
         gate = parity == (k % 2)
         if gat is not None:
             best = gat.gather_best_community(
-                c, tot, deg, two_m, gate=gate, weighted=weight_col is not None
+                c,
+                tot,
+                deg,
+                two_m,
+                gate=gate,
+                weighted=weight_col is not None,
+                self_w=self_w,
             )
             new = np.where(best >= 0, best, c)
         else:
@@ -194,6 +210,8 @@ def louvain_communities(
             kd = deg[nodes]
             own = c[nodes]
             is_own = labs == own
+            if self_w is not None:
+                e_cnt = e_cnt + np.where(is_own, self_w[nodes], np.int64(0))
             score = np.int64(two_m) * e_cnt - kd * (
                 tot[labs] - np.where(is_own, kd, np.int64(0))
             )
@@ -224,3 +242,109 @@ def louvain_communities(
             gat.shutdown()
     res.state["label"] = graph.ids[res.state["dense_label"]]
     return res
+
+
+def louvain_multilevel(
+    graph: Graph,
+    *,
+    rounds1: int = 4,
+    rounds2: int = 4,
+    engine: str = "bsp",
+) -> SuperstepResult:
+    """Two-level Louvain: local moving, then the classic coarsening —
+    communities become vertices, inter-community edge multiplicities
+    become weights, intra-community mass becomes self-loops — then
+    weighted local moving on the coarse graph with the ORIGINAL 2m as
+    the modularity denominator. Every stage is deterministic integer
+    arithmetic, so the whole composition is reproduced exactly by one
+    DuckDB query.
+
+    The contraction is itself the engine's own machinery: one
+    ``map_batches`` relabel of the edge Dataset + ``dedup_edges
+    (weights='count')`` + ``build_graph`` — the coarse graph is a
+    first-class Graph, so phase 2 runs the identical pool path.
+
+    Returns ``state['label']`` (final community per original vertex,
+    as original ids) and ``state['level1_label']`` (the phase-1
+    partition, for inspection)."""
+    import ray
+
+    n = graph.num_vertices
+    if n == 0:
+        return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+    p1 = louvain_communities(graph, rounds=rounds1, engine=engine)
+    c1 = p1.state["dense_label"]
+    c1_ids = graph.ids[c1]  # per-vertex community id (original-id space)
+    two_m = 2 * graph.num_edges
+
+    from ..graph import build_graph
+    from ..ingest.canonicalize import dedup_edges
+
+    cd_ref = ray.put(c1)
+    ids_ref = ray.put(graph.ids)
+
+    def contract(batch: pa.Table):
+        empty = {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        if batch.num_rows == 0 or "src" not in batch.schema.names:
+            return empty
+        cl = ray.get(cd_ref)
+        gi = ray.get(ids_ref)
+        s = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        a = gi[cl[s]]
+        b = gi[cl[d]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return {"src": lo[keep], "dst": hi[keep]}
+
+    inter = graph.edges.map_batches(contract, batch_format="pyarrow")
+    cg = build_graph(dedup_edges(inter, weights="count"))
+
+    # intra-community edge counts (the coarse self-loop mass)
+    def intra_partial(batch: pa.Table):
+        if batch.num_rows == 0 or "src" not in batch.schema.names:
+            return None
+        cl = ray.get(cd_ref)
+        s = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        m = cl[s] == cl[d]
+        if not m.any():
+            return None
+        from ..common import sparse_partial_sum
+
+        return sparse_partial_sum(
+            cl[s][m].astype(np.int64), np.ones(int(m.sum()), np.float64)
+        )
+
+    idx, sums = block_scatter(graph, intra_partial, "sum")
+    # align self-loop mass to the coarse vertex order (communities with
+    # no inter-community edge are absent from cg and never move)
+    selfw = np.zeros(cg.num_vertices, np.int64)
+    if len(idx):
+        comm_ids = graph.ids[idx]
+        pos = np.searchsorted(cg.ids, comm_ids)
+        ok = pos < len(cg.ids)
+        ok[ok] = cg.ids[pos[ok]] == comm_ids[ok]
+        selfw[pos[ok]] = np.rint(sums[ok]).astype(np.int64)
+
+    p2 = louvain_communities(
+        cg,
+        rounds=rounds2,
+        engine=engine,
+        weight_col="weight",
+        self_w=selfw,
+        two_m_override=two_m,
+    )
+    lab2 = p2.state["label"]
+    pos = np.searchsorted(cg.ids, c1_ids)
+    final = c1_ids.copy()
+    inmask = pos < len(cg.ids)
+    inmask[inmask] = cg.ids[pos[inmask]] == c1_ids[inmask]
+    final[inmask] = lab2[pos[inmask]]
+    return SuperstepResult(
+        {"label": final, "dense_label": final, "level1_label": c1_ids},
+        p1.iterations + p2.iterations,
+        True,
+        p1.metrics + p2.metrics,
+    )

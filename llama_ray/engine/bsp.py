@@ -504,7 +504,15 @@ class _GatherPartition:
         return out
 
     def gather_best_community(
-        self, labels, tot, deg, two_m, gate=None, weighted=False, chunk: int = 1 << 18
+        self,
+        labels,
+        tot,
+        deg,
+        two_m,
+        gate=None,
+        weighted=False,
+        self_w=None,
+        chunk: int = 1 << 18,
     ):
         """Louvain local-moving combine for this actor's dst slice:
         for each dst v the community C maximizing the integer
@@ -527,7 +535,12 @@ class _GatherPartition:
         for the other half of the edges. ``weighted``: e(v,C) sums the
         pinned integer edge weights instead of counting edges (the
         weights-instead-of-duplicates semantic); sums stay exact
-        (integer-valued float64 < 2^53 → int64)."""
+        (integer-valued float64 < 2^53 → int64). ``self_w`` (per
+        global dense vertex, int64): self-loop mass of a COARSENED
+        vertex — it always counts toward e(v, own), so the own
+        candidate's count gets +self_w[v] (the real own segment and
+        the synthetic zero-count duplicate both get it; the real one
+        then carries the full e and wins the argmax)."""
         out = np.full(self.hi - self.lo, -1, np.int64)
         m = len(self.src)
         if m == 0:
@@ -593,6 +606,8 @@ class _GatherPartition:
             kd_g = kd[g_run]
             own_g = own[g_run]
             is_own = g_lab == own_g
+            if self_w is not None:
+                g_cnt = g_cnt + np.where(is_own, self_w[dvert][g_run], np.int64(0))
             score = np.int64(two_m) * g_cnt - kd_g * (
                 tot[g_lab] - np.where(is_own, kd_g, np.int64(0))
             )
@@ -1341,6 +1356,7 @@ class BSPGather:
         two_m: int,
         gate: np.ndarray | None = None,
         weighted: bool = False,
+        self_w: np.ndarray | None = None,
     ) -> np.ndarray:
         """Dense per-dst best Louvain move (highest integer
         modularity-gain score, ties → smallest community; -1 = no
@@ -1350,10 +1366,11 @@ class BSPGather:
         t_ref = ray.put(tot)
         d_ref = ray.put(deg)
         g_ref = ray.put(gate) if gate is not None else None
+        s_ref = ray.put(self_w) if self_w is not None else None
         parts = ray.get(
             [
                 a.gather_best_community.remote(
-                    l_ref, t_ref, d_ref, two_m, g_ref, weighted
+                    l_ref, t_ref, d_ref, two_m, g_ref, weighted, s_ref
                 )
                 for a in self.actors
             ]

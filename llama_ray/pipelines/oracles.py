@@ -271,6 +271,74 @@ def louvain_weighted_sql(rounds: int = 6) -> str:
 SELECT id AS vertex, label AS community FROM l{rounds}"""
 
 
+def louvain_multilevel_sql(rounds1: int = 4, rounds2: int = 4) -> str:
+    """Mirror of algos.louvain.louvain_multilevel: the phase-1 chain,
+    then the classic contraction (inter-community weights + self-loop
+    mass), then a weighted phase-2 chain over the coarse graph with
+    the ORIGINAL 2m (phase-1 ``mm``) as the modularity denominator,
+    mapped back per original vertex. All integer — hash-exact."""
+    r1 = rounds1
+    steps = [f"m0 AS MATERIALIZED (SELECT id, id AS label FROM c2v)"]
+    for r in range(rounds2):
+        steps.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT l.label AS c, CAST(SUM(dk.k) AS BIGINT) AS tot
+  FROM m{r} l JOIN c2dk dk ON dk.id = l.id GROUP BY l.label),
+m{r + 1} AS MATERIALIZED (
+  SELECT m{r}.id,
+         CASE WHEN m{r}.id % 2 = {r % 2}
+              THEN COALESCE(b.c, m{r}.label)
+              ELSE m{r}.label END AS label
+  FROM m{r} LEFT JOIN (
+    SELECT id, c FROM (
+      SELECT cand.id, cand.c,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.id
+               ORDER BY ((SELECT m2 FROM mm)
+                           * (cand.e + CASE WHEN cand.c = l.label
+                                            THEN COALESCE(sf.sw, 0) ELSE 0 END)
+                         - dk.k * (u{r}.tot
+                                   - CASE WHEN cand.c = l.label
+                                          THEN dk.k ELSE 0 END)) DESC,
+                        CASE WHEN cand.c = l.label THEN 0 ELSE 1 END ASC,
+                        cand.c ASC) AS rn
+      FROM (
+        SELECT c2ue.b AS id, nl.label AS c, CAST(SUM(c2ue.w) AS BIGINT) AS e
+        FROM c2ue JOIN m{r} nl ON nl.id = c2ue.a GROUP BY c2ue.b, nl.label
+        UNION ALL
+        SELECT id, label AS c, CAST(0 AS BIGINT) AS e FROM m{r}
+      ) cand
+      JOIN c2dk dk ON dk.id = cand.id
+      JOIN m{r} l ON l.id = cand.id
+      JOIN u{r} ON u{r}.c = cand.c
+      LEFT JOIN c2self sf ON sf.id = cand.id
+    ) WHERE rn = 1
+  ) b ON b.id = m{r}.id)"""
+        )
+    body2 = ",\n".join(steps)
+    return f"""WITH {_louvain_chain(r1)},
+c2e AS MATERIALIZED (
+  SELECT LEAST(la.label, lb.label) AS a, GREATEST(la.label, lb.label) AS b,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM cu JOIN l{r1} la ON la.id = cu.a JOIN l{r1} lb ON lb.id = cu.b
+  WHERE la.label <> lb.label GROUP BY 1, 2),
+c2v AS MATERIALIZED (SELECT a AS id FROM c2e UNION SELECT b FROM c2e),
+c2self AS MATERIALIZED (
+  SELECT la.label AS id, CAST(COUNT(*) AS BIGINT) AS sw
+  FROM cu JOIN l{r1} la ON la.id = cu.a JOIN l{r1} lb ON lb.id = cu.b
+  WHERE la.label = lb.label GROUP BY la.label),
+c2ue AS MATERIALIZED (SELECT a, b, w FROM c2e UNION ALL SELECT b, a, w FROM c2e),
+c2dk AS MATERIALIZED (
+  SELECT v.id,
+         CAST(COALESCE(i.s, 0) + 2 * COALESCE(sf.sw, 0) AS BIGINT) AS k
+  FROM c2v v
+  LEFT JOIN (SELECT a AS id, SUM(w) AS s FROM c2ue GROUP BY a) i ON i.id = v.id
+  LEFT JOIN c2self sf ON sf.id = v.id),
+{body2}
+SELECT l1.id AS vertex, COALESCE(m{rounds2}.label, l1.label) AS community
+FROM l{r1} l1 LEFT JOIN m{rounds2} ON m{rounds2}.id = l1.label"""
+
+
 def louvain_modularity_sql(rounds: int = 6) -> str:
     """Modularity Q of the Louvain partition — the same chain as
     louvain_sql, then the integer-aggregate Q tail shared with

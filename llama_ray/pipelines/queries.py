@@ -230,6 +230,18 @@ def q_louvain_weighted(sf_dir: str):
     return pa.table({"vertex": g.ids, "community": res.state["label"]})
 
 
+def q_louvain_multilevel(sf_dir: str):
+    """Two-level Louvain: phase-1 local moving, contraction
+    (inter-community weights + self-loop mass), weighted phase 2 with
+    the original 2m — see :func:`llama_ray.algos.louvain.
+    louvain_multilevel`."""
+    from ..algos.louvain import louvain_multilevel
+
+    g = _cached_canonical_graph(sf_dir)
+    res = louvain_multilevel(g, rounds1=4, rounds2=4, engine="bsp")
+    return pa.table({"vertex": g.ids, "community": res.state["label"]})
+
+
 def q_louvain_modularity(sf_dir: str):
     """Modularity Q of the 6-round Louvain partition — the quality
     composition query for community detection (same shape as

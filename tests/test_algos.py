@@ -635,3 +635,36 @@ def test_louvain_weighted_multiplicity_changes_partition():
         undirected_ordered(edges_ds(src, dst), drop_self_loops=True))), rounds=6)
     lp = res_plain.state["label"]
     assert lp[pos[2]] != lp[pos[3]]  # unweighted: triangles stay apart
+
+
+def test_louvain_multilevel_improves_modularity_and_engines_agree():
+    from llama_ray.algos.louvain import louvain_communities, louvain_multilevel
+    from llama_ray.algos.stats import modularity
+    from llama_ray.graph import canonical_undirected
+
+    g = canonical_undirected(build_graph(rmat(10, 10, seed=7)))
+    r1 = louvain_communities(g, rounds=6)
+    q1 = modularity(g, r1.state["dense_label"])["modularity"][0].as_py()
+    r2 = louvain_multilevel(g, rounds1=4, rounds2=4)
+    q2 = modularity(g, r2.state["dense_label"])["modularity"][0].as_py()
+    assert q2 > q1  # coarsening finds structure local moving cannot
+    r2d = louvain_multilevel(g, rounds1=4, rounds2=4, engine="dataset")
+    assert np.array_equal(r2d.state["label"], r2.state["label"])
+
+
+def test_louvain_multilevel_two_cliques_stay_separate():
+    from llama_ray.algos.louvain import louvain_multilevel
+
+    e = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                e.append((base + i, base + j))
+    e.append((0, 5))
+    src = np.array([a for a, _ in e])
+    dst = np.array([b for _, b in e])
+    g = build_graph(dedup_edges(undirected_ordered(edges_ds(src, dst), drop_self_loops=True)))
+    lab = louvain_multilevel(g, rounds1=4, rounds2=4).state["label"]
+    pos = np.searchsorted(g.ids, np.arange(10))
+    assert len(set(lab[pos[:5]])) == 1 and len(set(lab[pos[5:]])) == 1
+    assert lab[pos[0]] != lab[pos[9]]  # coarsening must not merge across the bridge
