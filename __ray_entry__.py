@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q.q_contamination,
         "doc_repetition": q.q_doc_repetition,
         "doc_dup_spans": q.q_doc_dup_spans,
+        "doc_fluency": q.q_doc_fluency,
         "doc_scrub": q.q_doc_scrub,
         "corpus_pipeline": q.q_corpus_pipeline,
         "source_cap": q.q_source_cap,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": o.contamination_sql(),
         "doc_repetition": o.doc_repetition_sql(),
         "doc_dup_spans": o.duplicate_spans_sql(),
+        "doc_fluency": o.token_fluency_sql(),
         "doc_scrub": o.scrub_sql(SCRUB_DEMO_PATTERNS),
         "corpus_pipeline": o.corpus_pipeline_sql(SCRUB_DEMO_PATTERNS),
         "source_cap": o.source_cap_sql(),

@@ -549,3 +549,98 @@ def scrub_patterns(
 # term pattern that actually occurs in the synthetic corpus (so the
 # oracle exercises real replacements, not just no-ops).
 SCRUB_DEMO_PATTERNS: tuple[str, ...] = PII_PATTERNS + (r"\b(customer|supplier)\b",)
+
+
+# ------------------------------------------------------- token fluency
+
+
+def token_fluency(
+    docs: rd.Dataset,
+    *,
+    top_k: int = 1_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Token-typicality (fluency) score: per document, the total and
+    mean corpus frequency of its whitespace tokens — the cheap
+    statistical-LM stand-in quality filters use (gibberish and
+    boilerplate-free text score low because its tokens are rare in the
+    corpus; typical prose scores high).
+
+    Two passes, both integer-exact:
+
+    1. exact corpus token counts via the sorted run-reduce
+       (``group_sum_sorted``), narrowed to the ``top_k`` most frequent
+       tokens (count desc, token asc — the deterministic rule the
+       oracle mirrors) and broadcast once with ``ray.put``; tokens
+       outside the top-k contribute 0 (at 100 TB the full vocabulary
+       is unbounded, the head is what carries the signal);
+    2. a ``map_batches`` scan: per doc, one vectorized searchsorted
+       against the broadcast sorted vocab per batch — no shuffle
+       touches the corpus again.
+
+    Returns (doc_id, n_tokens, freq_sum) — integers only, so the
+    DuckDB oracle is bit-exact with no rounding margin. Empty docs are
+    dropped (no tokens)."""
+    import ray
+
+    from ..common import distributed_topk, group_sum_sorted
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, _, data = _tokenize_batch(batch.column(text_col), lower=False)
+        vc = pc.value_counts(_tokens_string_array(starts, lens, data))
+        return pa.table(
+            {"token": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    vocab_ds = distributed_topk(
+        group_sum_sorted(
+            docs.select_columns([text_col]).map_batches(partial, batch_format="pyarrow"),
+            "token",
+            ["cnt"],
+        ),
+        [("cnt", "descending"), ("token", "ascending")],
+        top_k,
+    )
+    vt = pa.concat_tables([ray.get(r) for r in vocab_ds.to_arrow_refs()])
+    vocab_arr = vt.column("token").combine_chunks()
+    vocab_cnt = vt.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    vref = ray.put((vocab_arr, vocab_cnt))
+
+    def score(batch: pa.Table) -> dict:
+        empty = {
+            "doc_id": np.empty(0, np.int64),
+            "n_tokens": np.empty(0, np.int64),
+            "freq_sum": np.empty(0, np.int64),
+        }
+        if batch.num_rows == 0 or text_col not in batch.schema.names:
+            return empty
+        from ..common import batch_to_numpy
+
+        from .dedup import _tokens_string_array
+
+        varr, vcnt = ray.get(vref)
+        starts, lens, per_doc, data = _tokenize_batch(batch.column(text_col), lower=False)
+        arr = _tokens_string_array(starts, lens, data)
+        f = np.zeros(len(arr), np.int64)
+        if len(varr) and len(arr):
+            # vectorized C++ hash join of the batch tokens against the
+            # broadcast vocabulary — no Python string materialization
+            idx = pc.index_in(arr, value_set=varr)
+            valid = ~idx.is_null().to_numpy(zero_copy_only=False)
+            pos = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            f[valid] = vcnt[pos[valid]]
+        bounds = np.concatenate([[0], np.cumsum(per_doc)])
+        csum = np.concatenate([[0], np.cumsum(f)])
+        sums = csum[bounds[1:]] - csum[bounds[:-1]]
+        ids = batch_to_numpy(batch, id_col)
+        keep = per_doc > 0
+        return {
+            "doc_id": ids[keep],
+            "n_tokens": per_doc[keep].astype(np.int64),
+            "freq_sum": sums[keep].astype(np.int64),
+        }
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1494,6 +1494,23 @@ ORDER BY cnt DESC, token
 LIMIT {k}"""
 
 
+def token_fluency_sql(top_k: int = 1_000_000) -> str:
+    """Mirror of data_ops.text.token_fluency: per doc the count and
+    total corpus frequency of its whitespace tokens, frequencies taken
+    from the top_k vocabulary (cnt desc, token asc; absent tokens
+    contribute 0). Integers only — bit-exact."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+tk AS MATERIALIZED (SELECT doc_id, token FROM toks WHERE token <> ''),
+vocab AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY token
+  ORDER BY cnt DESC, token LIMIT {top_k})
+SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS freq_sum
+FROM tk LEFT JOIN vocab v ON v.token = tk.token
+GROUP BY tk.doc_id"""
+
+
 def doc_split_sql(seed: int = 20260818) -> str:
     """Mirror of data_ops.text.hash_split_summary: splitmix64(doc_id *
     GOLD XOR seed) mod 1000 buckets -> 98/1/1 train/valid/test, exact

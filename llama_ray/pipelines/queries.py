@@ -1293,6 +1293,16 @@ def q_doc_scrub(sf_dir: str):
     return scrub_patterns(docs, patterns=SCRUB_DEMO_PATTERNS)
 
 
+def q_doc_fluency(sf_dir: str):
+    """Token-typicality (fluency) score: per doc the total corpus
+    frequency of its tokens — the statistical-LM stand-in of quality
+    filtering; see :func:`llama_ray.data_ops.text.token_fluency`."""
+    from ..data_ops.text import token_fluency
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_fluency(docs)
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Cross-document duplicate-span profile (Lee et al. 2022
     substring-dedup signal): per doc, distinct 8-gram count and the

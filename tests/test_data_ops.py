@@ -1116,3 +1116,37 @@ def test_duplicate_spans_hot_gram_spans_blocks():
     assert len(out) == n
     assert (out["n_ngrams"] == 4).all()
     assert (out["n_dup"] == 1).all()
+
+
+def test_token_fluency_counts_and_truncation():
+    """token_fluency: per-occurrence corpus frequency sums; tokens
+    outside the top_k vocabulary contribute 0; empty docs dropped."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.text import token_fluency
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["the cat sat on the mat", "the the the", "zzyzx qwfp glorb", ""]
+            ),
+        }
+    )
+    out = (
+        token_fluency(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["freq_sum"].tolist() == [14, 15, 3]  # the×5 dominates
+    assert out["n_tokens"].tolist() == [6, 3, 3]
+    # top_k=1 keeps only "the" (corpus cnt 5); others score 0
+    out1 = (
+        token_fluency(rd.from_arrow(tbl).repartition(2), top_k=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out1["freq_sum"].tolist() == [10, 15, 0]
