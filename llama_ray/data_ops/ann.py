@@ -519,3 +519,67 @@ def cosine_pairs(
     return emb.select_columns([id_col, vec_col]).map_batches(
         pairs, batch_format="pyarrow"
     )
+
+
+def seed_partition(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """Deterministic nearest-seed partitioning of an embedding corpus
+    (the MIPS/IVF assignment step made oracle-exact): the ``k``
+    smallest-id vectors are the seeds; every vector joins the seed
+    maximizing the QUANTIZED inner product
+
+        score(v, s) = Σ_d  ⌊v_d·scale + ½⌋ · ⌊s_d·scale + ½⌋
+
+    — all int64 (|q| ≤ scale for unit-ish embeddings; 64 dims keep the
+    dot < 2^53), so the argmax (ties → smaller seed id) is exact in
+    any batch layout AND in DuckDB, unlike float k-means centroids
+    (the reason ``knn_ivf`` is rows-only). One broadcast of the K×d
+    seed matrix, one integer matmul per batch, no shuffle.
+
+    Returns (vec_id, seed_id, score)."""
+    import ray
+
+    seeds_tbl = (
+        emb.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    if len(seeds_tbl) == 0:
+        raise ValueError("seed_partition: empty embedding dataset")
+    seed_ids = seeds_tbl[id_col].to_numpy().astype(np.int64)
+    sm = np.stack([np.asarray(v, np.float64) for v in seeds_tbl[vec_col]])
+    q_seeds = np.floor(sm * scale + 0.5).astype(np.int64)
+    order = np.argsort(seed_ids)  # tie-break needs seeds in id order
+    seed_ids, q_seeds = seed_ids[order], q_seeds[order]
+    ref = ray.put((seed_ids, q_seeds))
+
+    def assign(batch: pa.Table) -> dict:
+        empty = {
+            "vec_id": np.empty(0, np.int64),
+            "seed_id": np.empty(0, np.int64),
+            "score": np.empty(0, np.int64),
+        }
+        n = batch.num_rows
+        if n == 0 or vec_col not in batch.schema.names:
+            return empty
+        sids, qs = ray.get(ref)
+        V = _as_matrix(batch, vec_col, n)
+        qv = np.floor(V * scale + 0.5).astype(np.int64)
+        scores = qv @ qs.T  # (n, k) int64, exact
+        best = np.argmax(scores, axis=1)  # first max = smallest seed id
+        return {
+            "vec_id": batch_to_numpy(batch, id_col).astype(np.int64),
+            "seed_id": sids[best],
+            "score": scores[np.arange(n), best],
+        }
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -525,6 +525,28 @@ r AS (SELECT qid, vec_id, sim,
 SELECT qid, vec_id AS neighbor_id, ROUND(sim, 5) AS sim FROM r WHERE rn <= {k}"""
 
 
+def seed_partition_sql(k: int = 8, scale: int = 1 << 16) -> str:
+    """Mirror of data_ops.ann.seed_partition: both sides quantize every
+    coordinate to ⌊x·scale + ½⌋ as int64 (float32 → DOUBLE is exact,
+    so floor agrees bit-for-bit) and take the integer-dot argmax with
+    ties to the smaller seed id — no float comparison anywhere."""
+    q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT))"
+    return f"""WITH s AS (
+  SELECT vec_id AS seed_id, {q} AS qs
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+v AS (
+  SELECT vec_id, {q} AS qv
+  FROM embeddings),
+d AS (
+  SELECT v.vec_id, s.seed_id,
+         CAST(list_sum(list_transform(list_zip(v.qv, s.qs), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM v CROSS JOIN s),
+r AS (SELECT vec_id, seed_id, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, seed_id ASC) AS rn
+      FROM d)
+SELECT vec_id, seed_id, score FROM r WHERE rn = 1"""
+
+
 def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:
     """Exact cosine all-pairs ≥ τ (mirrors data_ops.ann.cosine_pairs;
     DOUBLE casts so DuckDB and the numpy matmul agree to ≫5 decimals)."""

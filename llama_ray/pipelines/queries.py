@@ -838,6 +838,20 @@ def q_knn_ivf(sf_dir: str, *, n_queries: int = 5, k: int = 10):
 # ------------------------------------------------------------- embeddings
 
 
+def q_vec_seed_partition(sf_dir: str):
+    """Deterministic nearest-seed partitioning (the IVF assignment
+    step made oracle-exact via integer-quantized dot products): 8
+    smallest-id seeds, one broadcast K×d matrix, one int64 matmul per
+    batch — no shuffle. Full DuckDB oracle (list_zip + list_sum)."""
+    from ..data_ops.ann import seed_partition
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return seed_partition(emb, k=8)
+
+
 def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k: broadcast the query matrix, per-batch
     float64 matmul + per-batch top-k partials, final top-k on the

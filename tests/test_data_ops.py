@@ -1150,3 +1150,38 @@ def test_token_fluency_counts_and_truncation():
         .reset_index(drop=True)
     )
     assert out1["freq_sum"].tolist() == [10, 15, 0]
+
+
+def test_seed_partition_layout_independent_and_exact():
+    """Quantized integer argmax must be identical in any block layout,
+    and must equal the numpy oracle computed on the whole matrix."""
+    from llama_ray.data_ops.ann import seed_partition
+
+    rng = np.random.default_rng(7)
+    n, dim, k, scale = 120, 16, 5, 1 << 16
+    V = rng.normal(size=(n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # force score ties for the tie-break rule: vector 50 == seed 2's dup
+    V[50] = V[2]
+    V[51] = V[2]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in V],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    q = np.floor(V.astype(np.float32).astype(np.float64) * scale + 0.5).astype(np.int64)
+    scores = q @ q[:k].T
+    best = np.argmax(scores, axis=1)  # first max = smallest seed id
+    for parts in (1, 7):
+        out = (
+            seed_partition(rd.from_arrow(tbl).repartition(parts), k=k)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert out["seed_id"].to_numpy().tolist() == best.tolist()
+        assert out["score"].to_numpy().tolist() == scores[np.arange(n), best].tolist()
+    with pytest.raises(ValueError):
+        seed_partition(rd.from_arrow(tbl.slice(0, 0)), k=3).materialize()
