@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "knn_cosine": q.q_knn_cosine,
         "vec_seed_partition": q.q_vec_seed_partition,
+        "vec_kmeans": q.q_vec_kmeans,
         "graph_walks": q.q_graph_walks,
         "neighbor_sample": q.q_neighbor_sample,
         "graph_walks_weighted": q.q_graph_walks_weighted,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": o.events_hourly_sql(),
         "knn_cosine": o.knn_cosine_sql(),
         "vec_seed_partition": o.seed_partition_sql(),
+        "vec_kmeans": o.kmeans_quantized_sql(),
         "seq_pack": o.seq_pack_sql(),
         "contamination": o.contamination_sql(),
         "doc_repetition": o.doc_repetition_sql(),

@@ -583,3 +583,102 @@ def seed_partition(
     return emb.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def kmeans_quantized(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """Lloyd's k-means in EXACT int64 arithmetic — the IVF coarse
+    quantizer's training loop made oracle-checkable (the float version,
+    :func:`kmeans_spherical`, reduces partial sums in block-arrival
+    order and is only per-layout deterministic). Everything is integer:
+
+    * vectors quantize to ``qv = ⌊v·scale + ½⌋`` (int64),
+    * init centroids are the ``k`` smallest-id quantized vectors,
+    * assignment is the int64 dot-product argmax (ties → smaller
+      cluster id, i.e. smaller seed ``vec_id``),
+    * the update is the per-dimension FLOOR of the cluster mean,
+      ``⌊Σ qv_d / n⌋`` (empty clusters keep their centroid),
+
+    so sums commute, every block layout and every SQL engine computes
+    the identical result. Per iteration: one (k×d) broadcast, one int64
+    matmul + per-cluster ``reduceat`` partial per block, an O(k·d)
+    driver reduce — the corpus never leaves the blocks and there is no
+    shuffle. Returns (vec_id, cluster_id, score) of the FINAL
+    assignment, cluster_id = the founding seed's id."""
+    from ..common import per_block_results
+
+    seeds_tbl = (
+        emb.select_columns([id_col, vec_col]).sort(id_col).limit(k).to_pandas()
+    )
+    if len(seeds_tbl) == 0:
+        raise ValueError("kmeans_quantized: empty embedding dataset")
+    seed_ids = seeds_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(seed_ids)
+    seed_ids = seed_ids[order]
+    sm = np.stack(
+        [np.asarray(v, np.float64) for v in seeds_tbl[vec_col].to_numpy()[order]]
+    )
+    C = np.floor(sm * scale + 0.5).astype(np.int64)
+    K, d = C.shape
+
+    emb = emb.select_columns([id_col, vec_col])
+    if not _is_materialized(emb):
+        emb = emb.materialize()
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(tbl: pa.Table):
+            if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+                return None
+            n = tbl.num_rows
+            qv = np.floor(_as_matrix(tbl, vec_col, n) * scale + 0.5).astype(np.int64)
+            A = np.argmax(qv @ ray.get(c_ref).T, axis=1)  # first max = low id
+            order = np.argsort(A, kind="stable")
+            As = A[order]
+            first = np.ones(n, bool)
+            first[1:] = As[1:] != As[:-1]
+            starts = np.flatnonzero(first)
+            S = np.zeros((K, d), np.int64)
+            S[As[starts]] = np.add.reduceat(qv[order], starts, axis=0)
+            return S, np.bincount(A, minlength=K).astype(np.int64)
+
+        S = np.zeros((K, d), np.int64)
+        cnt = np.zeros(K, np.int64)
+        for p in per_block_results(emb, partial):
+            if p is not None:
+                S += p[0]
+                cnt += p[1]
+        nz = cnt > 0
+        # floor(S/n): numpy // floors; the SQL twin uses the offset
+        # trick (S + n·M)//n − M to floor with truncating division
+        C = np.where(nz[:, None], S // np.maximum(cnt, 1)[:, None], C)
+
+    c_ref = ray.put((seed_ids, C))
+
+    def assign(batch: pa.Table) -> dict:
+        n = batch.num_rows
+        if n == 0 or vec_col not in batch.schema.names:
+            return {
+                "vec_id": np.empty(0, np.int64),
+                "cluster_id": np.empty(0, np.int64),
+                "score": np.empty(0, np.int64),
+            }
+        sids, cm = ray.get(c_ref)
+        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
+        scores = qv @ cm.T
+        best = np.argmax(scores, axis=1)
+        return {
+            "vec_id": batch_to_numpy(batch, id_col).astype(np.int64),
+            "cluster_id": sids[best],
+            "score": scores[np.arange(n), best],
+        }
+
+    return emb.map_batches(assign, batch_format="pyarrow")

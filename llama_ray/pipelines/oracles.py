@@ -547,6 +547,51 @@ r AS (SELECT vec_id, seed_id, score,
 SELECT vec_id, seed_id, score FROM r WHERE rn = 1"""
 
 
+def kmeans_quantized_sql(k: int = 8, scale: int = 1 << 16) -> str:
+    """Mirror of data_ops.ann.kmeans_quantized (one Lloyd iteration):
+    quantize, assign to the k smallest-id seeds by int64-dot argmax,
+    per-cluster per-dimension integer sums, centroid = ⌊mean⌋ via the
+    offset trick ((S + n·M)//n − M floors with DuckDB's truncating //),
+    reassign. Pure integers end to end, so it hash-matches the Ray
+    side in any block layout."""
+    q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT))"
+    m = 1 << 20  # ≥ max|qv| for |x| ≤ 16, keeps S + n·M ≥ 0
+    return f"""WITH s AS (
+  SELECT vec_id AS cluster_id, {q} AS qs
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+v AS (
+  SELECT vec_id, {q} AS qv
+  FROM embeddings),
+d0 AS (
+  SELECT v.vec_id, s.cluster_id, v.qv,
+         CAST(list_sum(list_transform(list_zip(v.qv, s.qs), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM v CROSS JOIN s),
+a0 AS (
+  SELECT vec_id, cluster_id, qv
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster_id ASC) AS rn FROM d0)
+  WHERE rn = 1),
+e AS (
+  SELECT cluster_id, unnest(qv) AS val, unnest(range(1, len(qv)+1)) AS dim
+  FROM a0),
+g AS (
+  SELECT e.cluster_id, e.dim,
+         CAST(SUM(e.val) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY e.cluster_id, e.dim),
+c1 AS (
+  SELECT cluster_id, list((sv + n*{m}) // n - {m} ORDER BY dim) AS cv
+  FROM g GROUP BY cluster_id),
+cf AS (
+  SELECT s.cluster_id, COALESCE(c1.cv, s.qs) AS cv
+  FROM s LEFT JOIN c1 USING (cluster_id)),
+d1 AS (
+  SELECT v.vec_id, cf.cluster_id,
+         CAST(list_sum(list_transform(list_zip(v.qv, cf.cv), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM v CROSS JOIN cf)
+SELECT vec_id, cluster_id, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster_id ASC) AS rn FROM d1)
+WHERE rn = 1"""
+
+
 def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:
     """Exact cosine all-pairs ≥ τ (mirrors data_ops.ann.cosine_pairs;
     DOUBLE casts so DuckDB and the numpy matmul agree to ≫5 decimals)."""

@@ -852,6 +852,21 @@ def q_vec_seed_partition(sf_dir: str):
     return seed_partition(emb, k=8)
 
 
+def q_vec_kmeans(sf_dir: str):
+    """Integer-exact Lloyd k-means (one iteration from the 8
+    smallest-id seeds): the IVF training loop with a full DuckDB
+    oracle — all-int64 quantized dots, floor-mean centroids. Per
+    iteration one k×d broadcast + per-block reduceat partials; no
+    shuffle, corpus never leaves the blocks."""
+    from ..data_ops.ann import kmeans_quantized
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_quantized(emb, k=8, iters=1)
+
+
 def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k: broadcast the query matrix, per-batch
     float64 matmul + per-batch top-k partials, final top-k on the

@@ -1185,3 +1185,58 @@ def test_seed_partition_layout_independent_and_exact():
         assert out["score"].to_numpy().tolist() == scores[np.arange(n), best].tolist()
     with pytest.raises(ValueError):
         seed_partition(rd.from_arrow(tbl.slice(0, 0)), k=3).materialize()
+
+
+def test_kmeans_quantized_matches_numpy_lloyd_any_layout():
+    """Integer Lloyd must equal a sequential numpy mirror in every
+    block layout, across iterations; duplicated seeds exercise the
+    tie-break (first max = smaller cluster id) and the resulting
+    empty cluster keeps its centroid."""
+    from llama_ray.data_ops.ann import kmeans_quantized
+
+    rng = np.random.default_rng(11)
+    n, dim, k, scale = 90, 8, 4, 1 << 16
+    V = rng.normal(size=(n, dim))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    V[3] = V[0]  # seed 3 duplicates seed 0 -> cluster 3 stays empty
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in V], pa.list_(pa.float32())
+            ),
+        }
+    )
+    qv = np.floor(V.astype(np.float32).astype(np.float64) * scale + 0.5).astype(np.int64)
+
+    def lloyd(iters):
+        C = qv[:k].copy()
+        for _ in range(iters):
+            A = np.argmax(qv @ C.T, axis=1)
+            for c in range(k):
+                m = A == c
+                if m.any():
+                    C[c] = qv[m].sum(axis=0) // m.sum()
+        sc = qv @ C.T
+        best = np.argmax(sc, axis=1)
+        return best, sc[np.arange(n), best], C
+
+    for iters in (1, 3):
+        best, score, C = lloyd(iters)
+        for parts in (1, 6):
+            out = (
+                kmeans_quantized(
+                    rd.from_arrow(tbl).repartition(parts), k=k, iters=iters
+                )
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+            assert out["cluster_id"].tolist() == best.tolist()
+            assert out["score"].tolist() == score.tolist()
+    # duplicated seed: round-0 ties resolve to the smaller id, so no
+    # vector ever joins cluster 3 and its centroid is preserved (the
+    # FINAL assignment may still pick 3 once centroid 0 has moved)
+    A0 = np.argmax(qv @ qv[:k].T, axis=1)
+    _, _, C1 = lloyd(1)
+    assert 3 not in A0 and np.array_equal(C1[3], qv[3])
