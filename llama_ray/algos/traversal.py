@@ -177,52 +177,96 @@ def bfs(graph: Graph, root_id: int, **kwargs) -> SuperstepResult:
     return sssp(graph, root_id, weighted=False, **kwargs)
 
 
+def _smallest_id_source_dists(graph: Graph, k: int):
+    """Yield ``(dense_source, dist)`` for the ``k`` smallest-id
+    vertices: directed level-synchronous BFS over out-edges (the same
+    semantics as the ``bfs`` query) on the cached shared forward pool.
+    One ``gather_max_masked`` per level; the O(V) frontier is the only
+    driver state — the pseudo-diameter loop's envelope. Deterministic
+    source set (ids are sorted, so dense 0..k-1 = k smallest ids) so
+    DuckDB oracles can replay it."""
+    from ..engine.bsp import shared_pool
+
+    n = graph.num_vertices
+    pool = shared_pool(graph)
+    ones = np.ones(n, np.int64)
+    for s in range(k):
+        dist = np.full(n, -1, np.int64)
+        dist[s] = 0
+        frontier = np.zeros(n, bool)
+        frontier[s] = True
+        lvl = 0
+        while frontier.any():
+            lvl += 1
+            reach = pool.gather_max_masked(ones, frontier)
+            new = (reach == 1) & (dist < 0)
+            dist[new] = lvl
+            frontier = new
+        yield s, dist
+
+
 def closeness_sampled(graph: Graph, *, num_sources: int = 8) -> "pa.Table":
     """Classic closeness centrality ``(reached-1)/sum_dist`` from the
-    ``num_sources`` smallest-id vertices, by directed BFS (out-edges —
-    the same semantics as the ``bfs`` query). Deterministic source set
-    so the DuckDB oracle can replay it; per level one
-    ``gather_max_masked`` over the cached forward pool, O(V) driver
-    frontier — the pseudo-diameter loop's envelope.
+    ``num_sources`` smallest-id vertices (see
+    :func:`_smallest_id_source_dists` for the BFS envelope).
 
     Returns (source, reached, sum_dist, closeness) per source;
     closeness rounded to 6 decimals, 0 when the source reaches
     nothing."""
     import pyarrow as pa
 
-    from ..engine.bsp import shared_pool
-
-    n = graph.num_vertices
-    k = min(num_sources, n)
     cols: dict[str, list] = {"source": [], "reached": [], "sum_dist": [], "closeness": []}
-    if k:
-        pool = shared_pool(graph)
-        ones = np.ones(n, np.int64)
-        for s in range(k):  # ids are sorted: dense 0..k-1 = k smallest ids
-            dist = np.full(n, -1, np.int64)
-            dist[s] = 0
-            frontier = np.zeros(n, bool)
-            frontier[s] = True
-            lvl = 0
-            while frontier.any():
-                lvl += 1
-                reach = pool.gather_max_masked(ones, frontier)
-                new = (reach == 1) & (dist < 0)
-                dist[new] = lvl
-                frontier = new
-            fin = dist >= 0
-            r = int(fin.sum())
-            sd = int(dist[fin].sum())
-            cols["source"].append(int(graph.ids[s]))
-            cols["reached"].append(r)
-            cols["sum_dist"].append(sd)
-            cols["closeness"].append(float(np.round((r - 1) / sd, 6)) if sd > 0 else 0.0)
+    for s, dist in _smallest_id_source_dists(graph, min(num_sources, graph.num_vertices)):
+        fin = dist >= 0
+        r = int(fin.sum())
+        sd = int(dist[fin].sum())
+        cols["source"].append(int(graph.ids[s]))
+        cols["reached"].append(r)
+        cols["sum_dist"].append(sd)
+        cols["closeness"].append(float(np.round((r - 1) / sd, 6)) if sd > 0 else 0.0)
     return pa.table(
         {
             "source": pa.array(cols["source"], pa.int64()),
             "reached": pa.array(cols["reached"], pa.int64()),
             "sum_dist": pa.array(cols["sum_dist"], pa.int64()),
             "closeness": pa.array(cols["closeness"], pa.float64()),
+        }
+    )
+
+
+def harmonic_sampled(graph: Graph, *, num_sources: int = 8) -> "pa.Table":
+    """Harmonic centrality ``Σ_t 1/d(s,t)`` from the ``num_sources``
+    smallest-id vertices (outward form over directed BFS distances —
+    Boldi & Vigna 2014 define the inward one; same direction as the
+    ``bfs``/``closeness`` queries so one oracle family covers all
+    three). Unlike closeness it is well-defined on disconnected
+    graphs: unreachable targets contribute 0 instead of poisoning the
+    denominator.
+
+    The sum is accumulated per distance level ascending —
+    ``Σ_{d≥1} cnt_d / d`` — a ≤diameter-term float64 sum that DuckDB
+    reproduces exactly at 6-decimal rounding. Same BFS envelope as
+    :func:`closeness_sampled` (shared pool, O(V) driver frontier).
+
+    Returns (source, reached, harmonic) per source, harmonic rounded
+    to 6 decimals."""
+    import pyarrow as pa
+
+    cols: dict[str, list] = {"source": [], "reached": [], "harmonic": []}
+    for s, dist in _smallest_id_source_dists(graph, min(num_sources, graph.num_vertices)):
+        fin = dist >= 0
+        ds, cnts = np.unique(dist[fin & (dist > 0)], return_counts=True)
+        h = 0.0
+        for d, c in zip(ds, cnts):  # ascending d — deterministic order
+            h += float(c) / float(d)
+        cols["source"].append(int(graph.ids[s]))
+        cols["reached"].append(int(fin.sum()))
+        cols["harmonic"].append(float(np.round(h, 6)))
+    return pa.table(
+        {
+            "source": pa.array(cols["source"], pa.int64()),
+            "reached": pa.array(cols["reached"], pa.int64()),
+            "harmonic": pa.array(cols["harmonic"], pa.float64()),
         }
     )
 

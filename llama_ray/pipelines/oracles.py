@@ -1808,6 +1808,33 @@ SELECT source, CAST(reached AS BIGINT) AS reached, CAST(sum_dist AS BIGINT) AS s
 FROM ({union}) ORDER BY source"""
 
 
+def harmonic_sql(num_sources: int = 8) -> str:
+    """Mirror of algos.traversal.harmonic_sampled: directed BFS from
+    the ``num_sources`` smallest-id vertices, harmonic centrality as
+    the per-distance-level sum Σ_{d≥1} cnt_d/d (≤diameter float terms,
+    stable at 6-decimal rounding), rounded to 6."""
+    bfs_parts = []
+    rows = []
+    for i in range(num_sources):
+        start = f"SELECT id FROM v ORDER BY id OFFSET {i} LIMIT 1"
+        bfs_parts.append(_bfs_recursion(f"hb{i}", start, edges="de"))
+        rows.append(
+            f"""SELECT ({start}) AS source,
+       (SELECT COUNT(*) FROM (SELECT a, MAX(d) FROM hb{i} WHERE kind = 1 GROUP BY a)) AS reached,
+       (SELECT COALESCE(SUM(CAST(cnt AS DOUBLE) / d), 0)
+        FROM (SELECT d, COUNT(*) AS cnt
+              FROM (SELECT a, MAX(d) AS d FROM hb{i} WHERE kind = 1 GROUP BY a)
+              WHERE d > 0 GROUP BY d)) AS harmonic"""
+        )
+    body = ",\n".join(bfs_parts)
+    union = " UNION ALL ".join(rows)
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+de AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src <> dst),
+{body}
+SELECT source, CAST(reached AS BIGINT) AS reached, ROUND(harmonic, 6) AS harmonic
+FROM ({union}) ORDER BY source"""
+
+
 def pseudo_diameter_sql() -> str:
     """Mirror of algos.traversal.pseudo_diameter: double-sweep BFS —
     sweep 1 from the min-id vertex, sweep 2 from the farthest vertex of

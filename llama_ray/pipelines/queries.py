@@ -1248,6 +1248,14 @@ def q_closeness(sf_dir: str):
     return closeness_sampled(_cached_tpch_graph(sf_dir))
 
 
+def q_harmonic(sf_dir: str):
+    """Harmonic centrality from the 8 smallest-id vertices (see
+    :func:`llama_ray.algos.traversal.harmonic_sampled`)."""
+    from ..algos.traversal import harmonic_sampled
+
+    return harmonic_sampled(_cached_tpch_graph(sf_dir))
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of document length via the histogram method
     (see :func:`llama_ray.data_ops.text.exact_quantiles`)."""

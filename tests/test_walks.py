@@ -665,6 +665,64 @@ def test_closeness_sampled_matches_brute_force():
         assert row.closeness == (round((r - 1) / sd, 6) if sd else 0.0)
 
 
+def test_harmonic_sampled_matches_brute_force():
+    """Directed-BFS harmonic centrality from the 8 smallest ids ==
+    dict-BFS oracle, layout-independent; unreachable targets
+    contribute 0 (disconnected-graph well-definedness)."""
+    from collections import deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from llama_ray.algos.traversal import harmonic_sampled
+    from llama_ray.graph import build_graph
+    from llama_ray.ingest.canonicalize import dedup_edges
+    from llama_ray.sources.generators import rmat
+
+    es = rmat(scale=7, avg_degree=3, seed=31)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+    outs = []
+    for blocks in (1, 8):
+        ds = dedup_edges(
+            rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())})).repartition(blocks)
+        )
+        outs.append(harmonic_sampled(build_graph(ds)).to_pandas())
+    assert outs[0].equals(outs[1])
+
+    nbrs: dict[int, set] = {}
+    verts = sorted(set(src.tolist()) | set(dst.tolist()))
+    for v in verts:
+        nbrs[v] = set()
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        if a != b:
+            nbrs[a].add(b)
+
+    for row, s in zip(outs[0].itertuples(), verts[:8]):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in nbrs[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        # per-distance-level ascending accumulation — the exact order
+        # the engine and the SQL oracle both use
+        cnt: dict[int, int] = {}
+        for d in dist.values():
+            if d > 0:
+                cnt[d] = cnt.get(d, 0) + 1
+        h = 0.0
+        for d in sorted(cnt):
+            h += cnt[d] / d
+        assert (row.source, row.reached) == (s, len(dist))
+        assert row.harmonic == round(h, 6)
+
+
 def test_maximal_matching_matches_sequential_greedy():
     """Local-max matching == sequential greedy over edges sorted by
     decreasing priority; output is a valid maximal matching;
