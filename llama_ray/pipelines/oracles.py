@@ -458,6 +458,66 @@ wv AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we),
 SELECT id AS vertex, ROUND(dist, 6) AS dist FROM d{rounds} WHERE dist < {INF}"""
 
 
+def msf_sql(rounds: int = 16, doubling: int = 15) -> str:
+    """Unrolled Borůvka (mirror of ``algos.msf``): per round, each
+    component picks its minimum incident cross edge under the total
+    order (w, a, b); hooks are 2-cycle-broken toward the smaller
+    component id, then ``doubling`` pointer-doubling joins contract
+    every hooking tree to its root (depth ≤ #components ≤ 2^doubling+1).
+    Components at least halve per round, so ``rounds`` = 16 covers
+    V ≤ 65536; exhausted rounds are no-ops (no cross edges left)."""
+    parts = [
+        "uw AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(weight) AS w FROM raw_edges WHERE src <> dst GROUP BY 1, 2)",
+        "cvw AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM uw UNION SELECT b FROM uw))",
+        "lab0 AS MATERIALIZED (SELECT id, id AS lab FROM cvw)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""cr{r} AS MATERIALIZED (
+  SELECT l1.lab AS ca, l2.lab AS cb, u.w, u.a, u.b
+  FROM uw u JOIN lab{r - 1} l1 ON l1.id = u.a JOIN lab{r - 1} l2 ON l2.id = u.b
+  WHERE l1.lab <> l2.lab)"""
+        )
+        parts.append(
+            f"""pick{r} AS MATERIALIZED (
+  SELECT c, oc, w, a, b FROM (
+    SELECT c, oc, w, a, b,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (SELECT ca AS c, cb AS oc, w, a, b FROM cr{r}
+          UNION ALL SELECT cb, ca, w, a, b FROM cr{r})
+  ) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""p{r}_0 AS MATERIALIZED (
+  SELECT cs.c, COALESCE(pk.oc, cs.c) AS p
+  FROM (SELECT DISTINCT lab AS c FROM lab{r - 1}) cs
+  LEFT JOIN pick{r} pk ON pk.c = cs.c)"""
+        )
+        parts.append(
+            f"""p{r}_b AS MATERIALIZED (
+  SELECT x.c, CASE WHEN y.p = x.c AND x.c < x.p THEN x.c ELSE x.p END AS p
+  FROM p{r}_0 x JOIN p{r}_0 y ON y.c = x.p)"""
+        )
+        prev = f"p{r}_b"
+        for k in range(doubling):
+            parts.append(
+                f"""p{r}_d{k} AS MATERIALIZED (
+  SELECT x.c, y.p FROM {prev} x JOIN {prev} y ON y.c = x.p)"""
+            )
+            prev = f"p{r}_d{k}"
+        parts.append(
+            f"""lab{r} AS MATERIALIZED (
+  SELECT l.id, pd.p AS lab FROM lab{r - 1} l JOIN {prev} pd ON pd.c = l.lab)"""
+        )
+    body = ",\n".join(parts)
+    picks = "\n    UNION ALL ".join(
+        f"SELECT a, b, w FROM pick{r}" for r in range(1, rounds + 1)
+    )
+    return f"""WITH raw_edges AS ({RAW_EDGES_SQL}),
+{body}
+SELECT DISTINCT a AS src, b AS dst, w AS weight FROM ({picks})"""
+
+
 def avg_nbr_balance_sql() -> str:
     return f"""WITH {GRAPH_CTES},
 props AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer

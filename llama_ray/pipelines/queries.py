@@ -321,6 +321,39 @@ def q_sssp_weighted(sf_dir: str):
     return pa.table({"vertex": g.ids[reached], "dist": np.round(dist[reached], 6)})
 
 
+def q_msf(sf_dir: str):
+    """Minimum spanning forest (distributed Borůvka —
+    :mod:`llama_ray.algos.msf`) over the undirected weighted pair
+    graph: per raw edge (a=min, b=max), self-loops dropped, pair
+    weight = SUM of raw weights over both orientations (integer-valued
+    l_quantity sums — exact in float64 in any reduction order). The
+    deterministic (weight, a, b) total order makes the forest unique,
+    so the unrolled-Borůvka DuckDB oracle hash-matches."""
+    from ..algos.msf import minimum_spanning_forest
+
+    g = _GRAPH_CACHE.get(("msf_w", sf_dir))
+    if g is None:
+
+        def canon(b: pa.Table):
+            s = batch_to_numpy(b, "src")
+            d = batch_to_numpy(b, "dst")
+            w = batch_to_numpy(b, "weight").astype(np.float64)
+            lo = np.minimum(s, d)
+            hi = np.maximum(s, d)
+            keep = lo != hi
+            return {"src": lo[keep], "dst": hi[keep], "weight": w[keep]}
+
+        pairs = dedup_edges(
+            raw_edges(sf_dir)
+            .select_columns(["src", "dst", "weight"])
+            .map_batches(canon, batch_format="pyarrow"),
+            weights="sum",
+        )
+        g = build_graph(pairs)
+        _GRAPH_CACHE[("msf_w", sf_dir)] = g
+    return minimum_spanning_forest(g)
+
+
 def q_avg_nbr_balance(sf_dir: str):
     """avg_teen_cnt analogue (`/root/reference/benchmark/benchmarks/avg_teen_cnt.h:55-141`):
     per nation vertex, count in-neighbors (customers/suppliers) with

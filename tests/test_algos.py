@@ -668,3 +668,104 @@ def test_louvain_multilevel_two_cliques_stay_separate():
     pos = np.searchsorted(g.ids, np.arange(10))
     assert len(set(lab[pos[:5]])) == 1 and len(set(lab[pos[5:]])) == 1
     assert lab[pos[0]] != lab[pos[9]]  # coarsening must not merge across the bridge
+
+
+# ------------------------------------------------------------------ MSF
+
+
+def _kruskal_np(a, b, w):
+    """Sequential Kruskal with union-find under the (w, a, b) total
+    order — the classical-oracle twin of the distributed Borůvka."""
+    order = np.lexsort((b, a, w))
+    ids = np.unique(np.concatenate([a, b]))
+    parent = dict(zip(ids.tolist(), ids.tolist()))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for i in order:
+        ra, rb = find(int(a[i])), find(int(b[i]))
+        if ra != rb:
+            parent[ra] = rb
+            out.append((int(a[i]), int(b[i]), float(w[i])))
+    return sorted(out)
+
+
+def _msf_pairs(sf_src, sf_dst, sf_w):
+    """Build the canonical weighted pair graph and run Borůvka."""
+    from llama_ray.algos.msf import minimum_spanning_forest
+
+    tbl = pa.table(
+        {
+            "src": pa.array(sf_src, pa.int64()),
+            "dst": pa.array(sf_dst, pa.int64()),
+            "weight": pa.array(np.asarray(sf_w, np.float64), pa.float64()),
+        }
+    )
+    g = build_graph(dedup_edges(rd.from_arrow(tbl), weights="sum"))
+    res = minimum_spanning_forest(g)
+    return sorted(
+        zip(
+            res.column("src").to_pylist(),
+            res.column("dst").to_pylist(),
+            res.column("weight").to_pylist(),
+        )
+    )
+
+
+def test_msf_fixture():
+    # two components + duplicate weights exercising the (w, a, b) tie-break
+    a = np.array([0, 0, 1, 2, 5, 5, 6])
+    b = np.array([1, 2, 2, 3, 6, 7, 7])
+    w = np.array([1.0, 1.0, 1.0, 2.0, 3.0, 3.0, 3.0])
+    got = _msf_pairs(a, b, w)
+    want = _kruskal_np(a, b, w)
+    assert got == want
+    assert len(got) == 5  # V=8, two components -> 8 - 2 edges
+
+
+def test_msf_random_matches_kruskal():
+    rng = np.random.default_rng(20260819)
+    for trial in range(4):
+        n = 120
+        m = 300
+        aa = rng.integers(0, n, m)
+        bb = rng.integers(0, n, m)
+        keep = aa != bb
+        a = np.minimum(aa[keep], bb[keep])
+        b = np.maximum(aa[keep], bb[keep])
+        # integer-valued weights with many duplicates (tie-break stress)
+        w = rng.integers(1, 8, len(a)).astype(np.float64)
+        # collapse duplicate pairs by summing weights (the query semantics)
+        key = a * n + b
+        order = np.argsort(key, kind="stable")
+        a, b, w, key = a[order], b[order], w[order], key[order]
+        first = np.ones(len(a), bool)
+        first[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(first)
+        ws = np.add.reduceat(w, starts)
+        got = _msf_pairs(a, b, w)  # dedup_edges(sum) folds duplicates
+        want = _kruskal_np(a[first], b[first], ws)
+        assert got == want, f"trial {trial}"
+
+
+def test_msf_empty_and_selfloop_only():
+    from llama_ray.algos.msf import minimum_spanning_forest
+
+    tbl = pa.table(
+        {
+            "src": pa.array([4, 4], pa.int64()),
+            "dst": pa.array([4, 4], pa.int64()),
+            "weight": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    # self-loops survive as vertices but contribute no forest edges:
+    # the query drops them before dedup; here feed a loop-free empty set
+    g = build_graph(dedup_edges(rd.from_arrow(tbl.slice(0, 0)), weights="sum"))
+    res = minimum_spanning_forest(g)
+    assert res.num_rows == 0
+    assert res.schema.names == ["src", "dst", "weight"]
