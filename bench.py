@@ -234,6 +234,33 @@ def run_benchmark() -> dict:
     timings["hyperanf_to_saturation"], anf = best_of(lambda: hyperanf(g), 2)
     timings["mis_luby"], _ = best_of(lambda: maximal_independent_set(g), 2)
 
+    # Borůvka minimum spanning forest over the weighted pair graph
+    # (pair weight = summed raw weights both orientations); the derive
+    # + dedup + densify is the same shape as graph_build, so only the
+    # Borůvka rounds are timed
+    from llama_ray.algos.msf import minimum_spanning_forest
+    from llama_ray.common import batch_to_numpy as _b2n
+
+    def _canon_w(b):
+        s, d = _b2n(b, "src"), _b2n(b, "dst")
+        w = _b2n(b, "weight").astype(np.float64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        keep = lo != hi
+        return {"src": lo[keep], "dst": hi[keep], "weight": w[keep]}
+
+    g_msf = build_graph(
+        dedup_edges(
+            raw_edges(sf_dir)
+            .select_columns(["src", "dst", "weight"])
+            .map_batches(_canon_w, batch_format="pyarrow"),
+            weights="sum",
+        )
+    )
+    timings["msf_boruvka"], msf_tbl = best_of(
+        lambda: minimum_spanning_forest(g_msf), 2
+    )
+    msf_edges = msf_tbl.num_rows
+
     # flagship ingest: repo_files → link edges + sha256 manifest
     from llama_ray.ingest.extract import ingest_repo_files
     from llama_ray.sources.repo_files import generate_repo_files
@@ -459,6 +486,7 @@ def run_benchmark() -> dict:
         "pagerank_iters": pr.iterations,
         "wcc_iters": wcc.iterations,
         "triangles": tc,
+        "msf_edges": msf_edges,
         "walk_rows": walk_rows,
         "anf_rounds": anf.rounds,
         "effective_diameter": anf.effective_diameter,

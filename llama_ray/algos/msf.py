@@ -18,10 +18,14 @@ Per round:
 1. every edge block (one plain Ray task per pinned block ref, the
    ``Graph.edge_block_refs`` pattern) reduces to ≤ 1 candidate edge
    per (component, side) — the block-local minimum cross-component
-   edge for each incident component;
-2. the driver lexsort-merges the partials (≤ 2·cross-edges rows in
-   round 1, geometrically shrinking after) and keeps the global
-   minimum per component;
+   edge for each incident component — and simultaneously compacts
+   itself to the surviving cross edges (intra-component edges can
+   never re-enter; the compacted arrays stay in the object store as
+   the next round's input, so late rounds touch only the shrinking
+   frontier instead of rescanning all E edges);
+2. the partials are min-merged by a fan-in-8 tree of Ray tasks (min
+   under a total order is associative), so the driver sees only the
+   final ≤ C_active rows — never the O(E) round-1 candidate set;
 3. components hook along their chosen edge. The hooking digraph has
    out-degree 1 and — because each pointer follows a *minimum* edge
    under a strict total order — its only cycles are 2-cycles (keys
@@ -32,6 +36,9 @@ Per round:
 Components at least halve each round, so ≤ ⌈log2 V⌉ rounds; with all
 weights distinct under the total order the chosen edge set is exactly
 the unique MSF (cut property per component, no cycles ever formed).
+Measured at RMAT-22 / 64M deduped undirected edges (32 CPUs):
+66.8 s naive → 51.3 s with compaction + merge tree → 17.4 s with the
+radix-argsort/reduceat reduction (BASELINE.md §3.2a2).
 """
 
 from __future__ import annotations
@@ -46,34 +53,92 @@ from ..graph import Graph
 MAX_ROUNDS = 64
 
 
-def _block_min_edges(block: pa.Table, comp: np.ndarray, weight_col: str):
-    """Per-component minimum cross-component edge within one block.
+def _min_per_component(c, ww, aa, bb, n):
+    """Minimum (w, a, b) row per component.
 
-    Returns (c, w, a, b) arrays with one row per component incident to
-    at least one cross edge in this block — the block-local combiner
-    that keeps the driver merge at O(P · C_active) instead of O(E).
+    One stable int64 argsort on the component key (numpy radix sort —
+    ~5× cheaper than the equivalent 4-key lexsort on tens of millions
+    of rows), ``minimum.reduceat`` for the per-run weight minimum,
+    then the (a, b) tie-break as a second reduceat over the packed
+    key ``a·n + b`` (monotonic in lexicographic (a, b) for
+    0 ≤ a, b < n; requires n < 2^31 so the pack fits int64, which the
+    int32 dense edge storage already guarantees).
     """
-    if block.num_rows == 0 or SRC not in block.schema.names:
+    if len(c) == 0:
         return None
-    s = batch_to_numpy(block, SRC).astype(np.int64, copy=False)
-    d = batch_to_numpy(block, DST).astype(np.int64, copy=False)
-    w = batch_to_numpy(block, weight_col)
+    order = np.argsort(c, kind="stable")
+    c, ww = c[order], ww[order]
+    ab = aa[order].astype(np.int64, copy=False) * n + bb[order]
+    first = np.ones(len(c), dtype=bool)
+    first[1:] = c[1:] != c[:-1]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.append(starts, len(c)))
+    wmin = np.minimum.reduceat(ww, starts)
+    tie = ww == np.repeat(wmin, lens)
+    ct, abt = c[tie], ab[tie]
+    first2 = np.ones(len(ct), dtype=bool)
+    first2[1:] = ct[1:] != ct[:-1]
+    starts2 = np.flatnonzero(first2)
+    abmin = np.minimum.reduceat(abt, starts2)
+    return c[starts], wmin, abmin // n, abmin % n
+
+
+def _round_block(block, comp: np.ndarray, weight_col: str, n: int):
+    """One Borůvka round over one edge block.
+
+    ``block`` is an Arrow table (round 1) or the (s, d, w) numpy tuple
+    a previous round compacted. Returns
+
+      (partial, kept) — partial: (c, w, a, b) block-local minimum per
+      incident component (or None); kept: the surviving cross edges as
+      an (s, d, w) tuple (or None when the block is exhausted).
+
+    Both return values travel as separate ObjectRefs (num_returns=2):
+    the partial feeds the merge tree, the compacted edges feed the
+    next round without ever touching the driver.
+    """
+    if block is None:  # exhausted in an earlier round
+        return None, None
+    if isinstance(block, tuple):
+        s, d, w = block
+    else:
+        if block.num_rows == 0 or SRC not in block.schema.names:
+            return None, None
+        s = batch_to_numpy(block, SRC)  # int32 dense storage kept as-is
+        d = batch_to_numpy(block, DST)
+        w = batch_to_numpy(block, weight_col)
     cs = comp[s]
     cd = comp[d]
     m = cs != cd
     if not m.any():
-        return None
+        return None, None
     s, d, w, cs, cd = s[m], d[m], w[m], cs[m], cd[m]
     # each cross edge is a candidate for BOTH endpoint components
-    c = np.concatenate([cs, cd])
-    ww = np.concatenate([w, w])
-    aa = np.concatenate([s, s])
-    bb = np.concatenate([d, d])
-    order = np.lexsort((bb, aa, ww, c))  # by (c, w, a, b)
-    c, ww, aa, bb = c[order], ww[order], aa[order], bb[order]
-    first = np.ones(len(c), dtype=bool)
-    first[1:] = c[1:] != c[:-1]
-    return c[first], ww[first], aa[first], bb[first]
+    partial = _min_per_component(
+        np.concatenate([cs, cd]),
+        np.concatenate([w, w]),
+        np.concatenate([s, s]),
+        np.concatenate([d, d]),
+        n,
+    )
+    return partial, (s, d, w)
+
+
+def _merge_min(n, *parts):
+    """Min-merge partials (associative under the total order) —
+    fan-in-8 tree nodes between the blocks and the driver."""
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    return _min_per_component(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+        np.concatenate([p[3] for p in parts]),
+        n,
+    )
 
 
 def minimum_spanning_forest(graph: Graph, *, weight_col: str = WEIGHT) -> pa.Table:
@@ -86,6 +151,10 @@ def minimum_spanning_forest(graph: Graph, *, weight_col: str = WEIGHT) -> pa.Tab
     """
     n = graph.num_vertices
     ids = graph.ids
+    if n >= (1 << 31):
+        # the packed (a, b) tie-break key needs a·n + b < 2^63; shard
+        # the id space (SURVEY §2.4 partitioning note) beyond this
+        raise NotImplementedError("MSF packed tie-break requires < 2^31 vertices")
     if n == 0:
         return pa.table(
             {
@@ -94,26 +163,33 @@ def minimum_spanning_forest(graph: Graph, *, weight_col: str = WEIGHT) -> pa.Tab
                 WEIGHT: pa.array([], pa.float64()),
             }
         )
-    refs = graph.edge_block_refs()
-    task = ray.remote(_block_min_edges)
+    task = ray.remote(num_returns=2)(_round_block)
+    merge = ray.remote(_merge_min)
 
+    live = list(graph.edge_block_refs())
     comp = np.arange(n, dtype=np.int64)
     idx = np.arange(n, dtype=np.int64)
     out_a, out_b, out_w = [], [], []
     for _ in range(MAX_ROUNDS):
         comp_ref = ray.put(comp)
-        parts = [p for p in ray.get([task.remote(r, comp_ref, weight_col) for r in refs]) if p is not None]
-        if not parts:
+        outs = [task.remote(r, comp_ref, weight_col, n) for r in live]
+        part_refs = [p for p, _ in outs]
+        kept_refs = [k for _, k in outs]
+        # fan-in-8 merge tree: the driver only ever receives the final
+        # ≤ C_active-row partial, never the O(E) round-1 candidate set
+        while len(part_refs) > 8:
+            part_refs = [
+                merge.remote(n, *part_refs[i : i + 8])
+                for i in range(0, len(part_refs), 8)
+            ]
+        merged = _merge_min(n, *ray.get(part_refs))
+        if merged is None:
             break
-        c = np.concatenate([p[0] for p in parts])
-        w = np.concatenate([p[1] for p in parts])
-        a = np.concatenate([p[2] for p in parts])
-        b = np.concatenate([p[3] for p in parts])
-        order = np.lexsort((b, a, w, c))
-        c, w, a, b = c[order], w[order], a[order], b[order]
-        first = np.ones(len(c), dtype=bool)
-        first[1:] = c[1:] != c[:-1]
-        c, w, a, b = c[first], w[first], a[first], b[first]
+        c, w, a, b = merged
+        # next round scans only the surviving cross edges; exhausted
+        # blocks carry a None ref forward (their tasks are no-ops) so
+        # the kept arrays never travel through the driver
+        live = kept_refs
 
         # forest edges this round: both endpoint components may choose
         # the same edge — dedup on (a, b)
