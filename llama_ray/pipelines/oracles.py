@@ -458,6 +458,75 @@ wv AS MATERIALIZED (SELECT src AS id FROM we UNION SELECT dst FROM we),
 SELECT id AS vertex, ROUND(dist, 6) AS dist FROM d{rounds} WHERE dist < {INF}"""
 
 
+def _bipartite_chain(rounds: int) -> str:
+    """Shared WITH-body of the bipartite oracles: canonical simple
+    graph CTEs + min-label WCC + unrolled multi-root min-plus BFS,
+    ending at ``l{rounds}`` (labels) and ``d{rounds}`` (distances)."""
+    INF = 1 << 30
+    steps = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
+    for k in range(rounds):
+        steps.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT l{k}.id, LEAST(l{k}.label, COALESCE(m.minlab, l{k}.label)) AS label
+  FROM l{k} LEFT JOIN (
+    SELECT ue.b AS id, MIN(l.label) AS minlab
+    FROM ue JOIN l{k} l ON l.id = ue.a GROUP BY ue.b
+  ) m ON m.id = l{k}.id)"""
+        )
+    steps.append(
+        f"""d0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = label THEN 0 ELSE {INF} END AS d FROM l{rounds})"""
+    )
+    for k in range(rounds):
+        steps.append(
+            f"""d{k + 1} AS MATERIALIZED (
+  SELECT d{k}.id, LEAST(d{k}.d, COALESCE(m.md, {INF})) AS d
+  FROM d{k} LEFT JOIN (
+    SELECT ue.b AS id, MIN(l.d) + 1 AS md
+    FROM ue JOIN d{k} l ON l.id = ue.a GROUP BY ue.b
+  ) m ON m.id = d{k}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""{GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
+{body}"""
+
+
+def bipartite_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Mirror of ``algos.bipartite.bipartite_check``: min-label WCC
+    over the canonical simple graph, BFS distance from each
+    component's min-id root via ``rounds`` unrolled min-plus
+    relaxations (exact levels once rounds ≥ the largest component
+    diameter — same bound the WCC oracle relies on), conflict edges =
+    canonical pairs with equal distance parity."""
+    return f"""WITH {_bipartite_chain(rounds)},
+conf AS MATERIALIZED (
+  SELECT lc.label AS component, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cu
+  JOIN d{rounds} x ON x.id = cu.a
+  JOIN d{rounds} y ON y.id = cu.b
+  JOIN l{rounds} lc ON lc.id = cu.a
+  WHERE x.d % 2 = y.d % 2
+  GROUP BY 1),
+nv AS MATERIALIZED (
+  SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+  FROM l{rounds} GROUP BY 1)
+SELECT nv.component, nv.n_vertices,
+       COALESCE(conf.n, 0) AS n_conflicts,
+       CAST(COALESCE(conf.n, 0) = 0 AS BIGINT) AS is_bipartite
+FROM nv LEFT JOIN conf ON conf.component = nv.component"""
+
+
+def bipartite_colors_sql(rounds: int = WCC_ROUNDS) -> str:
+    """Per-vertex twin of ``bipartite_sql``: the BFS-parity coloring
+    itself (mirror of ``algos.bipartite.bipartite_colors``)."""
+    return f"""WITH {_bipartite_chain(rounds)}
+SELECT l.id AS vertex, l.label AS component, d.d % 2 AS color
+FROM l{rounds} l JOIN d{rounds} d ON d.id = l.id"""
+
+
 def msf_sql(rounds: int = 16, doubling: int = 15) -> str:
     """Unrolled Borůvka (mirror of ``algos.msf``): per round, each
     component picks its minimum incident cross edge under the total

@@ -321,6 +321,24 @@ def q_sssp_weighted(sf_dir: str):
     return pa.table({"vertex": g.ids[reached], "dist": np.round(dist[reached], 6)})
 
 
+def q_bipartite(sf_dir: str):
+    """Per-component bipartiteness over the canonical undirected
+    simple graph: BFS-parity 2-coloring from each component's min-id
+    root (multi-root min-plus BFS on the undirected pool) + per-block
+    conflict-edge counts — see :mod:`llama_ray.algos.bipartite`."""
+    from ..algos.bipartite import bipartite_check
+
+    return bipartite_check(_cached_canonical_graph(sf_dir))
+
+
+def q_bipartite_colors(sf_dir: str):
+    """Per-vertex BFS-parity 2-coloring (the deterministic coloring
+    behind ``bipartite``; one traversal, cached on the graph)."""
+    from ..algos.bipartite import bipartite_colors
+
+    return bipartite_colors(_cached_canonical_graph(sf_dir))
+
+
 def q_msf(sf_dir: str):
     """Minimum spanning forest (distributed Borůvka —
     :mod:`llama_ray.algos.msf`) over the undirected weighted pair

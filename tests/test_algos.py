@@ -769,3 +769,85 @@ def test_msf_empty_and_selfloop_only():
     res = minimum_spanning_forest(g)
     assert res.num_rows == 0
     assert res.schema.names == ["src", "dst", "weight"]
+
+
+# ------------------------------------------------------------- bipartite
+
+
+def _bipartite_np(a, b):
+    """Python BFS 2-coloring oracle: per component (root = min id),
+    (component, n_vertices, n_conflicts, is_bipartite)."""
+    import collections
+
+    pairs = sorted({(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())})
+    a = np.array([x for x, _ in pairs])
+    b = np.array([y for _, y in pairs])
+    ids = np.unique(np.concatenate([a, b]))
+    adj = collections.defaultdict(list)
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj[x].append(y)
+        adj[y].append(x)
+    dist = {}
+    comp = {}
+    for r in ids.tolist():
+        if r in dist:
+            continue
+        dist[r] = 0
+        comp[r] = r
+        q = collections.deque([r])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    comp[v] = r
+                    q.append(v)
+    out = {}
+    for v in ids.tolist():
+        c = comp[v]
+        out.setdefault(c, [0, 0])[0] += 1
+    for x, y in zip(a.tolist(), b.tolist()):
+        if dist[x] % 2 == dist[y] % 2:
+            out[comp[x]][1] += 1
+    return sorted(
+        (c, nv, nc, int(nc == 0)) for c, (nv, nc) in out.items()
+    )
+
+
+def _bipartite_ray(a, b):
+    from llama_ray.algos.bipartite import bipartite_check
+
+    g = build_graph(
+        dedup_edges(undirected_ordered(edges_ds(a, b), drop_self_loops=True))
+    )
+    res = bipartite_check(g)
+    return sorted(
+        zip(
+            res.column("component").to_pylist(),
+            res.column("n_vertices").to_pylist(),
+            res.column("n_conflicts").to_pylist(),
+            res.column("is_bipartite").to_pylist(),
+        )
+    )
+
+
+def test_bipartite_fixtures():
+    # even cycle (bipartite) + odd cycle (not) + star (bipartite)
+    a = np.array([0, 1, 2, 3, 10, 11, 12, 20, 20, 20])
+    b = np.array([1, 2, 3, 0, 11, 12, 10, 21, 22, 23])
+    got = _bipartite_ray(a, b)
+    want = _bipartite_np(a, b)
+    assert got == want
+    flags = {c: f for c, _, _, f in got}
+    assert flags[0] == 1 and flags[10] == 0 and flags[20] == 1
+
+
+def test_bipartite_random_matches_bfs():
+    rng = np.random.default_rng(48104)
+    for trial in range(3):
+        n = 150
+        aa = rng.integers(0, n, 220)
+        bb = rng.integers(0, n, 220)
+        keep = aa != bb
+        a, b = np.minimum(aa[keep], bb[keep]), np.maximum(aa[keep], bb[keep])
+        assert _bipartite_ray(a, b) == _bipartite_np(a, b), f"trial {trial}"
