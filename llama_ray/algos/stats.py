@@ -230,3 +230,67 @@ def modularity(graph, labels: np.ndarray) -> pa.Table:
             "modularity": pa.array([q], pa.float64()),
         }
     )
+
+
+def rich_club(graph) -> pa.Table:
+    """Rich-club coefficients of the undirected simple graph: for each
+    distinct degree value k, φ(k) = 2·E_k / (n_k·(n_k−1)) where n_k =
+    vertices with degree > k and E_k = edges with BOTH endpoints of
+    degree > k. ``graph`` must be canonical (src < dst, simple).
+
+    One broadcast-degree pass: each edge block bincounts its edges by
+    min(deg(u), deg(v)); the driver suffix-sums the merged histogram
+    alongside the degree histogram — exact integers end to end, the
+    single float division per row replayed identically by the SQL
+    oracle. Rows where n_k < 2 are omitted (φ undefined).
+    """
+    import ray
+
+    n = graph.num_vertices
+    if n == 0:
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "n_vertices": pa.array([], pa.int64()),
+                "n_edges": pa.array([], pa.int64()),
+                "phi": pa.array([], pa.float64()),
+            }
+        )
+    deg = (graph.out_degrees + graph.in_degrees()).astype(np.int64)
+    max_d = int(deg.max())
+    deg_ref = ray.put(deg)
+
+    def partial(batch: pa.Table):
+        s = batch_to_numpy(batch, SRC)
+        d = batch_to_numpy(batch, DST)
+        dd = ray.get(deg_ref)
+        md = np.minimum(dd[s], dd[d])
+        h = np.bincount(md, minlength=max_d + 1)
+        return {"md": np.arange(max_d + 1, dtype=np.int64), "e": h}
+
+    em = np.zeros(max_d + 1, np.int64)
+    for b in graph.edges.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "md" not in b.schema.names:
+            continue
+        np.add.at(em, batch_to_numpy(b, "md"), batch_to_numpy(b, "e"))
+
+    dh = np.bincount(deg, minlength=max_d + 1)
+    # suffix sums: strictly-greater-than-k tails
+    nk_tail = np.cumsum(dh[::-1])[::-1]  # Σ_{d ≥ k}
+    ek_tail = np.cumsum(em[::-1])[::-1]
+    ks = np.unique(deg)
+    n_k = np.where(ks + 1 <= max_d, nk_tail[np.minimum(ks + 1, max_d)], 0)
+    e_k = np.where(ks + 1 <= max_d, ek_tail[np.minimum(ks + 1, max_d)], 0)
+    keep = n_k >= 2
+    ks, n_k, e_k = ks[keep], n_k[keep], e_k[keep]
+    phi = np.round(2.0 * e_k / (n_k * (n_k - 1.0)), 6)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_vertices": pa.array(n_k.astype(np.int64), pa.int64()),
+            "n_edges": pa.array(e_k.astype(np.int64), pa.int64()),
+            "phi": pa.array(phi, pa.float64()),
+        }
+    )

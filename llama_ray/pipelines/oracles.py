@@ -494,6 +494,31 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 {body}"""
 
 
+def rich_club_sql() -> str:
+    """Mirror of ``algos.stats.rich_club``: undirected degrees over
+    the canonical simple graph, per-threshold strictly-greater tails
+    of the degree and min-endpoint-degree histograms, one double
+    division per row in the same operand order as the numpy side."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+udeg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY a),
+dh AS MATERIALIZED (SELECT d, CAST(COUNT(*) AS BIGINT) AS c FROM udeg GROUP BY d),
+em AS MATERIALIZED (
+  SELECT LEAST(da.d, db.d) AS md, CAST(COUNT(*) AS BIGINT) AS e
+  FROM cu JOIN udeg da ON da.id = cu.a JOIN udeg db ON db.id = cu.b
+  GROUP BY 1),
+ks AS MATERIALIZED (SELECT DISTINCT d AS k FROM udeg),
+vals AS MATERIALIZED (
+  SELECT ks.k,
+         CAST((SELECT COALESCE(SUM(c), 0) FROM dh WHERE d > ks.k) AS BIGINT) AS n_vertices,
+         CAST((SELECT COALESCE(SUM(e), 0) FROM em WHERE md > ks.k) AS BIGINT) AS n_edges
+  FROM ks)
+SELECT k, n_vertices, n_edges,
+       ROUND(2 * n_edges / (n_vertices * (n_vertices - 1.0)), 6) AS phi
+FROM vals WHERE n_vertices >= 2"""
+
+
 def bipartite_sql(rounds: int = WCC_ROUNDS) -> str:
     """Mirror of ``algos.bipartite.bipartite_check``: min-label WCC
     over the canonical simple graph, BFS distance from each

@@ -331,6 +331,15 @@ def q_bipartite(sf_dir: str):
     return bipartite_check(_cached_canonical_graph(sf_dir))
 
 
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient per distinct degree threshold (exact
+    integer tails + one float division — see
+    :func:`llama_ray.algos.stats.rich_club`)."""
+    from ..algos.stats import rich_club
+
+    return rich_club(_cached_canonical_graph(sf_dir))
+
+
 def q_bipartite_colors(sf_dir: str):
     """Per-vertex BFS-parity 2-coloring (the deterministic coloring
     behind ``bipartite``; one traversal, cached on the graph)."""

@@ -851,3 +851,47 @@ def test_bipartite_random_matches_bfs():
         keep = aa != bb
         a, b = np.minimum(aa[keep], bb[keep]), np.maximum(aa[keep], bb[keep])
         assert _bipartite_ray(a, b) == _bipartite_np(a, b), f"trial {trial}"
+
+
+# ------------------------------------------------------------- rich club
+
+
+def test_rich_club_matches_bruteforce():
+    from llama_ray.algos.stats import rich_club
+
+    rng = np.random.default_rng(777)
+    aa = rng.integers(0, 60, 200)
+    bb = rng.integers(0, 60, 200)
+    keep = aa != bb
+    a, b = np.minimum(aa[keep], bb[keep]), np.maximum(aa[keep], bb[keep])
+    pairs = sorted({(x, y) for x, y in zip(a.tolist(), b.tolist())})
+    a = np.array([x for x, _ in pairs])
+    b = np.array([y for _, y in pairs])
+    g = build_graph(
+        dedup_edges(undirected_ordered(edges_ds(a, b), drop_self_loops=True))
+    )
+    res = rich_club(g)
+
+    ids = np.unique(np.concatenate([a, b]))
+    deg = {int(v): 0 for v in ids}
+    for x, y in pairs:
+        deg[x] += 1
+        deg[y] += 1
+    want = []
+    for k in sorted(set(deg.values())):
+        club = {v for v, d in deg.items() if d > k}
+        if len(club) < 2:
+            continue
+        ek = sum(1 for x, y in pairs if x in club and y in club)
+        want.append(
+            (k, len(club), ek, round(2 * ek / (len(club) * (len(club) - 1.0)), 6))
+        )
+    got = sorted(
+        zip(
+            res.column("k").to_pylist(),
+            res.column("n_vertices").to_pylist(),
+            res.column("n_edges").to_pylist(),
+            res.column("phi").to_pylist(),
+        )
+    )
+    assert got == sorted(want)
