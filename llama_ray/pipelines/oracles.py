@@ -494,6 +494,23 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 {body}"""
 
 
+def squares_sql() -> str:
+    """Mirror of ``algos.squares.square_count``: wedge self-join over
+    both orientations of the canonical simple graph, common-neighbor
+    multiplicities per unordered pair, squares = Σ C(cn, 2) / 2 (each
+    4-cycle seen once per diagonal) — all integer arithmetic."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cn AS MATERIALIZED (
+  SELECT e1.b AS u, e2.b AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ue e1 JOIN ue e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY 1, 2)
+SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS squares,
+       CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS closed_pairs
+FROM cn"""
+
+
 def rich_club_sql() -> str:
     """Mirror of ``algos.stats.rich_club``: undirected degrees over
     the canonical simple graph, per-threshold strictly-greater tails

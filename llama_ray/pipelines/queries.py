@@ -340,6 +340,15 @@ def q_rich_club(sf_dir: str):
     return rich_club(_cached_canonical_graph(sf_dir))
 
 
+def q_squares(sf_dir: str):
+    """Global 4-cycle count + closed-pair count over the canonical
+    simple graph (wedge pair-key aggregation —
+    :mod:`llama_ray.algos.squares`)."""
+    from ..algos.squares import square_count
+
+    return square_count(_cached_canonical_graph(sf_dir))
+
+
 def q_bipartite_colors(sf_dir: str):
     """Per-vertex BFS-parity 2-coloring (the deterministic coloring
     behind ``bipartite``; one traversal, cached on the graph)."""

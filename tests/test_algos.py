@@ -895,3 +895,53 @@ def test_rich_club_matches_bruteforce():
         )
     )
     assert got == sorted(want)
+
+
+# ------------------------------------------------------------- squares
+
+
+def _squares_np(a, b, n):
+    A = np.zeros((n, n), np.int64)
+    A[a, b] = 1
+    A[b, a] = 1
+    cn = A @ A
+    iu = np.triu_indices(n, 1)
+    c = cn[iu]
+    s = int((c * (c - 1) // 2).sum())
+    return s // 2, int((c >= 2).sum())
+
+
+def test_squares_fixture():
+    from llama_ray.algos.squares import square_count
+
+    # one 4-cycle + one chord (the chord adds two triangles, no new square)
+    a = np.array([0, 1, 2, 0, 0])
+    b = np.array([1, 2, 3, 3, 2])
+    g = build_graph(dedup_edges(undirected_ordered(edges_ds(a, b), drop_self_loops=True)))
+    res = square_count(g)
+    sq, cp = _squares_np(a, b, 4)
+    assert res.column("squares")[0].as_py() == sq == 1
+    assert res.column("closed_pairs")[0].as_py() == cp
+
+
+def test_squares_random_matches_dense():
+    from llama_ray.algos.squares import square_count
+
+    rng = np.random.default_rng(424242)
+    for trial in range(3):
+        nv = 40
+        aa = rng.integers(0, nv, 160)
+        bb = rng.integers(0, nv, 160)
+        keep = aa != bb
+        a, b = np.minimum(aa[keep], bb[keep]), np.maximum(aa[keep], bb[keep])
+        g = build_graph(
+            dedup_edges(undirected_ordered(edges_ds(a, b), drop_self_loops=True))
+        )
+        res = square_count(g)
+        pairs = sorted({(x, y) for x, y in zip(a.tolist(), b.tolist())})
+        pa_ = np.array([x for x, _ in pairs])
+        pb_ = np.array([y for _, y in pairs])
+        # dense ids 0..nv-1 may miss isolated ids; matrix over full range is fine
+        sq, cp = _squares_np(pa_, pb_, nv)
+        assert res.column("squares")[0].as_py() == sq, f"trial {trial}"
+        assert res.column("closed_pairs")[0].as_py() == cp, f"trial {trial}"
