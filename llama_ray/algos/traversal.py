@@ -320,3 +320,28 @@ def pseudo_diameter(graph: Graph) -> "pa.Table":
             "ecc_far": pa.array([ecc2], pa.int64()),
         }
     )
+
+
+def eccentricity_sampled(graph: Graph, *, num_sources: int = 8) -> "pa.Table":
+    """Outward eccentricity (max finite BFS distance) from the
+    ``num_sources`` smallest-id vertices — the radius/diameter
+    evidence companion of :func:`closeness_sampled` (same directed BFS
+    envelope, same deterministic source family, all-integer output so
+    the DuckDB oracle is exact).
+
+    Returns (source, reached, eccentricity) per source."""
+    import pyarrow as pa
+
+    cols: dict[str, list] = {"source": [], "reached": [], "eccentricity": []}
+    for s, dist in _smallest_id_source_dists(graph, min(num_sources, graph.num_vertices)):
+        fin = dist >= 0
+        cols["source"].append(int(graph.ids[s]))
+        cols["reached"].append(int(fin.sum()))
+        cols["eccentricity"].append(int(dist[fin].max()))
+    return pa.table(
+        {
+            "source": pa.array(cols["source"], pa.int64()),
+            "reached": pa.array(cols["reached"], pa.int64()),
+            "eccentricity": pa.array(cols["eccentricity"], pa.int64()),
+        }
+    )

@@ -2006,6 +2006,31 @@ SELECT source, CAST(reached AS BIGINT) AS reached, ROUND(harmonic, 6) AS harmoni
 FROM ({union}) ORDER BY source"""
 
 
+def eccentricity_sql(num_sources: int = 8) -> str:
+    """Mirror of algos.traversal.eccentricity_sampled: directed BFS
+    from the ``num_sources`` smallest-id vertices, eccentricity = max
+    per-vertex distance — all integers."""
+    bfs_parts = []
+    rows = []
+    for i in range(num_sources):
+        start = f"SELECT id FROM v ORDER BY id OFFSET {i} LIMIT 1"
+        bfs_parts.append(_bfs_recursion(f"eb{i}", start, edges="de"))
+        rows.append(
+            f"""SELECT ({start}) AS source,
+       (SELECT COUNT(*) FROM (SELECT a, MAX(d) FROM eb{i} WHERE kind = 1 GROUP BY a)) AS reached,
+       (SELECT COALESCE(MAX(d), 0)
+        FROM (SELECT a, MAX(d) AS d FROM eb{i} WHERE kind = 1 GROUP BY a)) AS eccentricity"""
+        )
+    body = ",\n".join(bfs_parts)
+    union = " UNION ALL ".join(rows)
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+de AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src <> dst),
+{body}
+SELECT source, CAST(reached AS BIGINT) AS reached,
+       CAST(eccentricity AS BIGINT) AS eccentricity
+FROM ({union}) ORDER BY source"""
+
+
 def pseudo_diameter_sql() -> str:
     """Mirror of algos.traversal.pseudo_diameter: double-sweep BFS —
     sweep 1 from the min-id vertex, sweep 2 from the farthest vertex of

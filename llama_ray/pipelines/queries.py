@@ -1325,6 +1325,14 @@ def q_harmonic(sf_dir: str):
     return harmonic_sampled(_cached_tpch_graph(sf_dir))
 
 
+def q_eccentricity(sf_dir: str):
+    """Sampled eccentricities from the 8 smallest-id vertices (see
+    :func:`llama_ray.algos.traversal.eccentricity_sampled`)."""
+    from ..algos.traversal import eccentricity_sampled
+
+    return eccentricity_sampled(_cached_tpch_graph(sf_dir))
+
+
 def q_doc_len_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of document length via the histogram method
     (see :func:`llama_ray.data_ops.text.exact_quantiles`)."""

@@ -945,3 +945,20 @@ def test_squares_random_matches_dense():
         sq, cp = _squares_np(pa_, pb_, nv)
         assert res.column("squares")[0].as_py() == sq, f"trial {trial}"
         assert res.column("closed_pairs")[0].as_py() == cp, f"trial {trial}"
+
+
+def test_eccentricity_sampled_matches_bfs():
+    from llama_ray.algos.traversal import eccentricity_sampled
+
+    rng = np.random.default_rng(31337)
+    src = rng.integers(0, 40, 160)
+    dst = rng.integers(0, 40, 160)
+    g = build_graph(edges_ds(src, dst))
+    res = eccentricity_sampled(g, num_sources=5)
+    di, dj, ids = dense(src, dst)
+    for row in range(res.num_rows):
+        s = res.column("source")[row].as_py()
+        d = bfs_np(di, dj, len(ids), int(np.searchsorted(ids, s)))
+        fin = np.isfinite(d)
+        assert res.column("reached")[row].as_py() == int(fin.sum())
+        assert res.column("eccentricity")[row].as_py() == int(d[fin].max())
