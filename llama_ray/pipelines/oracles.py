@@ -2394,3 +2394,42 @@ SELECT event_type,
        ROUND(CASE WHEN raw <= 2.5 * 64 AND zeros > 0
                   THEN 64 * ln(64.0 / zeros) ELSE raw END, 4) AS hll_distinct
 FROM est"""
+
+
+# ----------------------------------------------------- relational joins
+
+
+def orders_customers_sql() -> str:
+    """Mirror of queries.q_orders_customers (inner equi-join)."""
+    return """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def events_asof_view_sql() -> str:
+    """Mirror of queries.q_events_asof_view: latest view ≤ purchase ts
+    per user, ties to the largest view event id; unmatched → -1 / 0."""
+    return """WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_u
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, epoch_us(ts) AS vts, event_id AS vid, value AS vval
+  FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id, v.vid, v.vval,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.vts DESC, v.vid DESC) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id AND v.vts <= p.ts_u)
+SELECT p.event_id, p.user_id, p.ts_u,
+       COALESCE(m.vid, -1) AS view_event_id,
+       COALESCE(m.vval, 0.0) AS view_value
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
+
+
+def cust_region_rollup_sql() -> str:
+    """Mirror of queries.q_cust_region_rollup (sum rounded to 4)."""
+    return """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(SUM(c.c_acctbal), 4) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""

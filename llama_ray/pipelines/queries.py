@@ -1609,3 +1609,122 @@ def q_events_user_hll(sf_dir: str, *, seed: int = 20260818):
             "hll_distinct": pa.array([v for _, v in out], pa.float64()),
         }
     )
+
+
+# ----------------------------------------------------- relational joins
+
+
+def q_orders_customers(sf_dir: str):
+    """Fact⋈dimension equi-join (orders × customer on custkey) via the
+    engine's distributed sort-merge join — ONE range sort of the
+    side-tagged union, block-local run expansion, bounded boundary
+    pass.  The generic join shape Ray Data lacks natively."""
+    from ..data_ops.relational import sort_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = sort_merge_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+    )
+    return out.select_columns(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
+def q_events_asof_view(sf_dir: str):
+    """As-of join: every purchase event picks the same user's latest
+    view event at or before it (ties → largest view event id), DuckDB
+    ``ASOF JOIN`` semantics made deterministic.  Unmatched purchases
+    report view_event_id = -1 / view_value = 0 (the driver hash treats
+    NaN ≠ NaN, so nulls are filled on both sides)."""
+    from ..data_ops.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep_probe(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def prep_ref(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "view"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "view_event_id": t.column("event_id"),
+                "view_value": t.column("value"),
+            }
+        )
+
+    joined = asof_join(
+        ev.map_batches(prep_probe, batch_format="pyarrow"),
+        ev.map_batches(prep_ref, batch_format="pyarrow"),
+        by="user_id",
+        ts_col="ts_u",
+        tie_col="view_event_id",
+        value_cols=["view_event_id", "view_value"],
+        out_prefix="asof_",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts_u"),
+                "view_event_id": b.column("asof_view_event_id")
+                .fill_null(-1)
+                .cast(pa.int64()),
+                "view_value": b.column("asof_view_value")
+                .fill_null(0.0)
+                .cast(pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_cust_region_rollup(sf_dir: str):
+    """Customer rollup per region name: the two tiny dimension tables
+    (nation ⋈ region, ≤25 rows) compose into ONE broadcast lookup that
+    every customer batch probes with a vectorized searchsorted — the
+    small-side join done without any shuffle of the fact table.  Sum
+    rounded to 4 decimals (the engine's float-sum hash convention)."""
+    from ..data_ops.relational import broadcast_join
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rkeys = region.column("r_regionkey").to_numpy()
+    order = np.argsort(rkeys)
+    rnames = region.column("r_name").take(pa.array(order))
+    pos = np.searchsorted(rkeys[order], nation.column("n_regionkey").to_numpy())
+    lookup = pa.table(
+        {
+            "c_nationkey": nation.column("n_nationkey"),
+            "r_name": rnames.take(pa.array(pos)),
+        }
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    enriched = broadcast_join(cust, lookup, on="c_nationkey")
+    agg = enriched.groupby("r_name").aggregate(
+        Count(alias_name="n_cust"), Sum("c_acctbal", alias_name="sum_acctbal")
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": b.column("r_name"),
+                "n_cust": b.column("n_cust").cast(pa.int64()),
+                "sum_acctbal": np.round(batch_to_numpy(b, "sum_acctbal"), 4),
+            }
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")

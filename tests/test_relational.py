@@ -1,0 +1,214 @@
+"""Relational join operators (data_ops/relational.py): distributed
+sort-merge equi-join, as-of join, broadcast dimension join — checked
+against pandas references across adversarial block layouts (hot keys
+spanning blocks, carries across many blocks, empty sides)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from llama_ray.data_ops.relational import asof_join, broadcast_join, sort_merge_join
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_frame_match(ours: pd.DataFrame, exp: pd.DataFrame):
+    ours, exp = _norm(ours), _norm(exp)
+    assert list(ours.columns) == list(exp.columns)
+    assert len(ours) == len(exp)
+    for c in ours.columns:
+        a, b = ours[c].to_numpy(), exp[c].to_numpy()
+        if a.dtype.kind in "fO" and (
+            a.dtype.kind == "f" or any(isinstance(x, float) for x in a[:5])
+        ):
+            assert np.allclose(
+                a.astype(np.float64), b.astype(np.float64), equal_nan=True
+            ), c
+        else:
+            assert np.array_equal(a, b), c
+
+
+def _pandas_join(L, R, how):
+    return L.merge(R.rename(columns={"rk": "k", "lv": "lv_r"}), on="k", how=how)
+
+
+def test_sort_merge_join_matches_pandas_both_hows(ray_session):
+    rng = np.random.default_rng(11)
+    L = pd.DataFrame({"k": rng.integers(0, 40, 500), "lv": rng.normal(size=500)})
+    # right has keys absent on the left and vice versa + duplicate keys
+    R = pd.DataFrame(
+        {
+            "rk": rng.integers(10, 60, 300),
+            "rv": rng.integers(0, 9, 300),
+            "lv": rng.normal(size=300),  # name clash → suffixed
+        }
+    )
+    for nl, nr in [(1, 1), (9, 5), (23, 17)]:
+        lds = rd.from_pandas(L).repartition(nl)
+        rds = rd.from_pandas(R).repartition(nr)
+        for how in ("inner", "left"):
+            out = sort_merge_join(
+                lds, rds, left_on="k", right_on="rk", how=how
+            ).to_pandas()
+            _assert_frame_match(out, _pandas_join(L, R, how))
+
+
+def test_sort_merge_join_hot_key_spanning_blocks(ray_session):
+    """One key owns 70% of both sides — its run spans many sorted
+    blocks and is resolved entirely in the boundary pass."""
+    rng = np.random.default_rng(3)
+    kl = np.where(rng.random(400) < 0.7, 7, rng.integers(0, 20, 400))
+    kr = np.where(rng.random(150) < 0.7, 7, rng.integers(0, 20, 150))
+    L = pd.DataFrame({"k": kl, "lv": np.arange(400)})
+    R = pd.DataFrame({"rk": kr, "rv": np.arange(150)})
+    out = sort_merge_join(
+        rd.from_pandas(L).repartition(13),
+        rd.from_pandas(R).repartition(9),
+        left_on="k",
+        right_on="rk",
+        how="inner",
+    ).to_pandas()
+    exp = L.merge(R.rename(columns={"rk": "k"}), on="k")
+    _assert_frame_match(out, exp)
+    # the hot pair count is the product of the two hot sides
+    assert (out["k"] == 7).sum() == int((kl == 7).sum()) * int((kr == 7).sum())
+
+
+def test_sort_merge_join_string_keys_and_empty_side(ray_session):
+    L = pd.DataFrame({"k": ["a", "b", "b", "c"], "lv": [1, 2, 3, 4]})
+    R = pd.DataFrame({"k": ["b", "c", "c", "d"], "rv": [10, 20, 30, 40]})
+    out = sort_merge_join(
+        rd.from_pandas(L), rd.from_pandas(R), left_on="k", how="left"
+    ).to_pandas()
+    exp = L.merge(R, on="k", how="left")
+    _assert_frame_match(out, exp)
+    # empty right side: inner join → 0 rows, left join → left preserved
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()), "rv": pa.array([], pa.int64())}))
+    assert sort_merge_join(rd.from_pandas(L), empty, left_on="k", how="inner").count() == 0
+    lo = sort_merge_join(rd.from_pandas(L), empty, left_on="k", how="left").to_pandas()
+    assert len(lo) == len(L) and lo["rv"].isna().all()
+
+
+def _brute_asof(P, Rf):
+    rid, val = [], []
+    for _, row in P.iterrows():
+        c = Rf[(Rf.u == row.u) & (Rf.ts_u <= row.ts_u)]
+        if len(c):
+            c = c.sort_values(["ts_u", "rid"]).iloc[-1]
+            rid.append(float(c.rid))
+            val.append(float(c.val))
+        else:
+            rid.append(np.nan)
+            val.append(np.nan)
+    E = P.copy()
+    E["asof_rid"], E["asof_val"] = rid, val
+    return E
+
+
+def test_asof_join_matches_brute_force_across_layouts(ray_session):
+    rng = np.random.default_rng(5)
+    P = pd.DataFrame(
+        {
+            "u": rng.integers(0, 6, 200),
+            "ts_u": rng.integers(0, 300, 200),  # dense ts → plenty of ties
+            "pid": np.arange(200),
+        }
+    )
+    Rf = pd.DataFrame(
+        {
+            "u": rng.integers(0, 6, 150),
+            "ts_u": rng.integers(0, 300, 150),
+            "rid": np.arange(150),
+            "val": rng.normal(size=150),
+        }
+    )
+    E = _brute_asof(P, Rf)
+    for nb in (1, 8, 31):
+        out = asof_join(
+            rd.from_pandas(P).repartition(nb),
+            rd.from_pandas(Rf).repartition(max(nb // 2, 1)),
+            by="u",
+            ts_col="ts_u",
+            tie_col="rid",
+            value_cols=["rid", "val"],
+        ).to_pandas()
+        out = out.sort_values("pid").reset_index(drop=True)
+        assert len(out) == len(P)
+        assert np.allclose(
+            out["asof_rid"].astype(float), E["asof_val"].notna() * 0 + E["asof_rid"], equal_nan=True
+        )
+        assert np.allclose(out["asof_val"].astype(float), E["asof_val"], equal_nan=True)
+
+
+def test_asof_join_carry_spans_many_blocks(ray_session):
+    """One user's single early reference must forward-fill probes that
+    live many sorted blocks later (the driver prefix-scan path)."""
+    P = pd.DataFrame(
+        {"u": np.zeros(500, np.int64), "ts_u": np.arange(100, 600), "pid": np.arange(500)}
+    )
+    Rf = pd.DataFrame(
+        {"u": [0, 0], "ts_u": [50, 40], "rid": [1, 2], "val": [3.5, 9.9]}
+    )
+    out = asof_join(
+        rd.from_pandas(P).repartition(25),
+        rd.from_pandas(Rf),
+        by="u",
+        ts_col="ts_u",
+        tie_col="rid",
+        value_cols=["rid", "val"],
+    ).to_pandas()
+    # ts=50 (rid 1) is the latest ≤ every probe — fills ALL 500
+    assert (out["asof_rid"] == 1).all()
+    assert np.allclose(out["asof_val"], 3.5)
+    # probes before any reference stay null
+    P2 = pd.DataFrame({"u": [0, 0], "ts_u": [10, 49], "pid": [0, 1]})
+    out2 = asof_join(
+        rd.from_pandas(P2),
+        rd.from_pandas(Rf),
+        by="u",
+        ts_col="ts_u",
+        tie_col="rid",
+        value_cols=["rid", "val"],
+    ).to_pandas()
+    o2 = out2.sort_values("pid")
+    assert o2["asof_rid"].isna().tolist() == [True, False]
+
+
+def test_asof_join_equal_ts_reference_is_visible(ray_session):
+    """probe.ts == ref.ts matches (ASOF uses <=), and among equal-ts
+    refs the largest tie id wins."""
+    P = pd.DataFrame({"u": [1], "ts_u": [100], "pid": [0]})
+    Rf = pd.DataFrame(
+        {"u": [1, 1, 1], "ts_u": [100, 100, 99], "rid": [5, 7, 9], "val": [1.0, 2.0, 3.0]}
+    )
+    out = asof_join(
+        rd.from_pandas(P),
+        rd.from_pandas(Rf),
+        by="u",
+        ts_col="ts_u",
+        tie_col="rid",
+        value_cols=["rid", "val"],
+    ).to_pandas()
+    assert out["asof_rid"].tolist() == [7] and out["asof_val"].tolist() == [2.0]
+
+
+def test_broadcast_join_misses_and_fill(ray_session):
+    lk = pa.table({"kk": np.array([1, 2, 5], np.int64), "name": ["a", "b", "e"]})
+    big = rd.from_pandas(
+        pd.DataFrame({"kk": np.array([0, 1, 2, 3, 5, 6] * 20, np.int64)})
+    ).repartition(4)
+    out = broadcast_join(big, lk, on="kk").to_pandas()
+    assert out[out.kk == 1]["name"].eq("a").all()
+    assert out[out.kk == 3]["name"].isna().all()
+    filled = broadcast_join(big, lk, on="kk", fill={"name": "?"}).to_pandas()
+    assert filled[filled.kk == 0]["name"].eq("?").all()
+    # duplicate lookup keys must be rejected (lossy join otherwise)
+    dup = pa.table({"kk": np.array([1, 1], np.int64), "name": ["a", "b"]})
+    import pytest
+
+    with pytest.raises(ValueError):
+        broadcast_join(big, dup, on="kk")
