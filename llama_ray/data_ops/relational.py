@@ -458,3 +458,107 @@ def broadcast_join(
         return out
 
     return big.map_batches(stage, batch_format="pyarrow")
+
+
+# ------------------------------------------------- partitioned windows
+
+
+def running_window(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    order_cols: list[str],
+    val_col: str,
+    out_sum: str = "run_total",
+    out_lag: str = "prev",
+    out_rn: str = "rn",
+) -> rd.Dataset:
+    """Partitioned window functions in one distributed pass: running
+    sum, previous-row value (LAG), and row number of ``val_col`` within
+    each ``by`` partition ordered by ``order_cols`` — i.e.
+    ``SUM/LAG/ROW_NUMBER() OVER (PARTITION BY by ORDER BY order_cols)``.
+
+    ONE range sort by (by, *order_cols), then the engine's two-wave
+    distributed prefix scan: wave 1 reduces every block to one carry
+    summary (its trailing partition's row count, value sum, and last
+    value), the driver chains them in an O(num_blocks) scan, wave 2
+    rewrites each block with its carry-in.  Row payloads never cross
+    the driver.
+
+    Exactness contract: with an integer ``val_col`` the running sum is
+    bit-exact in any block layout (integer addition is associative);
+    with floats the carry regrouping can differ from a sequential scan
+    in the last ulp — quantize first (the engine's floor(x·10^6+½)
+    convention) when the result must hash-match an oracle."""
+    _, ds = _as_arrow(ds)
+    srt = ds.sort([by, *order_cols]).materialize()
+    schema = srt.schema().base_schema
+    val_type = schema.field(val_col).type
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0 or by not in tbl.schema.names:
+            return None
+        b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch_to_numpy(tbl, val_col)
+        tail = b == b[-1]
+        n = int(tail.sum())
+        first_by = b[0].item() if hasattr(b[0], "item") else b[0]
+        last_by = b[-1].item() if hasattr(b[-1], "item") else b[-1]
+        return (first_by, last_by, n, v[tail].sum().item(), v[-1].item())
+
+    summaries = per_block_results(srt, summarize)
+
+    carries: list[tuple] = []
+    cur_by, cur_n, cur_sum, cur_last = None, 0, 0, None
+    for s in summaries:
+        carries.append((cur_by, cur_n, cur_sum, cur_last))
+        if s is None:
+            continue
+        first_by, last_by, n, vsum, vlast = s
+        if first_by == last_by and cur_by == last_by:
+            cur_n, cur_sum, cur_last = cur_n + n, cur_sum + vsum, vlast
+        else:
+            cur_by, cur_n, cur_sum, cur_last = last_by, n, vsum, vlast
+
+    out_schema = pa.schema(
+        [*schema, pa.field(out_rn, pa.int64()), pa.field(out_sum, val_type),
+         pa.field(out_lag, val_type)]
+    )
+
+    def fill_block(tbl: pa.Table, c_by, c_n, c_sum, c_last) -> pa.Table:
+        if tbl.num_rows == 0 or by not in tbl.schema.names:
+            return out_schema.empty_table()
+        b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch_to_numpy(tbl, val_col)
+        m = len(b)
+        new = np.ones(m, bool)
+        new[1:] = b[1:] != b[:-1]
+        starts = np.flatnonzero(new)
+        run_start = np.repeat(starts, np.diff(np.append(starts, m)))
+        cs = np.cumsum(v)
+        base = cs[run_start] - v[run_start]
+        running = cs - base
+        rn = np.arange(m, dtype=np.int64) - run_start + 1
+        lag = np.empty(m, v.dtype)
+        lag[1:] = v[:-1]
+        has_lag = np.ones(m, bool)
+        has_lag[starts] = False
+        first0 = b[0].item() if hasattr(b[0], "item") else b[0]
+        if c_by is not None and c_by == first0:
+            first_run = run_start == 0
+            running[first_run] += c_sum
+            rn[first_run] += c_n
+            if c_last is not None:
+                lag[0] = c_last
+                has_lag[0] = True
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(rn))
+        cols.append(pa.array(running).cast(val_type))
+        cols.append(pa.array(lag, mask=~has_lag).cast(val_type))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill_block)
+    refs = [
+        task.remote(r, *c) for r, c in zip(srt.to_arrow_refs(), carries)
+    ]
+    return rd.from_arrow_refs(refs)

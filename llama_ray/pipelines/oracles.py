@@ -2433,3 +2433,17 @@ FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
+
+
+def events_running_total_sql() -> str:
+    """Mirror of queries.q_events_running_total (integer micro-units,
+    unique window order → no RANGE-peer ambiguity)."""
+    return """WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_u,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events)
+SELECT event_id, user_id, ts_u,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(val_u) OVER w AS BIGINT) AS run_total_u,
+       COALESCE(LAG(val_u) OVER w, -1) AS prev_u
+FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_u, event_id)"""

@@ -1728,3 +1728,51 @@ def q_cust_region_rollup(sf_dir: str):
         )
 
     return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_events_running_total(sf_dir: str):
+    """Partitioned window functions over the event stream: per user in
+    (ts, event_id) order, running value total + previous value (LAG) +
+    row number — ``SUM/LAG/ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` in ONE distributed prefix-scan pass.
+    Values are quantized to integer micro-units (floor(v·10⁶+½), the
+    engine's vec_kmeans convention) so the running sum is bit-exact in
+    any block layout and in SQL; LAG null → -1 (values are ≥ 0)."""
+    from ..data_ops.relational import running_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = batch_to_numpy(b, "value")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    win = running_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id",
+        order_cols=["ts_u", "event_id"],
+        val_col="val_u",
+        out_sum="run_total_u",
+        out_lag="prev_u",
+        out_rn="rn",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts_u"),
+                "rn": b.column("rn"),
+                "run_total_u": b.column("run_total_u"),
+                "prev_u": b.column("prev_u").fill_null(-1),
+            }
+        )
+
+    return win.map_batches(finish, batch_format="pyarrow")

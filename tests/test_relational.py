@@ -212,3 +212,70 @@ def test_broadcast_join_misses_and_fill(ray_session):
 
     with pytest.raises(ValueError):
         broadcast_join(big, dup, on="kk")
+
+
+def _pandas_window(df):
+    d = df.sort_values(["u", "ts_u", "oid"]).reset_index(drop=True)
+    g = d.groupby("u")["v"]
+    d["rn"] = g.cumcount() + 1
+    d["run_total"] = g.cumsum()
+    d["prev"] = g.shift(1)
+    return d
+
+
+def test_running_window_matches_pandas_across_layouts(ray_session):
+    from llama_ray.data_ops.relational import running_window
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 7, 400),
+            "ts_u": rng.integers(0, 500, 400),
+            "oid": np.arange(400),
+            "v": rng.integers(-50, 200, 400),
+        }
+    )
+    E = _pandas_window(df)
+    for nb in (1, 9, 37):
+        out = (
+            running_window(
+                rd.from_pandas(df).repartition(nb),
+                by="u",
+                order_cols=["ts_u", "oid"],
+                val_col="v",
+            )
+            .to_pandas()
+            .sort_values(["u", "ts_u", "oid"])
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(out["rn"].to_numpy(), E["rn"].to_numpy()), nb
+        assert np.array_equal(out["run_total"].to_numpy(), E["run_total"].to_numpy()), nb
+        assert np.allclose(
+            out["prev"].astype(float), E["prev"].astype(float), equal_nan=True
+        ), nb
+
+
+def test_running_window_single_partition_many_blocks(ray_session):
+    """One partition spanning 25 blocks: every block needs the carry
+    chain (count, sum, last value) from ALL earlier blocks."""
+    from llama_ray.data_ops.relational import running_window
+
+    n = 1000
+    df = pd.DataFrame(
+        {"u": np.zeros(n, np.int64), "ts_u": np.arange(n), "oid": np.arange(n),
+         "v": np.ones(n, np.int64)}
+    )
+    out = (
+        running_window(
+            rd.from_pandas(df).repartition(25),
+            by="u",
+            order_cols=["ts_u", "oid"],
+            val_col="v",
+        )
+        .to_pandas()
+        .sort_values("ts_u")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(out["rn"].to_numpy(), np.arange(1, n + 1))
+    assert np.array_equal(out["run_total"].to_numpy(), np.arange(1, n + 1))
+    assert np.isnan(out["prev"].iloc[0]) and (out["prev"].iloc[1:] == 1).all()
