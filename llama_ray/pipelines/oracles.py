@@ -2447,3 +2447,19 @@ SELECT event_id, user_id, ts_u,
        CAST(SUM(val_u) OVER w AS BIGINT) AS run_total_u,
        COALESCE(LAG(val_u) OVER w, -1) AS prev_u
 FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_u, event_id)"""
+
+
+def revenue_by_nation_sql() -> str:
+    """Mirror of queries.q_revenue_by_nation (integer micro-units;
+    the per-row double product is IEEE-identical on both sides)."""
+    return """WITH l AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) AS rev_u
+  FROM lineitem)
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(l.rev_u) AS BIGINT) AS revenue_u
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""

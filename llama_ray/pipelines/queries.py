@@ -1776,3 +1776,85 @@ def q_events_running_total(sf_dir: str):
         )
 
     return win.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-join relational pipeline (TPC-H Q5 shape): revenue per
+    customer nation = lineitem ⋈ orders (fact-fact, the distributed
+    sort-merge join) + customer/nation dimensions composed into ONE
+    broadcast lookup, then a 25-key rollup done as per-batch bincount
+    partials (≤|nations| rows leave each batch).
+
+    Bit-exact in any layout: per-row revenue l_extendedprice·(1−l_discount)
+    is one IEEE double product (deterministic), floor-quantized to
+    integer micro-units before any summation."""
+    from ..data_ops.relational import broadcast_join, sort_merge_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        p = batch_to_numpy(b, "l_extendedprice")
+        d = batch_to_numpy(b, "l_discount")
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "rev_u": np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = sort_merge_join(
+        li.map_batches(rev, batch_format="pyarrow"),
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+
+    # composed dimension lookup: custkey → nationkey (nation names are
+    # attached to the ≤|nations|-row result at the end, driver-side)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    lookup = pa.table(
+        {
+            "o_custkey": cust.column("c_custkey"),
+            "nk": cust.column("c_nationkey").cast(pa.int64()),
+        }
+    )
+    enriched = broadcast_join(joined, lookup, on="o_custkey")
+
+    def partial(b: pa.Table) -> dict:
+        nk = batch_to_numpy(b, "nk")
+        rv = batch_to_numpy(b, "rev_u")
+        cnt = np.bincount(nk)
+        nz = np.flatnonzero(cnt)
+        # int64 scatter-add (bincount's float weights would round above
+        # 2^53; revenue partials must stay integer-exact)
+        acc = np.zeros(len(cnt), np.int64)
+        np.add.at(acc, nk, rv)
+        return {
+            "nk": nz.astype(np.int64),
+            "n_items": cnt[nz].astype(np.int64),
+            "revenue_u": acc[nz],
+        }
+
+    agg = (
+        enriched.map_batches(partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue_u", alias_name="revenue_u"))
+        .to_pandas()  # bounded: one row per nation
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = agg.merge(
+        nation.rename(columns={"n_nationkey": "nk"}), on="nk", how="inner"
+    )
+    return pa.table(
+        {
+            "n_name": out["n_name"].to_numpy(),
+            "n_items": out["n_items"].to_numpy().astype(np.int64),
+            "revenue_u": out["revenue_u"].to_numpy().astype(np.int64),
+        }
+    )
