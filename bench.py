@@ -411,6 +411,31 @@ def run_benchmark() -> dict:
     timings["matching_rmat18"] = time.perf_counter() - t0
     del g_m
 
+    # relational join family over the sf tables (fact-fact sort-merge
+    # join, as-of alignment, window prefix scan, multi-join rollup)
+    from llama_ray.data_ops.relational import sort_merge_join
+    from llama_ray.pipelines import queries as _q
+
+    li = _q._read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _q._read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    t0 = time.perf_counter()
+    n_joined = sort_merge_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).count()
+    timings["join_lineitem_orders"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rev_rows = _q.q_revenue_by_nation(sf_dir).num_rows
+    timings["revenue_by_nation"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_asof = _q.q_events_asof_view(sf_dir).count()
+    timings["asof_join_events"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_window = _q.q_events_running_total(sf_dir).count()
+    timings["window_running_total"] = time.perf_counter() - t0
+
     # streaming micro-batch loop (reference benchmark.cc:1769-1893:
     # pull -> checkpoint -> window-advance -> task, per batch)
     import shutil as _sh
@@ -471,6 +496,10 @@ def run_benchmark() -> dict:
         "dedup_docs": dedup_docs,
         "dedup_distinct": n_distinct,
         "matching_edges": n_matching,
+        "joined_lineitem_rows": n_joined,
+        "revenue_nations": rev_rows,
+        "asof_rows": n_asof,
+        "window_rows": n_window,
         "packed_seqs": n_seqs,
         "repo_vertices": n_repo_vertices,
         "repo_edges": n_repo_edges,
