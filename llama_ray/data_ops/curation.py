@@ -414,3 +414,184 @@ def duplicate_spans(
         }
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- source overlap
+
+
+_US = "\x1f"  # key separator for the combined pair/count aggregation
+
+
+def _overlap_runs(g: np.ndarray, codes: np.ndarray, max_df: int):
+    """Distinct-row positions and within-gram pair indices of rows
+    sorted by (gram, source-code): dedup adjacent equal (g, code) rows,
+    drop gram runs with more than ``max_df`` distinct sources, emit all
+    source pairs of the surviving runs. Returns (pair_left, pair_right,
+    kept_positions, n_over) — pair/kept arrays index into the input."""
+    if len(g) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, 0
+    new = np.concatenate([[True], (g[1:] != g[:-1]) | (codes[1:] != codes[:-1])])
+    pos = np.flatnonzero(new)
+    gd = g[pos]
+    starts = np.flatnonzero(np.concatenate([[True], gd[1:] != gd[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(gd)]]))
+    over = lens > max_df
+    keep = np.repeat(~over, lens)
+    kept_pos = pos[keep]
+
+    from ..algos.triangles import _pairs_multirun
+
+    li, ri = _pairs_multirun(gd[keep])
+    return kept_pos[li], kept_pos[ri], kept_pos, int(over.sum())
+
+
+def source_overlap(
+    docs: rd.Dataset,
+    *,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_df: int = 64,
+    min_shared: int = 1,
+) -> rd.Dataset:
+    """Pairwise source-overlap matrix: for every pair of sources, the
+    number of distinct word ``n``-gram hashes both contain and the
+    Jaccard similarity of their distinct-gram sets — the corpus-level
+    leakage / fork-detection signal (which domains, dumps, or repos
+    are near-copies of each other) computed without ever comparing
+    source pairs directly.
+
+    Grams are the engine's shared hashed-token feature space (the
+    n-gram Jaccard / contamination family). The gram universe is
+    document-frequency-windowed: grams present in more than ``max_df``
+    sources are dropped from BOTH intersections and denominators (the
+    standard stop-gram / IDF window — a gram in every source carries
+    no pairing signal but would cost O(df²) pair rows). Drops are
+    loudly logged; with ``max_df`` ≥ the source count the result is
+    exact.
+
+    Shape, built for scale: one range sort of the (gram, source)
+    table co-locates each gram's sources; per-block interior runs
+    dedup + emit pairs vectorized, the ≤2 boundary runs per block
+    resolve in a bounded driver pass; pair counts AND per-source
+    distinct-gram totals ride ONE shared sort-reduce (keys
+    ``P␟a␟b`` / ``S␟source``). Only O(#sources) totals and O(#pairs)
+    final rows reach the driver-adjacent stages; document text never
+    leaves the featurize step.
+    """
+    import logging
+
+    import pyarrow.compute as pc
+    import ray
+
+    from ..common import collect_boundary_runs
+    from .dedup import _word_ngram_hashes_batch
+
+    logger = logging.getLogger(__name__)
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        g, counts = _word_ngram_hashes_batch(batch.column(text_col), n)
+        src = batch.column(group_col).combine_chunks()
+        idx = np.repeat(np.arange(len(src), dtype=np.int64), counts)
+        return pa.table({"g": g.view(np.int64), "source": src.take(pa.array(idx))})
+
+    srt = docs.map_batches(featurize, batch_format="pyarrow").sort(["g", "source"]).materialize()
+
+    _EMPTY = pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def _emit(g: np.ndarray, src_arr: pa.Array, sel: np.ndarray) -> pa.Table:
+        """Pair + count key rows for rows ``sel`` of (g, src_arr),
+        which must be (g, source)-sorted at those positions."""
+        if len(sel) == 0:
+            return _EMPTY
+        enc = src_arr.take(pa.array(sel)).dictionary_encode()
+        codes = enc.indices.to_numpy()
+        li, ri, kept, n_over = _overlap_runs(g[sel], codes, max_df)
+        if n_over:
+            logger.warning(
+                "source_overlap: dropped %d grams with df > max_df=%d "
+                "(stop-gram window)", n_over, max_df
+            )
+        sa = enc.dictionary.take(pa.array(codes[li]))
+        sb = enc.dictionary.take(pa.array(codes[ri]))
+        p_keys = pc.binary_join_element_wise(
+            pa.array(np.full(len(li), "P")), sa, sb, _US
+        )
+        cnt = np.bincount(codes[kept], minlength=len(enc.dictionary))
+        nz = np.flatnonzero(cnt)
+        c_keys = pc.binary_join_element_wise(
+            pa.array(np.full(len(nz), "S")), enc.dictionary.take(pa.array(nz)), _US
+        )
+        return pa.table(
+            {
+                "key": pa.concat_arrays([p_keys.combine_chunks() if isinstance(p_keys, pa.ChunkedArray) else p_keys,
+                                         c_keys.combine_chunks() if isinstance(c_keys, pa.ChunkedArray) else c_keys]),
+                "n": np.concatenate([np.ones(len(li), np.int64), cnt[nz]]),
+            }
+        )
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        g = batch_to_numpy(tbl, "g")
+        if len(g) == 0:
+            return _EMPTY
+        edge = (g == g[0]) | (g == g[-1])
+        return _emit(g, tbl.column("source").combine_chunks(), np.flatnonzero(~edge))
+
+    mixed = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    btbl = collect_boundary_runs(srt, "g", columns=["g", "source"], where="source_overlap")
+    if btbl is not None:
+        btbl = btbl.sort_by([("g", "ascending"), ("source", "ascending")])
+        extra = _emit(
+            batch_to_numpy(btbl, "g"),
+            btbl.column("source").combine_chunks(),
+            np.arange(btbl.num_rows, dtype=np.int64),
+        )
+        if extra.num_rows:
+            mixed = mixed.union(rd.from_arrow(extra))
+
+    agg = _group_sum_sorted(mixed, "key", ["n"]).materialize()
+
+    def _count_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(t.column("key"), "S" + _US))
+
+    totals_tbl = agg.map_batches(_count_rows, batch_format="pyarrow").to_pandas()
+    totals = {
+        k.split(_US, 1)[1]: int(v) for k, v in zip(totals_tbl["key"], totals_tbl["n"])
+    }
+    totals_ref = ray.put(totals)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mask = pc.starts_with(t.column("key"), "P" + _US)
+        sub = t.filter(mask)
+        out_empty = pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "shared": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if sub.num_rows == 0:
+            return out_empty
+        parts = pc.split_pattern(sub.column("key"), _US)
+        sa = pc.list_element(parts, 1)
+        sb = pc.list_element(parts, 2)
+        shared = batch_to_numpy(sub, "n").astype(np.int64)
+        tot = ray.get(totals_ref)
+        na = np.fromiter((tot[s] for s in sa.to_pylist()), np.int64, len(shared))
+        nb = np.fromiter((tot[s] for s in sb.to_pylist()), np.int64, len(shared))
+        keep = shared >= min_shared
+        return pa.table(
+            {
+                "source_a": sa.combine_chunks().filter(pa.array(keep)) if isinstance(sa, pa.ChunkedArray) else sa.filter(pa.array(keep)),
+                "source_b": sb.combine_chunks().filter(pa.array(keep)) if isinstance(sb, pa.ChunkedArray) else sb.filter(pa.array(keep)),
+                "shared": shared[keep],
+                "jaccard": np.round(shared[keep] / (na[keep] + nb[keep] - shared[keep]), 6),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["source_a", "source_b"]
+    )

@@ -2463,3 +2463,41 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name"""
+
+
+def source_overlap_sql(n: int = 3, max_df: int = 64, min_shared: int = 1) -> str:
+    """Mirror of data_ops.curation.source_overlap: distinct word
+    n-gram hashes per source in the engine's hashed feature space
+    (same gram CTEs as contamination/repetition), df-windowed at
+    max_df, pairwise shared counts + Jaccard over the windowed sets."""
+    gold = 0x9E3779B97F4A7C15
+    return f"""WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, source, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, source, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes("raw", "doc_id, source, pos, ntok", prefix="tm")},
+win AS (
+  SELECT doc_id, source, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT source, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64("a", gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+ug AS MATERIALIZED (SELECT DISTINCT source, g FROM grams),
+keep AS (SELECT g FROM ug GROUP BY g HAVING COUNT(*) <= {max_df}),
+u2 AS MATERIALIZED (SELECT source, g FROM ug JOIN keep USING (g)),
+nsrc AS (SELECT source, COUNT(*) AS nd FROM u2 GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM u2 a JOIN u2 b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, shared,
+       ROUND(CAST(shared AS DOUBLE) / (na.nd + nb.nd - shared), 6) AS jaccard
+FROM p JOIN nsrc na ON na.source = p.source_a JOIN nsrc nb ON nb.source = p.source_b
+WHERE shared >= {min_shared}
+ORDER BY source_a, source_b"""

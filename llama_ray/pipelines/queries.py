@@ -1858,3 +1858,14 @@ def q_revenue_by_nation(sf_dir: str):
             "revenue_u": out["revenue_u"].to_numpy().astype(np.int64),
         }
     )
+
+
+def q_source_overlap(sf_dir: str):
+    """Pairwise source n-gram overlap matrix (corpus leakage / fork
+    detection): shared distinct word-3-gram hashes + Jaccard per source
+    pair, df-windowed stop-gram removal — one gram-table sort, one
+    shared pair/count sort-reduce, O(#sources²) driver-adjacent rows."""
+    from ..data_ops.curation import source_overlap
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return source_overlap(docs, n=3, max_df=64, min_shared=1)

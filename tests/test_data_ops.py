@@ -1240,3 +1240,78 @@ def test_kmeans_quantized_matches_numpy_lloyd_any_layout():
     A0 = np.argmax(qv @ qv[:k].T, axis=1)
     _, _, C1 = lloyd(1)
     assert 3 not in A0 and np.array_equal(C1[3], qv[3])
+
+
+def _overlap_reference(texts, sources, n, max_df):
+    """Python-set reference for source_overlap: per-source distinct
+    gram sets in the engine's hash space, df-windowed, pairwise
+    shared + jaccard."""
+    from collections import Counter, defaultdict
+
+    from llama_ray.data_ops.dedup import _word_ngram_hashes
+
+    sets = defaultdict(set)
+    for t, s in zip(texts, sources):
+        sets[s].update(_word_ngram_hashes(t, n).tolist())
+    df = Counter(g for s in sets.values() for g in s)
+    windowed = {s: {g for g in gs if df[g] <= max_df} for s, gs in sets.items()}
+    rows = []
+    for a in sorted(windowed):
+        for b in sorted(windowed):
+            if a >= b:
+                continue
+            inter = len(windowed[a] & windowed[b])
+            if inter >= 1:
+                rows.append(
+                    (a, b, inter, round(inter / (len(windowed[a]) + len(windowed[b]) - inter), 6))
+                )
+    return rows
+
+
+def test_source_overlap_matches_brute_force_any_layout():
+    from llama_ray.data_ops.curation import source_overlap
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts, sources = [], []
+    for i in range(180):
+        k = int(rng.integers(0, 12))  # includes empty and short docs
+        texts.append(" ".join(rng.choice(vocab, k)))
+        sources.append(f"s{int(rng.integers(0, 7))}")
+    ref = _overlap_reference(texts, sources, n=3, max_df=64)
+    tbl = pa.table({"source": pa.array(sources), "text": pa.array(texts)})
+    for blocks in (1, 5, 23):
+        out = (
+            source_overlap(rd.from_arrow(tbl).repartition(blocks), n=3, max_df=64)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        got = list(
+            zip(out["source_a"], out["source_b"], out["shared"], out["jaccard"])
+        )
+        assert got == ref, f"blocks={blocks}"
+
+
+def test_source_overlap_df_window_drops_hot_grams():
+    from llama_ray.data_ops.curation import source_overlap
+
+    # "the end" trigram appears in EVERY source -> dropped at max_df=2;
+    # the (s0, s1)-only grams survive and drive the pair.
+    texts = [
+        "alpha beta gamma the end here",
+        "alpha beta gamma the end here",
+        "delta epsilon zeta the end here",
+        "eta theta iota the end here",
+    ]
+    sources = ["s0", "s1", "s1", "s2"]
+    ref = _overlap_reference(texts, sources, n=3, max_df=2)
+    tbl = pa.table({"source": pa.array(sources), "text": pa.array(texts)})
+    out = source_overlap(rd.from_arrow(tbl).repartition(3), n=3, max_df=2).to_pandas()
+    got = list(zip(out["source_a"], out["source_b"], out["shared"], out["jaccard"]))
+    assert got == ref
+    # exactness sanity: with the window wide open the hot grams return
+    ref_open = _overlap_reference(texts, sources, n=3, max_df=64)
+    out2 = source_overlap(rd.from_arrow(tbl).repartition(2), n=3, max_df=64).to_pandas()
+    got2 = list(zip(out2["source_a"], out2["source_b"], out2["shared"], out2["jaccard"]))
+    assert got2 == ref_open
+    assert len(got2) > len(got) or sum(r[2] for r in got2) > sum(r[2] for r in got)
