@@ -9,8 +9,8 @@ engine's proven primitives (ONE range sort + per-block complete-run
 work + a bounded boundary pass — the same skeleton as
 ``curation.topk_per_group`` and the dedup verify join):
 
-* ``sort_merge_join`` — general equi-join (inner / left) of two
-  Datasets.  Both sides are projected onto one union schema with a
+* ``sort_merge_join`` — general equi-join (inner / left / semi / anti)
+  of two Datasets.  Both sides are projected onto one union schema with a
   side flag, range-sorted ONCE by (key, side), and each key run is
   expanded into its cartesian matches block-locally with vectorized
   run arithmetic.  Only the ≤2 key runs touching each block edge are
@@ -153,6 +153,22 @@ def _join_runs(
     nr = lens - nl
     left_start = starts
     right_start = starts + nl
+    if how in ("semi", "anti"):
+        # existence filter: each left row once iff its key has (semi)
+        # / lacks (anti) right rows — no cartesian expansion at all
+        keep = (nr > 0) if how == "semi" else (nr == 0)
+        sizes = nl * keep
+        total = int(sizes.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        base = np.cumsum(sizes) - sizes
+        pos = np.arange(total, dtype=np.int64) - np.repeat(base, sizes)
+        l_take = pa.array(np.repeat(left_start, sizes) + pos)
+        cols = []
+        for f in out_schema:
+            src = _KEY if f.name == key_out else f.name
+            cols.append(tbl.column(src).take(l_take))
+        return pa.Table.from_arrays(cols, schema=out_schema)
     nr_eff = np.maximum(nr, 1) if how == "left" else nr
     sizes = nl * nr_eff
     total = int(sizes.sum())
@@ -196,10 +212,18 @@ def sort_merge_join(
     touching each block edge join in a bounded driver pass (hot keys
     spanning whole blocks degrade that pass and are loudly logged —
     broadcast the small side instead when one key dominates).  Join
-    keys must be non-null."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    keys must be non-null.
+
+    ``how`` ∈ inner|left|semi|anti — semi keeps each left row once iff
+    its key exists on the right, anti iff it does not (the existence
+    filters of NOT IN / EXISTS subqueries). In these modes the right
+    side is projected to its key alone before the shuffle: only key
+    presence matters, so right payload never rides the sort."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     right_on = right_on if right_on is not None else left_on
+    if how in ("semi", "anti"):
+        right = right.select_columns([right_on])
     lschema, left = _as_arrow(left)
     rschema, right = _as_arrow(right)
     uschema, left_cols, right_pairs = _union_schema(

@@ -2501,3 +2501,13 @@ SELECT source_a, source_b, shared,
 FROM p JOIN nsrc na ON na.source = p.source_a JOIN nsrc nb ON nb.source = p.source_b
 WHERE shared >= {min_shared}
 ORDER BY source_a, source_b"""
+
+
+def customers_no_orders_sql() -> str:
+    """Mirror of queries.q_customers_no_orders (anti-join against
+    completed orders)."""
+    return """SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer c
+ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey"""

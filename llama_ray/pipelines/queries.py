@@ -1869,3 +1869,26 @@ def q_source_overlap(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["source", "text"])
     return source_overlap(docs, n=3, max_df=64, min_shared=1)
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti-join existence filter: customers with no completed ('F')
+    order — the NOT EXISTS shape — through the distributed sort-merge
+    join in ``anti`` mode.  The orders side is filtered at the read and
+    projected to its key column before the shuffle; each customer row
+    survives once iff its key never appears."""
+    from ..data_ops.relational import sort_merge_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def done_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderstatus"), "F")).select(["o_custkey"])
+
+    return sort_merge_join(
+        cust,
+        orders.map_batches(done_only, batch_format="pyarrow"),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        how="anti",
+    )

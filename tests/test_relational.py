@@ -279,3 +279,57 @@ def test_running_window_single_partition_many_blocks(ray_session):
     assert np.array_equal(out["rn"].to_numpy(), np.arange(1, n + 1))
     assert np.array_equal(out["run_total"].to_numpy(), np.arange(1, n + 1))
     assert np.isnan(out["prev"].iloc[0]) and (out["prev"].iloc[1:] == 1).all()
+
+
+def test_sort_merge_join_semi_anti_match_pandas(ray_session):
+    rng = np.random.default_rng(5)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 400),
+            "lv": rng.normal(size=400),
+            "tag": [f"t{i % 7}" for i in range(400)],
+        }
+    )
+    # right overlaps [20, 70): keys < 20 are anti, >= 20 mostly semi;
+    # right payload should be ignored entirely (projected off pre-shuffle)
+    R = pd.DataFrame({"rk": rng.integers(20, 70, 250), "rv": rng.normal(size=250)})
+    present = set(R["rk"])
+    semi_exp = L[L["k"].isin(present)]
+    anti_exp = L[~L["k"].isin(present)]
+    assert len(semi_exp) and len(anti_exp)  # both modes exercised
+    for nl, nr in [(1, 1), (9, 5), (23, 17)]:
+        lds = rd.from_pandas(L).repartition(nl)
+        rds = rd.from_pandas(R).repartition(nr)
+        semi = sort_merge_join(lds, rds, left_on="k", right_on="rk", how="semi").to_pandas()
+        anti = sort_merge_join(lds, rds, left_on="k", right_on="rk", how="anti").to_pandas()
+        _assert_frame_match(semi, semi_exp)
+        _assert_frame_match(anti, anti_exp)
+        assert len(semi) + len(anti) == len(L)
+
+
+def test_sort_merge_join_anti_hot_key_and_empty_right(ray_session):
+    # one key fills whole blocks on the right; left dupes preserved
+    L = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "lv": range(6)})
+    R = pd.DataFrame({"rk": np.full(5000, 3), "rv": np.arange(5000)})
+    anti = sort_merge_join(
+        rd.from_pandas(L).repartition(3),
+        rd.from_pandas(R).repartition(11),
+        left_on="k",
+        right_on="rk",
+        how="anti",
+    ).to_pandas()
+    _assert_frame_match(anti, L[L["k"] != 3])
+    semi = sort_merge_join(
+        rd.from_pandas(L).repartition(2),
+        rd.from_pandas(R).repartition(7),
+        left_on="k",
+        right_on="rk",
+        how="semi",
+    ).to_pandas()
+    _assert_frame_match(semi, L[L["k"] == 3])  # each left dup once, no expansion
+    # empty right: anti keeps everything
+    anti_all = sort_merge_join(
+        rd.from_pandas(L), rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())})),
+        left_on="k", right_on="rk", how="anti",
+    ).to_pandas()
+    _assert_frame_match(anti_all, L)
