@@ -682,3 +682,141 @@ def kmeans_quantized(
         }
 
     return emb.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------- quantized Gram / PCA
+
+
+def gram_quantized(
+    emb: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """Exact second-moment statistics of an embedding column: one row
+    per dimension pair ``i <= j`` with the integer Gram entry
+    ``gram = Σ q_i q_j`` over quantized vectors ``q = ⌊v·scale + ½⌋``,
+    the per-dim integer sums, the row count, and the derived covariance
+    ``cov = (gram - s_i·s_j/n)/n`` (double, rounded 1e-6) — the
+    whitening / PCA statistics stage of an embedding pipeline.
+
+    All aggregation is commutative int64 sums (one ``Qᵀ Q`` matmul per
+    block, d(d+1)/2 partial rows each, merged by the sorted run-reduce)
+    so the result is bit-identical in every block layout and in SQL.
+    Overflow bound: ``n·(scale·max|v|)² < 2^63`` — at scale=2^16 and
+    |v| ≤ 8 good to ~3×10^7 rows; reduce ``scale`` for larger corpora
+    (the quantization is part of the operator's contract, so the same
+    scale must be used by any oracle).
+    """
+    from ..common import group_sum_sorted
+
+    first = emb.take(1)
+    if not first:
+        raise ValueError("gram_quantized: empty embedding dataset")
+    d = len(first[0][vec_col])
+    iu = np.triu_indices(d)
+    pair_key = (iu[0] * d + iu[1]).astype(np.int64)
+
+    def partial(batch: pa.Table) -> dict:
+        n = batch.num_rows
+        V = np.asarray(
+            batch.column(vec_col).combine_chunks().flatten().to_numpy(), np.float64
+        ).reshape(n, d)
+        Q = np.floor(V * scale + 0.5).astype(np.int64)
+        G = Q.T @ Q  # exact: int64 matmul
+        s = Q.sum(axis=0)
+        # d(d+1)/2 gram rows + d sum rows (key = d*d + dim) + 1 count row
+        return {
+            "k": np.concatenate([pair_key, d * d + np.arange(d, dtype=np.int64), [d * d + d]]),
+            "v": np.concatenate([G[iu], s, [n]]),
+        }
+
+    merged = group_sum_sorted(
+        emb.map_batches(partial, batch_format="pyarrow"), "k", ["v"]
+    ).materialize()
+
+    # O(d²) rows total: assemble the tiny stats table on the driver
+    rows = merged.to_pandas()
+    kv = dict(zip(rows["k"].astype(np.int64), rows["v"].astype(np.int64)))
+    n_total = kv[d * d + d]
+    s = np.array([kv[d * d + i] for i in range(d)], np.int64)
+    gram = np.array([kv[int(k)] for k in pair_key], np.int64)
+    si = s[iu[0]].astype(np.float64)
+    sj = s[iu[1]].astype(np.float64)
+    cov = np.round((gram.astype(np.float64) - si * sj / n_total) / n_total, 6)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "dim_i": iu[0].astype(np.int64),
+                "dim_j": iu[1].astype(np.int64),
+                "n": np.full(len(gram), n_total, np.int64),
+                "sum_i": s[iu[0]],
+                "sum_j": s[iu[1]],
+                "gram": gram,
+                "cov": cov,
+            }
+        )
+    )
+
+
+def embedding_pca(
+    emb: rd.Dataset,
+    *,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """PCA projection of an embedding column: covariance from the
+    EXACT quantized Gram statistics (:func:`gram_quantized`, so the
+    fitted basis is independent of block layout), eigensolve on the
+    driver (O(d³), d = embedding width), then a streaming per-batch
+    projection ``(v - μ) @ W`` of the centered float vectors.
+
+    Eigenvector sign is canonicalized (largest-|component| entry made
+    positive) so repeated runs agree. The eigensolve itself is not
+    SQL-expressible — this op is pytest-verified against a dense numpy
+    PCA (see the knn_ivf precedent for layout-dependent-free but
+    non-SQL ops). Returns (id, pc: list<double>).
+    """
+    stats = gram_quantized(emb, vec_col=vec_col, scale=scale).to_pandas()
+    d = int(stats["dim_i"].max()) + 1
+    n = int(stats["n"].iloc[0])
+    C = np.zeros((d, d))
+    C[stats["dim_i"], stats["dim_j"]] = stats["cov"]
+    C[stats["dim_j"], stats["dim_i"]] = stats["cov"]
+    mu = np.zeros(d)
+    sums = stats.drop_duplicates("dim_i").sort_values("dim_i")["sum_i"].to_numpy()
+    mu[: len(sums)] = sums / (n * scale)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:out_dim]
+    W = V[:, order]
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])])
+    W = W * np.where(flip == 0, 1.0, flip)
+    W_ref = ray.put(np.ascontiguousarray(W))
+    mu_ref = ray.put(mu)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        X = np.asarray(
+            batch.column(vec_col).combine_chunks().flatten().to_numpy(), np.float64
+        ).reshape(m, d)
+        Wm = ray.get(W_ref)
+        Xc = X - ray.get(mu_ref)
+        # per-component elementwise-multiply + row sum instead of one
+        # dgemm: BLAS blocking rounds differently per batch SHAPE, so a
+        # matmul projection would differ across block layouts; numpy's
+        # per-row pairwise reduction is fixed by d alone → bit-stable
+        P = np.empty((m, Wm.shape[1]))
+        for j in range(Wm.shape[1]):
+            P[:, j] = (Xc * Wm[:, j]).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pc": pa.FixedSizeListArray.from_arrays(
+                    pa.array(P.reshape(-1), pa.float64()), P.shape[1]
+                ),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")

@@ -343,6 +343,80 @@ def exact_quantiles_sorted(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Tabl
     )
 
 
+def exact_group_quantiles_sorted(
+    ds: rd.Dataset, group_col: str, col: str, qs: list[float]
+) -> pa.Table:
+    """Exact per-group discrete quantiles of ANY orderable column —
+    the grouped twin of :func:`exact_quantiles_sorted`.  ONE range sort
+    by (group, value); each block reduces to its per-group run
+    summaries (group, start offset, count) — O(groups-in-block) rows —
+    and the driver turns the block-ordered summaries into per-group
+    order-statistic positions (``quantile_disc``: the element at
+    1-based ``ceil(q·n_g)``), fetching only the few target blocks.
+    The value column itself never reaches the driver; driver state is
+    O(blocks × groups-per-block + groups)."""
+    import ray
+
+    from ..common import per_block_results
+
+    srt = ds.select_columns([group_col, col]).sort([group_col, col]).materialize()
+
+    def runs(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+
+        g = tbl.column(group_col).combine_chunks()
+        new = np.concatenate(
+            [[True], ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(zero_copy_only=False)]
+        )
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        return g.take(pa.array(starts)), starts, lens
+
+    parts = per_block_results(srt, runs)
+    refs = srt.to_arrow_refs()
+    # block-ordered (group, block, start, count) — the global sort makes
+    # each group's rows contiguous across this concatenation
+    groups, blocks_ix, starts, lens = [], [], [], []
+    for b, p in enumerate(parts):
+        if p is None:
+            continue
+        gv, st, ln = p
+        groups.extend(gv.to_pylist())
+        blocks_ix.extend([b] * len(st))
+        starts.extend(st.tolist())
+        lens.extend(ln.tolist())
+    out_g, out_q, out_v = [], [], []
+    cache: dict[int, pa.Table] = {}
+    i = 0
+    while i < len(groups):
+        j = i
+        while j < len(groups) and groups[j] == groups[i]:
+            j += 1
+        seg_lens = np.array(lens[i:j], np.int64)
+        cum = np.cumsum(seg_lens)
+        n_g = int(cum[-1])
+        for q in qs:
+            pos = max(1, int(np.ceil(q * n_g)))
+            s = int(np.searchsorted(cum, pos))
+            b = blocks_ix[i + s]
+            if b not in cache:
+                cache[b] = ray.get(refs[b])
+            within = starts[i + s] + pos - (int(cum[s - 1]) if s else 0) - 1
+            out_g.append(groups[i])
+            out_q.append(q)
+            out_v.append(cache[b].column(col)[within].as_py())
+        i = j
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
 def tfidf_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
     """Corpus-salient terms: top-k tokens by ``tf · ln(N/df)`` where tf
     is the total corpus frequency and df the number of documents

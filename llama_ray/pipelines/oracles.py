@@ -2511,3 +2511,37 @@ FROM customer c
 ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
   ON o.o_custkey = c.c_custkey
 ORDER BY c_custkey"""
+
+
+def embedding_gram_sql(scale: int = 1 << 16) -> str:
+    """Mirror of queries.q_embedding_gram: quantize each embedding
+    value to ⌊v·scale + ½⌋ (float32→double is exact, ·2^16 shifts the
+    exponent only, so the quantization is bit-identical to numpy),
+    then exact integer Gram/sum/count aggregates per dimension pair."""
+    return f"""WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings),
+s AS (SELECT dim, SUM(q) AS sq FROM x GROUP BY dim),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+g AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.q * b.q) AS gram
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2)
+SELECT g.dim_i, g.dim_j, CAST(n.n AS BIGINT) AS n,
+       CAST(si.sq AS BIGINT) AS sum_i, CAST(sj.sq AS BIGINT) AS sum_j,
+       CAST(g.gram AS BIGINT) AS gram,
+       ROUND((CAST(g.gram AS DOUBLE) - CAST(si.sq AS DOUBLE) * CAST(sj.sq AS DOUBLE) / n.n) / n.n, 6) AS cov
+FROM g, n
+JOIN s si ON si.dim = g.dim_i
+JOIN s sj ON sj.dim = g.dim_j
+ORDER BY dim_i, dim_j"""
+
+
+def events_type_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Mirror of queries.q_events_type_quantiles (quantile_disc =
+    element at 1-based ceil(q·n) of the sorted group)."""
+    qlist = ", ".join(str(q) for q in qs)
+    vlist = ", ".join(f"quantile_disc(value, {q})" for q in qs)
+    return f"""SELECT event_type, unnest([{qlist}]) AS q, unnest([{vlist}]) AS value
+FROM events GROUP BY event_type ORDER BY event_type, q"""

@@ -1892,3 +1892,50 @@ def q_customers_no_orders(sf_dir: str):
         right_on="o_custkey",
         how="anti",
     )
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact quantized second-moment (Gram/covariance) statistics of
+    the embedding table — the PCA/whitening stats stage. Integer
+    partial sums (one int64 QᵀQ per block) merged by the sorted
+    run-reduce; bit-identical in every layout and in SQL."""
+    from ..data_ops.ann import gram_quantized
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return gram_quantized(emb, scale=1 << 16)
+
+
+def q_embedding_pca(sf_dir: str):
+    """PCA projection to 8 components: exact quantized covariance →
+    driver eigensolve (O(d³)) → streaming per-batch projection. The
+    eigensolve is not SQL-expressible (knn_ivf precedent); pytest
+    verifies against dense numpy PCA. Returns per-vector rounded
+    component values."""
+    from ..data_ops.ann import embedding_pca
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_pca(emb, out_dim=8)
+
+    def flat(b: pa.Table) -> pa.Table:
+        P = np.asarray(
+            b.column("pc").combine_chunks().flatten().to_numpy(), np.float64
+        ).reshape(b.num_rows, -1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                **{f"pc{i}": np.round(P[:, i], 6) for i in range(P.shape[1])},
+            }
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+def q_events_type_quantiles(sf_dir: str):
+    """Per-event-type exact value quantiles (p50/p90/p99) — grouped
+    order statistics over an unbounded-cardinality float column: one
+    (type, value) range sort, per-block run summaries, driver fetches
+    only the target blocks."""
+    from ..data_ops.text import exact_group_quantiles_sorted
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_group_quantiles_sorted(ev, "event_type", "value", [0.5, 0.9, 0.99])

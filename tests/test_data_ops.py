@@ -1315,3 +1315,79 @@ def test_source_overlap_df_window_drops_hot_grams():
     got2 = list(zip(out2["source_a"], out2["source_b"], out2["shared"], out2["jaccard"]))
     assert got2 == ref_open
     assert len(got2) > len(got) or sum(r[2] for r in got2) > sum(r[2] for r in got)
+
+
+def test_gram_quantized_and_pca_match_numpy_any_layout():
+    from llama_ray.data_ops.ann import embedding_pca, gram_quantized
+
+    ds, V = emb_ds(n=300, dim=12, seed=7)
+    scale = 1 << 16
+    Q = np.floor(V.astype(np.float64) * scale + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    outs = []
+    for blocks in (1, 7, 19):
+        g = gram_quantized(ds.repartition(blocks), scale=scale).to_pandas()
+        assert (g["gram"].to_numpy() == G[np.triu_indices(12)]).all(), blocks
+        assert (g["n"] == 300).all()
+        p = (
+            embedding_pca(ds.repartition(blocks), out_dim=4, scale=scale)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        P = np.stack(p["pc"].to_numpy())
+        outs.append(P)
+    # bit-identical across layouts: the covariance is exact integers,
+    # the basis is fitted once on the driver, the projection is per-row
+    assert np.array_equal(outs[0], outs[1]) and np.array_equal(outs[0], outs[2])
+    # vs dense numpy PCA on the same quantized covariance definition
+    X = V.astype(np.float64)
+    n = len(X)
+    s = Q.sum(axis=0)
+    C = np.round((G - np.outer(s, s) / n) / n, 6)
+    w, Vec = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    W = Vec[:, order]
+    flip = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(4)])
+    W = W * np.where(flip == 0, 1.0, flip)
+    mu = s / (n * scale)
+    ref = (X - mu) @ W
+    assert np.allclose(outs[0], ref, atol=1e-9)
+    # the projection actually concentrates variance in pc0
+    var = outs[0].var(axis=0)
+    assert var[0] >= var[1] >= var[2]
+
+
+def test_exact_group_quantiles_sorted_matches_numpy():
+    from llama_ray.data_ops.text import exact_group_quantiles_sorted
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    tbl = pa.table(
+        {
+            # one dominant group spans many sorted blocks; ties abound
+            "g": pa.array(np.where(rng.random(n) < 0.7, "hot", rng.choice(["a", "b", "c"], n))),
+            "value": pa.array(np.round(rng.normal(size=n), 2)),
+        }
+    )
+    qs = [0.5, 0.9, 0.99]
+    gv = tbl.column("g").to_numpy(zero_copy_only=False)
+    vv = tbl.column("value").to_numpy()
+    expect = {}
+    for g in np.unique(gv):
+        s = np.sort(vv[gv == g])
+        for q in qs:
+            expect[(g, q)] = s[max(1, int(np.ceil(q * len(s)))) - 1]
+    for blocks in (1, 6, 25):
+        out = exact_group_quantiles_sorted(
+            rd.from_arrow(tbl).repartition(blocks), "g", "value", qs
+        )
+        got = {
+            (g, q): v
+            for g, q, v in zip(
+                out.column("g").to_pylist(),
+                out.column("q").to_pylist(),
+                out.column("value").to_pylist(),
+            )
+        }
+        assert got == expect, blocks
