@@ -9,8 +9,8 @@ engine's proven primitives (ONE range sort + per-block complete-run
 work + a bounded boundary pass — the same skeleton as
 ``curation.topk_per_group`` and the dedup verify join):
 
-* ``sort_merge_join`` — general equi-join (inner / left / semi / anti)
-  of two Datasets.  Both sides are projected onto one union schema with a
+* ``sort_merge_join`` — general equi-join (inner / left / full outer /
+  semi / anti) of two Datasets.  Both sides are projected onto one union schema with a
   side flag, range-sorted ONCE by (key, side), and each key run is
   expanded into its cartesian matches block-locally with vectorized
   run arithmetic.  Only the ≤2 key runs touching each block edge are
@@ -169,8 +169,9 @@ def _join_runs(
             src = _KEY if f.name == key_out else f.name
             cols.append(tbl.column(src).take(l_take))
         return pa.Table.from_arrays(cols, schema=out_schema)
-    nr_eff = np.maximum(nr, 1) if how == "left" else nr
-    sizes = nl * nr_eff
+    nr_eff = np.maximum(nr, 1) if how in ("left", "outer") else nr
+    nl_eff = np.maximum(nl, 1) if how == "outer" else nl
+    sizes = nl_eff * nr_eff
     total = int(sizes.sum())
     if total == 0:
         return out_schema.empty_table()
@@ -179,16 +180,22 @@ def _join_runs(
     nr_rep = np.repeat(nr_eff, sizes)
     l_idx = np.repeat(left_start, sizes) + pos // nr_rep
     r_idx = np.repeat(right_start, sizes) + pos % nr_rep
-    l_take = pa.array(l_idx)
-    if how == "left":
-        matched = np.repeat(nr > 0, sizes)
-        r_take = pa.array(r_idx, mask=~matched)  # null index → null output
+    l_valid = np.repeat(nl > 0, sizes)
+    r_valid = np.repeat(nr > 0, sizes)
+    l_take = pa.array(l_idx, mask=~l_valid) if how == "outer" else pa.array(l_idx)
+    if how in ("left", "outer"):
+        r_take = pa.array(r_idx, mask=~r_valid)  # null index → null output
     else:
         r_take = pa.array(r_idx)
+    # the key exists on every union row: coalesce toward whichever side
+    # is real so right-only rows of a full outer join keep their key
+    key_take = (
+        pa.array(np.where(l_valid, l_idx, r_idx)) if how == "outer" else l_take
+    )
     cols = []
     for f in out_schema:
         if f.name == key_out:
-            cols.append(tbl.column(_KEY).take(l_take))
+            cols.append(tbl.column(_KEY).take(key_take))
         elif f.name in left_cols:
             cols.append(tbl.column(f.name).take(l_take))
         else:
@@ -214,13 +221,16 @@ def sort_merge_join(
     broadcast the small side instead when one key dominates).  Join
     keys must be non-null.
 
-    ``how`` ∈ inner|left|semi|anti — semi keeps each left row once iff
-    its key exists on the right, anti iff it does not (the existence
-    filters of NOT IN / EXISTS subqueries). In these modes the right
-    side is projected to its key alone before the shuffle: only key
-    presence matters, so right payload never rides the sort."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    ``how`` ∈ inner|left|outer|semi|anti — ``outer`` is the FULL outer
+    join (unmatched rows of BOTH sides survive with nulls across the
+    other side; a right join is ``left`` with the sides swapped);
+    semi keeps each left row once iff its key exists on the right,
+    anti iff it does not (the existence filters of NOT IN / EXISTS
+    subqueries). In the semi/anti modes the right side is projected to
+    its key alone before the shuffle: only key presence matters, so
+    right payload never rides the sort."""
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|outer|semi|anti, got {how!r}")
     right_on = right_on if right_on is not None else left_on
     if how in ("semi", "anti"):
         right = right.select_columns([right_on])

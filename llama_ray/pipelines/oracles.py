@@ -2513,6 +2513,27 @@ ANTI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
 ORDER BY c_custkey"""
 
 
+def cust_status_rollup_sql() -> str:
+    """Mirror of queries.q_cust_status_rollup (FULL OUTER join of the
+    per-custkey 'F' vs 'O' order rollups; totals are exact int64
+    micro-units divided once by 1e6 — the identical IEEE division)."""
+    return """WITH f AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS f_orders,
+         SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS f_total_u
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+o AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS o_orders,
+         SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS o_total_u
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+SELECT COALESCE(f.custkey, o.custkey) AS custkey,
+       COALESCE(f.f_orders, 0) AS f_orders,
+       CAST(COALESCE(f.f_total_u, 0) AS DOUBLE) / 1e6 AS f_total,
+       COALESCE(o.o_orders, 0) AS o_orders,
+       CAST(COALESCE(o.o_total_u, 0) AS DOUBLE) / 1e6 AS o_total
+FROM f FULL OUTER JOIN o ON f.custkey = o.custkey
+ORDER BY custkey"""
+
+
 def embedding_gram_sql(scale: int = 1 << 16) -> str:
     """Mirror of queries.q_embedding_gram: quantize each embedding
     value to ⌊v·scale + ½⌋ (float32→double is exact, ·2^16 shifts the

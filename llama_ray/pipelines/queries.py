@@ -1894,6 +1894,75 @@ def q_customers_no_orders(sf_dir: str):
     )
 
 
+def q_cust_status_rollup(sf_dir: str):
+    """FULL OUTER join: per-custkey rollup of completed ('F') orders
+    against open ('O') orders — customers present on only one side
+    survive with zeroed columns for the other.  Each side is
+    pre-aggregated inside map_batches (np.unique partials, integer
+    micro-unit totals for bit-exact sums in any reduction order) before
+    the small groupby, so only ≤|custkeys| rows per side ride the
+    join's range sort."""
+    from ..data_ops.relational import sort_merge_join
+
+    def rollup(status: str, prefix: str):
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("o_orderstatus"), status))
+            ck = batch_to_numpy(t, "o_custkey")
+            tp = batch_to_numpy(t, "o_totalprice")
+            u, inv = np.unique(ck, return_inverse=True)
+            cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            tot = np.zeros(len(u), np.int64)
+            # int64 scatter-add of micro-units (floats would round >2^53)
+            np.add.at(tot, inv, np.floor(tp * 1e6 + 0.5).astype(np.int64))
+            return pa.table({"custkey": u.astype(np.int64), "cnt": cnt, "tot_u": tot})
+
+        g = (
+            orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("custkey")
+            .sum(["cnt", "tot_u"])
+        )
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "custkey": b.column("custkey"),
+                    f"{prefix}_orders": b.column("sum(cnt)").cast(pa.int64()),
+                    f"{prefix}_total_u": b.column("sum(tot_u)").cast(pa.int64()),
+                }
+            )
+
+        return g.map_batches(rename, batch_format="pyarrow")
+
+    joined = sort_merge_join(
+        rollup("F", "f"),
+        rollup("O", "o"),
+        left_on="custkey",
+        right_on="custkey",
+        how="outer",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": b.column("custkey"),
+                "f_orders": b.column("f_orders").fill_null(0).cast(pa.int64()),
+                # ONE IEEE division of the exact integer total — bit-
+                # deterministic, no rounding convention needed
+                "f_total": pc.divide(
+                    b.column("f_total_u").fill_null(0).cast(pa.float64()), 1e6
+                ),
+                "o_orders": b.column("o_orders").fill_null(0).cast(pa.int64()),
+                "o_total": pc.divide(
+                    b.column("o_total_u").fill_null(0).cast(pa.float64()), 1e6
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_embedding_gram(sf_dir: str):
     """Exact quantized second-moment (Gram/covariance) statistics of
     the embedding table — the PCA/whitening stats stage. Integer

@@ -333,3 +333,21 @@ def test_sort_merge_join_anti_hot_key_and_empty_right(ray_session):
         left_on="k", right_on="rk", how="anti",
     ).to_pandas()
     _assert_frame_match(anti_all, L)
+
+
+def test_sort_merge_join_full_outer_matches_pandas(ray_session):
+    rng = np.random.default_rng(21)
+    # both sides have exclusive keys and duplicate keys
+    L = pd.DataFrame({"k": rng.integers(0, 40, 300), "lv": rng.normal(size=300)})
+    R = pd.DataFrame({"rk": rng.integers(20, 60, 200), "rv": rng.integers(0, 9, 200)})
+    exp = L.merge(R.rename(columns={"rk": "k"}), on="k", how="outer")
+    assert exp["lv"].isna().any() and exp["rv"].isna().any()  # both sides exercised
+    for nl, nr in [(1, 1), (9, 5), (23, 17)]:
+        out = sort_merge_join(
+            rd.from_pandas(L).repartition(nl),
+            rd.from_pandas(R).repartition(nr),
+            left_on="k",
+            right_on="rk",
+            how="outer",
+        ).to_pandas()
+        _assert_frame_match(out, exp)
