@@ -521,6 +521,169 @@ def bigram_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
     )
 
 
+def lm_score(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: float = 1e6,
+) -> rd.Dataset:
+    """Bigram language-model scoring — the perplexity-filter stage of a
+    training-data pipeline (CCNet/Gopher-style: score every document by
+    how predictable its word sequence is under a corpus-trained n-gram
+    model, then filter/bucket on the score).
+
+    The model is the corpus itself: unigram counts ``c(w)`` and bigram
+    counts ``c(w1 w2)`` over whitespace-lowercase tokens; a document's
+    score is the occurrence-weighted mean of the quantized conditional
+    ``⌊scale·c(w1 w2)/c(w1)⌋`` over its bigrams (docs with <2 tokens
+    have no bigrams and drop out).  The floor-quantization makes every
+    sum integer-exact in any reduction order, so the result is
+    bit-identical across layouts and in SQL.
+
+    Scale shape: token/bigram counting is per-batch ``value_counts``
+    partials merged by the sorted run-reduce (nothing vocabulary-sized
+    on the driver); model lookup is TWO distributed sort-merge joins
+    (bigram→prefix-unigram to score the model, doc-bigrams→model to
+    score documents) — no broadcast of the vocabulary, which at 100 TB
+    does NOT fit an object-store put.  Returns a Dataset
+    ``(id_col, n_bigrams, lm_score)``.
+    """
+    from ..common import group_sum_sorted
+    from .dedup import _tokens_string_array
+    from .relational import sort_merge_join
+
+    text_only = docs.select_columns([text_col])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        starts, lens, _, data = _tokenize_batch(batch.column(text_col), lower=True)
+        toks = _tokens_string_array(starts, lens, data)
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {"token": vc.field("values"), "cu": vc.field("counts").cast(pa.int64())}
+        )
+
+    unigrams = group_sum_sorted(
+        text_only.map_batches(uni_partial, batch_format="pyarrow"), "token", ["cu"]
+    )
+
+    def _batch_bigrams(batch: pa.Table):
+        """(bigram string array, doc-row index of each bigram) for one
+        batch — one vectorized join of adjacent tokens, cross-document
+        pairs masked out."""
+        starts, lens, per_doc, data = _tokenize_batch(batch.column(text_col), lower=True)
+        toks = _tokens_string_array(starts, lens, data)
+        T = len(toks)
+        if T < 2:
+            return pa.array([], pa.string()), np.empty(0, np.int64)
+        doc_of = np.repeat(np.arange(len(per_doc), dtype=np.int64), per_doc)
+        joined = pc.binary_join_element_wise(toks.slice(0, T - 1), toks.slice(1, T), " ")
+        same = doc_of[1:] == doc_of[:-1]
+        return joined.filter(pa.array(same)), doc_of[:-1][same]
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        bgs, _ = _batch_bigrams(batch)
+        vc = pc.value_counts(bgs)
+        return pa.table(
+            {"bigram": vc.field("values"), "cb": vc.field("counts").cast(pa.int64())}
+        )
+
+    bigrams = group_sum_sorted(
+        text_only.map_batches(bg_partial, batch_format="pyarrow"), "bigram", ["cb"]
+    )
+
+    def add_prefix(b: pa.Table) -> pa.Table:
+        # tokens contain no whitespace, so the bigram has exactly one
+        # space: element 0 of the split IS w1 (SQL split_part(…, 1))
+        pre = pc.list_element(pc.split_pattern(b.column("bigram"), " "), 0)
+        return b.append_column("prefix", pre)
+
+    model = sort_merge_join(
+        bigrams.map_batches(add_prefix, batch_format="pyarrow"),
+        unigrams,
+        left_on="prefix",
+        right_on="token",
+        how="inner",
+    )
+
+    def score_model(b: pa.Table) -> pa.Table:
+        cb = b.column("cb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = b.column("cu").to_numpy(zero_copy_only=False).astype(np.float64)
+        # left-associative (scale·cb)/cu, floored — the SQL expression
+        s = np.floor(scale * cb / cu).astype(np.int64)
+        return pa.table({"bigram": b.column("bigram"), "s_u": s})
+
+    scored = model.map_batches(score_model, batch_format="pyarrow")
+
+    def doc_bg(batch: pa.Table) -> pa.Table:
+        bgs, rows = _batch_bigrams(batch)
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "bigram": pa.array([], pa.string()),
+                    "occ": pa.array([], pa.int64()),
+                }
+            )
+        # a document lives wholly inside one batch, so per-(doc, bigram)
+        # occurrence counts finalize here: dictionary-encode the bigrams
+        # and unique the packed (row, code) key
+        if isinstance(bgs, pa.ChunkedArray):
+            bgs = bgs.combine_chunks()
+        denc = bgs.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(denc.dictionary)
+        key = rows * nd + codes
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(u // nd)),
+                "bigram": denc.dictionary.take(pa.array(u % nd)),
+                "occ": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    doc_bigrams = docs.select_columns([id_col, text_col]).map_batches(
+        doc_bg, batch_format="pyarrow"
+    )
+
+    joined = sort_merge_join(
+        doc_bigrams, scored, left_on="bigram", right_on="bigram", how="inner"
+    )
+
+    def doc_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        occ = b.column("occ").to_numpy(zero_copy_only=False)
+        s = b.column("s_u").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        k = len(u)
+        sum_u = np.zeros(k, np.int64)
+        np.add.at(sum_u, inv, occ * s)
+        n = np.zeros(k, np.int64)
+        np.add.at(n, inv, occ)
+        return pa.table({id_col: u, "lm_sum_u": sum_u, "n_bigrams": n})
+
+    agg = group_sum_sorted(
+        joined.map_batches(doc_partial, batch_format="pyarrow"),
+        id_col,
+        ["lm_sum_u", "n_bigrams"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        su = b.column("lm_sum_u").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_bigrams": pa.array(n.astype(np.int64)),
+                # identical two-division double formula as the SQL
+                "lm_score": su.astype(np.float64) / scale / n.astype(np.float64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def hash_split_summary(docs: rd.Dataset, *, seed: int = 20260818) -> pa.Table:
     """Deterministic train/valid/test split by content-independent id
     hash (splitmix64(doc_id·GOLD ⊕ seed) mod 1000: <980 train, <990

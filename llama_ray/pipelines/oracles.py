@@ -1817,6 +1817,33 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def doc_lm_score_sql(scale: str = "1e6") -> str:
+    """Mirror of data_ops.text.lm_score: corpus unigram/bigram counts
+    over whitespace-lowercase tokens, per-bigram quantized conditional
+    ⌊scale·cb/cu⌋ (left-associative, identical to the numpy
+    expression), occurrence-weighted per-doc mean via the identical
+    CAST/scale/count two-division formula."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tl),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+cu AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+cb AS MATERIALIZED (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+sc AS MATERIALIZED (
+  SELECT cb.bigram, CAST(FLOOR({scale} * cb.c / cu.c) AS BIGINT) AS s
+  FROM cb JOIN cu ON cu.token = split_part(cb.bigram, ' ', 1)),
+d AS (SELECT doc_id, bigram, COUNT(*) AS occ FROM bg GROUP BY 1, 2)
+SELECT d.doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+       CAST(SUM(occ * s) AS DOUBLE) / {scale} / SUM(occ) AS lm_score
+FROM d JOIN sc USING (bigram)
+GROUP BY d.doc_id ORDER BY d.doc_id"""
+
+
 def label_centroid_norms_sql() -> str:
     """Mirror of queries.q_label_centroid_norms: per-dim double sums →
     centroid norm, rounded 6."""
@@ -2532,6 +2559,26 @@ SELECT COALESCE(f.custkey, o.custkey) AS custkey,
        CAST(COALESCE(o.o_total_u, 0) AS DOUBLE) / 1e6 AS o_total
 FROM f FULL OUTER JOIN o ON f.custkey = o.custkey
 ORDER BY custkey"""
+
+
+def pricing_summary_sql() -> str:
+    """Mirror of queries.q_pricing_summary (TPC-H Q1 shape).  Every
+    per-row measure is the identical left-associative IEEE expression
+    floor-quantized to int64 micro-units; averages are the identical
+    CAST/1e6/count two-division formula — bit-exact, no tolerance."""
+    return """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(FLOOR(l_discount * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
 
 
 def embedding_gram_sql(scale: int = 1 << 16) -> str:

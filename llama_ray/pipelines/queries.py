@@ -1368,6 +1368,17 @@ def q_bigram_topk(sf_dir: str):
     return bigram_topk(_read(sf_dir, "documents", ["text"]), k=20)
 
 
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram LM score per document (the
+    perplexity-filter stage; see :func:`llama_ray.data_ops.text.lm_score`
+    — count shuffles by sorted run-reduce, model lookup by two
+    distributed sort-merge joins, quantized conditionals for bit-exact
+    sums)."""
+    from ..data_ops.text import lm_score
+
+    return lm_score(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_seq_pack(sf_dir: str, *, seq_len: int = 2048):
     """Concat-and-chop packing manifest over documents (see
     data_ops.packing.pack_sequences: distributed prefix scan, one
@@ -1961,6 +1972,107 @@ def q_cust_status_rollup(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: the multi-aggregate pricing summary of lineitem
+    rows shipped before a cutoff, grouped by (returnflag, linestatus).
+    Per-row derived measures (disc price, charge) are fixed-order IEEE
+    products floor-quantized to int64 micro-units BEFORE any summation,
+    so every sum is integer-exact in any reduction order / block
+    layout; averages are the identical two-division double formula in
+    Ray and SQL.  Pre-aggregated per batch (≤ |flag×status| rows leave
+    each block) — the 100-TB-safe partial-combine groupby."""
+    cutoff = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = b.filter(pc.less(ts, cutoff))
+        qty = batch_to_numpy(t, "l_quantity")
+        price = batch_to_numpy(t, "l_extendedprice")
+        disc = batch_to_numpy(t, "l_discount")
+        tax = batch_to_numpy(t, "l_tax")
+        qty_u = np.floor(qty * 1e6 + 0.5).astype(np.int64)
+        price_u = np.floor(price * 1e6 + 0.5).astype(np.int64)
+        disc_u = np.floor(disc * 1e6 + 0.5).astype(np.int64)
+        # fixed-order IEEE products, then quantize (matches the SQL text)
+        dp_u = np.floor(price * (1.0 - disc) * 1e6 + 0.5).astype(np.int64)
+        ch_u = np.floor(price * (1.0 - disc) * (1.0 + tax) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        rf = t.column("l_returnflag").to_pandas().to_numpy()
+        ls = t.column("l_linestatus").to_pandas().to_numpy()
+        key = np.char.add(np.char.add(rf.astype("U1"), "|"), ls.astype("U1"))
+        u, inv = np.unique(key, return_inverse=True)
+        k = len(u)
+
+        def acc(v):
+            out = np.zeros(k, np.int64)
+            np.add.at(out, inv, v)
+            return out
+
+        return pa.table(
+            {
+                "grp": pa.array(u),
+                "sum_qty_u": acc(qty_u),
+                "sum_base_price_u": acc(price_u),
+                "sum_disc_price_u": acc(dp_u),
+                "sum_charge_u": acc(ch_u),
+                "sum_disc_u": acc(disc_u),
+                "count_order": np.bincount(inv, minlength=k).astype(np.int64),
+            }
+        )
+
+    cols = [
+        "sum_qty_u",
+        "sum_base_price_u",
+        "sum_disc_price_u",
+        "sum_charge_u",
+        "sum_disc_u",
+        "count_order",
+    ]
+    g = li.map_batches(partial, batch_format="pyarrow").groupby("grp").sum(cols)
+
+    def finish(b: pa.Table) -> pa.Table:
+        grp = b.column("grp").to_pandas().to_numpy().astype("U3")
+        n = b.column("sum(count_order)").to_numpy(zero_copy_only=False)
+        nd = n.astype(np.float64)
+
+        def units(name):
+            return b.column(f"sum({name})").to_numpy(zero_copy_only=False)
+
+        def dbl(u):  # exact int → the two-division double formula
+            return u.astype(np.float64) / 1e6
+
+        return pa.table(
+            {
+                "l_returnflag": pa.array([s[0] for s in grp]),
+                "l_linestatus": pa.array([s[2] for s in grp]),
+                "sum_qty": dbl(units("sum_qty_u")),
+                "sum_base_price": dbl(units("sum_base_price_u")),
+                "sum_disc_price": dbl(units("sum_disc_price_u")),
+                "sum_charge": dbl(units("sum_charge_u")),
+                "avg_qty": dbl(units("sum_qty_u")) / nd,
+                "avg_price": dbl(units("sum_base_price_u")) / nd,
+                "avg_disc": dbl(units("sum_disc_u")) / nd,
+                "count_order": n,
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
 
 
 def q_embedding_gram(sf_dir: str):

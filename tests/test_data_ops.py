@@ -1391,3 +1391,49 @@ def test_exact_group_quantiles_sorted_matches_numpy():
             )
         }
         assert got == expect, blocks
+
+
+def test_lm_score_matches_brute_force_and_layouts():
+    """Bigram-LM doc scores == brute-force Counter model (same
+    quantization), identical across block layouts; <2-token docs drop
+    out."""
+    from collections import Counter
+
+    from llama_ray.data_ops.text import lm_score
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(words, size=int(n)).tolist())
+        for n in rng.integers(0, 25, size=200)
+    ]  # includes 0- and 1-token docs
+    cu, cb = Counter(), Counter()
+    for t in texts:
+        toks = t.lower().split()
+        cu.update(toks)
+        cb.update(zip(toks, toks[1:]))
+    exp = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        s = sum(np.floor(1e6 * cb[b] / cu[b[0]]) for b in bgs)
+        exp[i] = (len(bgs), s / 1e6 / len(bgs))
+
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        ).repartition(blocks)
+        df = lm_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    got = {
+        int(r.doc_id): (int(r.n_bigrams), float(r.lm_score))
+        for r in outs[0].itertuples()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == exp[i][1]
