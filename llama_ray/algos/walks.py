@@ -114,6 +114,135 @@ def random_walks(
     )
 
 
+def node2vec_walks(
+    graph: Graph,
+    starts: np.ndarray | None = None,
+    *,
+    num_steps: int = 4,
+    seed: int = DEFAULT_WALK_SEED,
+    weights: tuple[int, int, int] = (1, 4, 2),
+) -> pa.Table:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD'16)
+    as an Arrow table ``(walk_id, step, vertex)``.
+
+    Step 1 is uniform (no predecessor — node2vec's convention). From
+    step 2 on, each out-neighbor ``n`` of the current vertex with
+    predecessor ``u`` gets the integer weight
+
+    - ``w_return``  if ``n == u``             (node2vec 1/p)
+    - ``w_common``  if ``n ∈ out-adj(u)``     (distance-1 from u)
+    - ``w_far``     otherwise                 (distance-2, 1/q)
+
+    (``weights=(w_return, w_common, w_far)``, all ≥ 1 — the rational
+    node2vec (1/p, 1, 1/q) scaled to integers, e.g. p=4, q=2 →
+    ``(1, 4, 2)``), and the hash point ``splitmix64((walk·GOLD) ⊕
+    step ⊕ seed) mod Σw`` falls in the winning neighbor's cumulative
+    interval over ascending-neighbor order — exact integer math,
+    independent of partitioning and block layout, replayable in SQL
+    (``oracles.graph_walks_node2vec_sql``).
+
+    Distributed shape: per step, phase A asks the range owners of the
+    frontier for candidate runs (``walk_candidates``), phase B asks
+    the owners of each predecessor for edge-membership bits
+    (``edge_member``, one binary search per pair against composite
+    run keys) — each one fan-out over the pinned pool exchanging
+    plasma refs. The weighted interval pick is vectorized on the
+    driver over O(Σ out-deg(frontier)) integers per step; at cluster
+    scale that pick moves into the phase-A actors unchanged (the math
+    is walker-local — membership bits would route back to the
+    candidate owner instead of the driver).
+    """
+    w_ret, w_common, w_far = (int(w) for w in weights)
+    if min(w_ret, w_common, w_far) < 1:
+        raise ValueError("node2vec weights must be integers >= 1")
+    if starts is None:
+        starts = graph.ids
+    starts = np.asarray(starts, np.int64)
+    pos = np.searchsorted(graph.ids, starts)
+    pos = np.clip(pos, 0, max(len(graph.ids) - 1, 0))
+    if len(graph.ids) == 0 or not np.array_equal(graph.ids[pos], starts):
+        bad = starts if len(graph.ids) == 0 else starts[graph.ids[pos] != starts]
+        raise ValueError(f"start vertices not in graph: {bad[:5]}...")
+
+    pool = shared_pool(graph, view="reversed")
+    ray.get([a.prepare_walks.remote(False) for a in pool.actors])
+
+    walk_ids = [starts]
+    steps = [np.zeros(len(starts), np.int64)]
+    verts = [starts]
+
+    alive_wid = starts
+    cur = pos.astype(np.int64)
+    prev = cur  # unused at t=1 (uniform first hop)
+    for t in range(1, num_steps + 1):
+        if len(cur) == 0:
+            break
+        h = _mix64(
+            alive_wid.astype(np.uint64) * _GOLD ^ np.uint64(t) ^ np.uint64(seed)
+        )
+        if t == 1:
+            cur_ref, h_ref = ray.put(cur), ray.put(h)
+            nxt = np.full(len(cur), -1, np.int64)
+            for part in ray.get(
+                [a.walk_step.remote(cur_ref, h_ref) for a in pool.actors]
+            ):
+                if part is not None:
+                    nxt[part[0]] = part[1]
+        else:
+            cur_ref = ray.put(cur)
+            wk_parts, cd_parts = [], []
+            for part in ray.get(
+                [a.walk_candidates.remote(cur_ref) for a in pool.actors]
+            ):
+                if part is None:
+                    continue
+                idx, counts, flat = part
+                wk_parts.append(np.repeat(idx, counts))
+                cd_parts.append(flat)
+            nxt = np.full(len(cur), -1, np.int64)
+            if wk_parts:
+                wk = np.concatenate(wk_parts)
+                cd = np.concatenate(cd_parts)
+                qsrc = prev[wk]
+                s_ref, d_ref = ray.put(qsrc), ray.put(cd)
+                member = np.zeros(len(cd), bool)
+                for part in ray.get(
+                    [a.edge_member.remote(s_ref, d_ref) for a in pool.actors]
+                ):
+                    if part is not None:
+                        member[part[0]] = part[1]
+                w = np.where(
+                    cd == qsrc, w_ret, np.where(member, w_common, w_far)
+                ).astype(np.int64)
+                # each walker's candidates are contiguous (one actor
+                # owns its current vertex) and ascending in cd
+                cum = np.cumsum(w)
+                seg_start = np.flatnonzero(
+                    np.concatenate([[True], wk[1:] != wk[:-1]])
+                )
+                seg_end = np.append(seg_start[1:], len(wk))
+                base = np.where(seg_start > 0, cum[seg_start - 1], 0)
+                tot = (cum[seg_end - 1] - base).astype(np.uint64)
+                r = (h[wk[seg_start]] % tot).astype(np.int64)
+                j = np.searchsorted(cum, base + r, side="right")
+                nxt[wk[seg_start]] = cd[np.minimum(j, len(cd) - 1)]
+        ok = nxt >= 0
+        prev, alive_wid, cur = cur[ok], alive_wid[ok], nxt[ok]
+        if len(cur) == 0:
+            break
+        walk_ids.append(alive_wid)
+        steps.append(np.full(len(cur), t, np.int64))
+        verts.append(graph.ids[cur])
+
+    return pa.table(
+        {
+            "walk_id": np.concatenate(walk_ids),
+            "step": np.concatenate(steps),
+            "vertex": np.concatenate(verts),
+        }
+    )
+
+
 def sample_neighbors(
     graph: Graph,
     k: int,

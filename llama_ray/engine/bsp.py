@@ -742,6 +742,78 @@ class _GatherPartition:
         keep = order[pos < k]
         return self.dst[keep].astype(np.int64), self.src[keep].astype(np.int64)
 
+    def walk_candidates(self, cur):
+        """node2vec phase A: out-neighbor candidate runs for the
+        walkers whose current vertex lies in this partition's range.
+        Requires ``prepare_walks`` (uses the canonical ascending
+        adjacency). Returns (walker positions, per-walker candidate
+        counts, flat candidates in ascending-neighbor order) or None.
+        Walkers at vertices with no out-adjacency run are absent from
+        the result (dead ends, like ``walk_step``)."""
+        idx = np.flatnonzero((cur >= self.lo) & (cur < self.hi))
+        R = len(self.run_starts)
+        if len(idx) == 0 or R == 0:
+            return None
+        local = cur[idx] - self.lo
+        runs = np.minimum(np.searchsorted(self.local_dst, local), R - 1)
+        found = self.local_dst[runs] == local
+        if not found.any():
+            return None
+        idx = idx[found]
+        fr = runs[found]
+        starts = self.run_starts[fr]
+        counts = (self._run_ends[fr] - starts).astype(np.int64)
+        # flat gather of each walker's canonical run
+        take = np.repeat(starts, counts) + (
+            np.arange(int(counts.sum())) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        return idx, counts, self._walk_nbrs[take].astype(np.int64)
+
+    def _member_keys(self):
+        """Composite edge keys for O(log E) membership probes: runs
+        are ordered by local dst and canonically ascending inside
+        (``prepare_walks``), so ``run_id·stride + nbr`` is globally
+        sorted. stride = max dense id + 1 (< 2^31 under the int32
+        dense invariant, so keys stay < 2^62)."""
+        k = getattr(self, "_member_key", None)
+        if k is None:
+            m = len(self.src)
+            R = len(self.run_starts)
+            run_len = np.diff(np.append(self.run_starts, m))
+            stride = np.int64(int(self._walk_nbrs.max()) + 1 if m else 1)
+            self._member_key = (
+                np.repeat(np.arange(R, dtype=np.int64), run_len) * stride
+                + self._walk_nbrs.astype(np.int64)
+            )
+            self._member_stride = stride
+            k = self._member_key
+        return k, self._member_stride
+
+    def edge_member(self, qsrc, qdst):
+        """node2vec phase B: for each query pair, is ``qdst`` an
+        out-neighbor of ``qsrc``? Answers only pairs whose src falls
+        in this partition's range. Returns (positions into the query
+        arrays, bool membership) or None."""
+        idx = np.flatnonzero((qsrc >= self.lo) & (qsrc < self.hi))
+        if len(idx) == 0:
+            return None
+        member = np.zeros(len(idx), bool)
+        R = len(self.run_starts)
+        if R:
+            local = qsrc[idx] - self.lo
+            runs = np.minimum(np.searchsorted(self.local_dst, local), R - 1)
+            found = self.local_dst[runs] == local
+            if found.any():
+                keys, stride = self._member_keys()
+                qd = qdst[idx[found]]
+                ok = (qd >= 0) & (qd < stride)
+                qkey = runs[found].astype(np.int64) * stride + np.where(ok, qd, 0)
+                j = np.searchsorted(keys, qkey)
+                hit = (j < len(keys)) & ok
+                hit[hit] = keys[np.minimum(j, len(keys) - 1)][hit] == qkey[hit]
+                member[found] = hit
+        return idx, member
+
     # ----------------------------------------------------- sharded state
     #
     # The driver-out-of-the-loop mode: per-vertex state lives in the

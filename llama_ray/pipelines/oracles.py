@@ -1288,6 +1288,81 @@ def graph_walks_weighted_sql(steps: int = 4, seed: int = 20260818) -> str:
     return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
 
 
+def graph_walks_node2vec_sql(
+    steps: int = 4, seed: int = 20260818, weights: tuple[int, int, int] = (1, 4, 2)
+) -> str:
+    """Mirror of algos.walks.node2vec_walks: step 1 uniform; from
+    step 2 each candidate ``cand`` of ``cur`` with predecessor
+    ``prev`` weighs ``w_return`` when cand = prev, ``w_common`` when
+    (prev, cand) ∈ e, else ``w_far`` — the hash point h % Σw falls in
+    cand's cumulative interval over ascending-neighbor order."""
+    gold = 0x9E3779B97F4A7C15
+    w_ret, w_common, w_far = weights
+    parts = [
+        """adj AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS HUGEINT) AS rn
+  FROM e)""",
+        "w0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM v WHERE id < 10000000)",
+    ]
+    # step 1: uniform rank pick (no predecessor)
+    key1 = (
+        f"xor(xor({_mulmod64('CAST(walk_id AS HUGEINT)', gold)}, "
+        f"CAST(1 AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    parts.append(f"k1 AS MATERIALIZED (SELECT walk_id, cur, {key1} AS h FROM w0)")
+    parts.append(_mix64_ctes("k1", "walk_id, cur", prefix="wm1_"))
+    parts.append(
+        """w1 AS MATERIALIZED (
+  SELECT t.walk_id, t.cur AS prev, adj.dst AS cur
+  FROM wm1_5 t
+  JOIN deg ON deg.src = t.cur
+  JOIN adj ON adj.src = t.cur AND adj.rn = t.h % CAST(deg.d AS HUGEINT))"""
+    )
+    for s in range(2, steps + 1):
+        key = (
+            f"xor(xor({_mulmod64('CAST(walk_id AS HUGEINT)', gold)}, "
+            f"CAST({s} AS HUGEINT)), CAST({seed} AS HUGEINT))"
+        )
+        parts.append(
+            f"k{s} AS MATERIALIZED (SELECT walk_id, prev, cur, {key} AS h FROM w{s - 1})"
+        )
+        parts.append(_mix64_ctes(f"k{s}", "walk_id, prev, cur", prefix=f"wm{s}_"))
+        parts.append(
+            f"""cand{s} AS MATERIALIZED (
+  SELECT t.walk_id, t.prev, t.cur, t.h, a.dst AS cand,
+         CAST(CASE WHEN a.dst = t.prev THEN {w_ret}
+                   WHEN b.dst IS NOT NULL THEN {w_common}
+                   ELSE {w_far} END AS HUGEINT) AS wt
+  FROM wm{s}_5 t
+  JOIN e a ON a.src = t.cur
+  LEFT JOIN e b ON b.src = t.prev AND b.dst = a.dst)"""
+        )
+        parts.append(
+            f"""cum{s} AS MATERIALIZED (
+  SELECT walk_id, prev, cur, h, cand, wt,
+         SUM(wt) OVER (PARTITION BY walk_id ORDER BY cand
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY walk_id) AS tw
+  FROM cand{s})"""
+        )
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, cand AS cur
+  FROM cum{s}
+  WHERE h % tw >= cw - wt AND h % tw < cw)"""
+        )
+    sel = "\nUNION ALL ".join(
+        ["SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM w0"]
+        + [
+            f"SELECT walk_id, CAST({s} AS BIGINT), cur FROM w{s}"
+            for s in range(1, steps + 1)
+        ]
+    )
+    body = ",\n".join(parts)
+    return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
+
+
 def feature_prop_sql(k: int = 4, rounds: int = 2, seed: int = 20260818) -> str:
     """Mirror of algos.featprop.feature_propagation: deterministic
     integer features splitmix64((id*GOLD) mod 2^64 XOR feat XOR seed)

@@ -509,6 +509,19 @@ def q_graph_walks(sf_dir: str):
     return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
 
 
+def q_graph_walks_node2vec(sf_dir: str):
+    """Second-order biased walk corpus (node2vec p=4, q=2 scaled to
+    integer weights (1, 4, 2)): one 4-step walk from every customer
+    vertex; step 1 uniform, later hops weighted by return / common-
+    neighbor / exploration class — partitioning-independent integer
+    math, replayed exactly by `oracles.graph_walks_node2vec_sql`."""
+    from ..algos.walks import node2vec_walks
+
+    g = _cached_tpch_graph(sf_dir)
+    starts = g.ids[g.ids < 10_000_000]  # customer id space
+    return node2vec_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
+
+
 def q_neighbor_sample(sf_dir: str, *, k: int = 3):
     """GraphSAGE-style fan-out: a uniform hash-min k-subset of every
     vertex's out-neighbors (see `algos.walks.sample_neighbors`)."""

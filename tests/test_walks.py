@@ -64,6 +64,84 @@ def test_walks_match_reference_and_stop_at_sinks():
     assert loop == [(7, t, 7) for t in range(6)]
 
 
+def node2vec_np(src, dst, starts, num_steps, seed, weights=(1, 4, 2)):
+    """Row-at-a-time node2vec reference: uniform first hop, then
+    integer (return, common-neighbor, far) class weights with the
+    hash point falling in the cumulative interval."""
+    w_ret, w_common, w_far = weights
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(s, set()).add(d)
+    sadj = {s: sorted(ds) for s, ds in adj.items()}
+    rows = []
+    for w in starts:
+        cur, prev = w, None
+        rows.append((w, 0, w))
+        for t in range(1, num_steps + 1):
+            nbrs = sadj.get(cur)
+            if not nbrs:
+                break
+            h = int(
+                _mix64(np.array([np.uint64(w) * _GOLD ^ np.uint64(t) ^ np.uint64(seed)]))[0]
+            )
+            if t == 1:
+                nxt = nbrs[h % len(nbrs)]
+            else:
+                wts = [
+                    w_ret
+                    if n == prev
+                    else (w_common if n in adj.get(prev, set()) else w_far)
+                    for n in nbrs
+                ]
+                r, acc, nxt = h % sum(wts), 0, nbrs[-1]
+                for n, wt in zip(nbrs, wts):
+                    acc += wt
+                    if r < acc:
+                        nxt = n
+                        break
+            prev, cur = cur, nxt
+            rows.append((w, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_reference_all_weight_classes():
+    """Graph with a mutual edge (return class), a triangle (common-
+    neighbor class) and a distance-2 branch (far class) so every
+    weight bucket decides at least one hop."""
+    from llama_ray.algos.walks import node2vec_walks
+
+    src = [0, 1, 0, 1, 2, 2, 3, 4, 1]
+    dst = [1, 0, 2, 2, 3, 4, 1, 0, 5]
+    starts = [0, 1, 2, 3, 4]
+    g = build_graph(dedup_edges(edges_ds(src, dst)))
+    for weights in [(1, 4, 2), (9, 1, 1), (1, 1, 6)]:
+        for seed in (7, 99):
+            out = node2vec_walks(
+                g, np.array(starts), num_steps=5, seed=seed, weights=weights
+            )
+            assert _table_rows(out) == node2vec_np(src, dst, starts, 5, seed, weights)
+
+
+def test_node2vec_layout_independent():
+    from llama_ray.algos.walks import node2vec_walks
+
+    es = rmat(scale=8, avg_degree=6, seed=11)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    outs = []
+    for blocks in (1, 8):
+        g = build_graph(dedup_edges(edges_ds(src, dst, blocks)))
+        starts = g.ids[:40]
+        outs.append(_table_rows(node2vec_walks(g, starts, num_steps=6, seed=5)))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 40
+    # and it matches the row-at-a-time reference on the same graph
+    g = build_graph(dedup_edges(edges_ds(src, dst, 4)))
+    starts = [int(x) for x in g.ids[:25]]
+    out = node2vec_walks(g, np.array(starts), num_steps=4, seed=5)
+    assert _table_rows(out) == node2vec_np(src, dst, starts, 4, 5)
+
+
 def test_walks_layout_independent():
     """Same corpus from 1-block and 8-block edge layouts on a seeded
     power-law graph (hub adjacency spans multiple input blocks)."""
