@@ -158,22 +158,43 @@ def _count_wedges(
     return total
 
 
-def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
-    """``probe="broadcast"`` (default): wedge tasks fetch the sorted
-    edge-key blocks they probe (zero-copy on a node; P×E traffic on a
-    cluster). ``probe="shuffle"``: wedges are emitted as a Dataset and
-    range-sorted into the edge-key ordering first, so each wedge block
-    probes only the few edge blocks overlapping its own key range —
-    O(W) shuffle traffic instead of P×E fetches, the multi-node path
-    (costs an extra all-to-all of W wedge rows locally)."""
-    if probe not in ("broadcast", "shuffle"):
-        raise ValueError(f"unknown probe mode {probe}")
-    n = graph.num_vertices
-    if n == 0:
-        return 0
-    if n >= (1 << 31):
-        raise NotImplementedError("packed-key TC valid to ~3e9 vertices; use 2-col struct sort")
+def _probe_mask(wk: np.ndarray, refs, bounds_hi: np.ndarray, cache: dict) -> np.ndarray:
+    """Boolean membership of each wedge key in the distributed sorted
+    edge-key blocks — same fetch/caching as ``_probe_count``, but
+    keeps per-key alignment (triangle *emission* needs which wedges
+    closed, not just how many)."""
+    out = np.zeros(len(wk), bool)
+    if len(wk) == 0:
+        return out
+    order = np.argsort(wk, kind="stable")
+    swk = wk[order]
+    blk = np.searchsorted(bounds_hi, swk, side="left")
+    for bi in np.unique(blk):
+        if bi >= len(refs):
+            continue
+        m = blk == bi
+        sel = swk[m]
+        keys = cache.get(bi)
+        if keys is None:
+            t = ray.get(refs[bi])
+            keys = t.column("key").combine_chunks().to_numpy(zero_copy_only=False)
+            cache[bi] = keys
+        if len(keys) == 0:
+            continue
+        pos = np.clip(np.searchsorted(keys, sel), 0, len(keys) - 1)
+        out[order[m]] = keys[pos] == sel
+    return out
 
+
+def oriented_edge_index(graph: Graph):
+    """Shared canonical oriented edge-key index of the clique family
+    (triangles, 4-cliques): each undirected simple edge appears once
+    as ``key = x·n + y`` with x ≺ y in the (multigraph total degree,
+    id) order, range-sorted so blocks are x-runs AND double as the
+    distributed probe index (each task ``ray.get``\\s only the blocks
+    its keys fall into — zero-copy plasma reads). Returns
+    ``(srt, refs, bounds_hi, deg, deg_ref, n)``."""
+    n = graph.num_vertices
     # Orientation only needs SOME fixed total order on vertices; the
     # (multigraph total degree, id) order — free from the build-time
     # cached degree vectors — keeps hubs on the high side without
@@ -200,11 +221,6 @@ def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
         .repartition(target_num_blocks(graph.num_edges))
         .materialize()
     )
-    # The sorted key blocks double as the probe index: each counting
-    # task ``ray.get``\s only the blocks its wedge keys fall into
-    # (zero-copy plasma reads, cached per task). On a multi-node
-    # cluster this is P×E traffic — the shuffle alternative (re-sort
-    # wedges into the key partitioning) is the path there.
     refs = srt.to_arrow_refs()
 
     @ray.remote
@@ -218,6 +234,26 @@ def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
     keep = [i for i, bo in enumerate(bounds) if bo is not None]
     refs = [refs[i] for i in keep]
     bounds_hi = np.array([bounds[i][1] for i in keep], np.int64)
+    return srt, refs, bounds_hi, deg, deg_ref, n
+
+
+def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
+    """``probe="broadcast"`` (default): wedge tasks fetch the sorted
+    edge-key blocks they probe (zero-copy on a node; P×E traffic on a
+    cluster). ``probe="shuffle"``: wedges are emitted as a Dataset and
+    range-sorted into the edge-key ordering first, so each wedge block
+    probes only the few edge blocks overlapping its own key range —
+    O(W) shuffle traffic instead of P×E fetches, the multi-node path
+    (costs an extra all-to-all of W wedge rows locally)."""
+    if probe not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown probe mode {probe}")
+    n = graph.num_vertices
+    if n == 0:
+        return 0
+    if n >= (1 << 31):
+        raise NotImplementedError("packed-key TC valid to ~3e9 vertices; use 2-col struct sort")
+
+    srt, refs, bounds_hi, deg, deg_ref, n = oriented_edge_index(graph)
 
     if probe == "shuffle":
         return _count_shuffle(srt, deg, deg_ref, n, refs, bounds_hi, graph)
@@ -263,10 +299,12 @@ def triangle_count(graph: Graph, *, probe: str = "broadcast") -> int:
     return total
 
 
-def _gen_wedge_chunks(a, b, deg, n, wedge_chunk=1 << 20):
+def _gen_wedge_chunks(a, b, deg, n, wedge_chunk=1 << 20, with_center: bool = False):
     """Yield oriented wedge-key arrays for (a-sorted) rows in bounded
     chunks (same run grouping as _count_wedges, emitting instead of
-    probing)."""
+    probing). With ``with_center`` yields ``(centers, x, y)`` triples
+    instead of packed keys — triangle emission needs the wedge's
+    center vertex to name the K4 base edge."""
     m = len(a)
     if m < 2:
         return
@@ -288,7 +326,10 @@ def _gen_wedge_chunks(a, b, deg, n, wedge_chunk=1 << 20):
                 cum = np.concatenate([[0], np.cumsum(reps)])
                 ri = li + (np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)) + 1
                 x, y = _orient_pairs(nbrs[li], nbrs[ri], deg)
-                yield x * n + y
+                if with_center:
+                    yield np.full(len(x), a[s], np.int64), x, y
+                else:
+                    yield x * n + y
             r += 1
             continue
         e, tot = r, 0
@@ -301,7 +342,10 @@ def _gen_wedge_chunks(a, b, deg, n, wedge_chunk=1 << 20):
         li, ri = _pairs_multirun(a[lo:hi])
         if len(li):
             x, y = _orient_pairs(b[lo + li], b[lo + ri], deg)
-            yield x * n + y
+            if with_center:
+                yield a[lo + li].astype(np.int64), x, y
+            else:
+                yield x * n + y
         r = e
 
 

@@ -423,6 +423,46 @@ SELECT CAST(COUNT(*) AS BIGINT) AS triangles
 FROM ce x JOIN ce y ON y.a = x.b JOIN ce z ON z.a = x.a AND z.b = y.b"""
 
 
+def four_cliques_sql() -> str:
+    """Mirror of ``algos.cliques.four_clique_count``: each K4 counted
+    once at its id-ordered labelling a<b<c<d (same total as the
+    implementation's (degree, id) orientation — both count unordered
+    4-sets) via a 6-edge join over the canonical simple graph."""
+    return f"""WITH {GRAPH_CTES},
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)
+SELECT CAST(COUNT(*) AS BIGINT) AS k4
+FROM cu ab
+JOIN cu ac ON ac.a = ab.a AND ac.b > ab.b
+JOIN cu bc ON bc.a = ab.b AND bc.b = ac.b
+JOIN cu ad ON ad.a = ab.a AND ad.b > ac.b
+JOIN cu bd ON bd.a = ab.b AND bd.b = ad.b
+JOIN cu cd ON cd.a = ac.b AND cd.b = ad.b"""
+
+
+def copurchase_k4_sql(seed: int = 20260818) -> str:
+    """Mirror of ``queries.q_copurchase_k4``: distinct within-order
+    part pairs, splitmix64 1-in-4 edge sampling, exact K4 count on
+    the sampled graph via the id-ordered 6-edge join."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(a AS HUGEINT)', gold)}, "
+        f"CAST(b AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS MATERIALIZED (
+  SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+kh AS MATERIALIZED (SELECT a, b, {key} AS h FROM pr),
+{_mix64_ctes('kh', 'a, b')},
+cu AS MATERIALIZED (SELECT a, b FROM mx5 WHERE h % 4 = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS k4_sampled
+FROM cu ab
+JOIN cu ac ON ac.a = ab.a AND ac.b > ab.b
+JOIN cu bc ON bc.a = ab.b AND bc.b = ac.b
+JOIN cu ad ON ad.a = ab.a AND ad.b > ac.b
+JOIN cu bd ON bd.a = ab.b AND bd.b = ad.b
+JOIN cu cd ON cd.a = ac.b AND cd.b = ad.b"""
+
+
 def bfs_sql(root: int = BFS_ROOT, max_depth: int = 40) -> str:
     return f"""WITH RECURSIVE {GRAPH_CTES},
 r(node, dist) AS (

@@ -349,6 +349,101 @@ def q_squares(sf_dir: str):
     return square_count(_cached_canonical_graph(sf_dir))
 
 
+def q_four_cliques(sf_dir: str):
+    """Exact K4 count over the canonical simple graph (oriented
+    triangle bases + pair matching — :mod:`llama_ray.algos.cliques`)."""
+    from ..algos.cliques import four_clique_count
+
+    k4 = four_clique_count(_cached_tpch_graph(sf_dir))
+    return pa.table({"k4": pa.array([k4], pa.int64())})
+
+
+def q_copurchase_k4(sf_dir: str):
+    """K4 census of the hash-sampled part co-purchase graph: parts
+    sharing an order are linked; edges survive iff
+    splitmix64(a·GOLD ⊕ b ⊕ seed) % 4 == 0 (DOULION-style
+    deterministic edge sparsification, Tsourakakis et al. KDD'09 —
+    E[K4_full] = 4^6 · K4_sampled; the raw sampled count is returned
+    so the hash gate stays integer-exact). Pair expansion is one
+    range sort by order with per-run pair generation in-block (orders
+    are tiny runs; block-edge runs stitch in a bounded driver pass);
+    the sampled graph feeds :func:`llama_ray.algos.cliques.four_clique_count`."""
+    from ..algos.cliques import four_clique_count
+    from ..common import check_boundary_size, per_block_results
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    seed = 20260818
+    lp = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    srt = dedup_edges(
+        lp.map_batches(
+            lambda b: {
+                "src": batch_to_numpy(b, "l_orderkey"),
+                "dst": batch_to_numpy(b, "l_partkey"),
+            },
+            batch_format="pyarrow",
+        )
+    ).sort("src").materialize()
+
+    def _pairs(o: np.ndarray, p: np.ndarray):
+        """All within-order part pairs (a < b), hash-sampled."""
+        from ..algos.triangles import _pairs_multirun
+
+        li, ri = _pairs_multirun(o)
+        if not len(li):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        a = np.minimum(p[li], p[ri])
+        b = np.maximum(p[li], p[ri])
+        h = _mix64(a.astype(np.uint64) * _GOLD ^ b.astype(np.uint64) ^ np.uint64(seed))
+        keep = (h % np.uint64(4)) == 0
+        return a[keep], b[keep]
+
+    def expand_block(tbl: pa.Table):
+        """kind 0 rows = sampled pairs (v1=a, v2=b); kind 1 rows =
+        block-edge run rows (v1=order, v2=part) for the driver stitch."""
+        empty = {"kind": np.empty(0, np.int64), "v1": np.empty(0, np.int64),
+                 "v2": np.empty(0, np.int64)}
+        if tbl.num_rows == 0:
+            return empty
+        o = batch_to_numpy(tbl, "src")
+        p = batch_to_numpy(tbl, "dst")
+        if o[0] == o[-1]:
+            s0 = s1 = len(o)  # single order spans the block: all boundary
+        else:
+            s0 = int(np.searchsorted(o, o[0], side="right"))
+            s1 = int(np.searchsorted(o, o[-1], side="left"))
+        a, b = _pairs(o[s0:s1], p[s0:s1])
+        bnd = np.concatenate([np.arange(s0), np.arange(s1, len(o))])
+        return {
+            "kind": np.concatenate([np.zeros(len(a), np.int64), np.ones(len(bnd), np.int64)]),
+            "v1": np.concatenate([a, o[bnd].astype(np.int64)]),
+            "v2": np.concatenate([b, p[bnd].astype(np.int64)]),
+        }
+
+    bo, bp, pairs_s, pairs_d = [], [], [], []
+    for t in srt.map_batches(expand_block, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_format="pyarrow"
+    ):
+        kind = batch_to_numpy(t, "kind")
+        v1 = batch_to_numpy(t, "v1")
+        v2 = batch_to_numpy(t, "v2")
+        bo.append(v1[kind == 1])
+        bp.append(v2[kind == 1])
+        pairs_s.append(v1[kind == 0])
+        pairs_d.append(v2[kind == 0])
+    o = np.concatenate(bo) if bo else np.empty(0, np.int64)
+    p = np.concatenate(bp) if bp else np.empty(0, np.int64)
+    check_boundary_size(len(o), "copurchase_k4")
+    order = np.lexsort((p, o))
+    ba, bb = _pairs(o[order], p[order])
+    src = np.concatenate(pairs_s + [ba])
+    dst = np.concatenate(pairs_d + [bb])
+    edges = dedup_edges(
+        rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    )
+    k4 = four_clique_count(build_graph(edges))
+    return pa.table({"k4_sampled": pa.array([k4], pa.int64())})
+
+
 def q_bipartite_colors(sf_dir: str):
     """Per-vertex BFS-parity 2-coloring (the deterministic coloring
     behind ``bipartite``; one traversal, cached on the graph)."""

@@ -273,6 +273,54 @@ def test_triangle_count_shuffle_probe_rmat():
     assert triangle_count(g, probe="shuffle") == triangle_count(g)
 
 
+def k4_np(src, dst):
+    """Brute-force K4 count over the canonical undirected simple graph."""
+    from itertools import combinations
+
+    es = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    ids = sorted({v for e in es for v in e})
+    adj = {v: set() for v in ids}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = 0
+    for quad in combinations(ids, 4):
+        if all((min(x, y), max(x, y)) in es for x, y in combinations(quad, 2)):
+            cnt += 1
+    return cnt
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_four_cliques_match_brute_force(name):
+    from llama_ray.algos.cliques import four_clique_count
+
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    assert four_clique_count(g) == k4_np(src, dst)
+
+
+def test_four_cliques_rmat_and_planted_k6():
+    """R-MAT background + a planted K6 (adds C(6,4)=15 cliques on
+    fresh vertices) vs brute force; layout-independent."""
+    from itertools import combinations
+
+    from llama_ray.algos.cliques import four_clique_count
+
+    tbl = rmat(7, 6, seed=13).materialize().to_pandas()
+    src = tbl["src"].to_numpy().tolist()
+    dst = tbl["dst"].to_numpy().tolist()
+    k6 = [1000 + i for i in range(6)]
+    for a, b in combinations(k6, 2):
+        src.append(a)
+        dst.append(b)
+    expect = k4_np(src, dst)
+    assert expect >= 15
+    for blocks in (1, 7):
+        ds_ = edges_ds(src, dst).repartition(blocks)
+        g = build_graph(ds_)
+        assert four_clique_count(g) == expect
+
+
 def test_core_numbers_matches_peeling_oracle():
     from llama_ray.algos.kcore import core_numbers
     from llama_ray.graph import canonical_undirected
