@@ -825,11 +825,16 @@ class _GatherPartition:
     # no global reduction enters the state), so results are
     # bit-identical to the driver-held engine.
 
-    def init_pagerank(self, inv_deg_slice, base, damping, n):
+    def init_pagerank(self, inv_deg_slice, base, damping, n, init_slice=None):
         self._pr_inv = np.asarray(inv_deg_slice, np.float64)
         self._pr_base = base
         self._pr_d = damping
-        self._pr_rank = np.full(self.hi - self.lo, 1.0 / n, np.float64)
+        if init_slice is not None:
+            # warm start (snapshot-delta recompute): resume from a
+            # prior level's converged ranks instead of uniform 1/n
+            self._pr_rank = np.asarray(init_slice, np.float64).copy()
+        else:
+            self._pr_rank = np.full(self.hi - self.lo, 1.0 / n, np.float64)
         return ray.put(self._pr_rank * self._pr_inv)
 
     def pagerank_step(self, w_refs):
@@ -1469,20 +1474,27 @@ class BSPGather:
         max_iters: int,
         tol: float | None,
         num_edges: int,
+        init_rank: np.ndarray | None = None,
     ):
         """Scalar PageRank with actor-resident state: per superstep the
         driver dispatches ONE rpc round carrying P slice refs and
         collects P (ref, diff) pairs — no O(V) data touches the driver
         until the final state collection. Bit-identical to the
-        driver-held BSP engine."""
+        driver-held BSP engine. ``init_rank`` warm-starts from a prior
+        snapshot's converged ranks (delta recompute)."""
         import time as _time
 
         n = self.num_vertices
         base = (1.0 - damping) / n
+        init_slices = (
+            self._slices(np.asarray(init_rank, np.float64))
+            if init_rank is not None
+            else [None] * len(self.actors)
+        )
         refs = ray.get(
             [
-                a.init_pagerank.remote(sl, base, damping, n)
-                for a, sl in zip(self.actors, self._slices(inv_deg))
+                a.init_pagerank.remote(sl, base, damping, n, isl)
+                for a, sl, isl in zip(self.actors, self._slices(inv_deg), init_slices)
             ]
         )
         metrics = []

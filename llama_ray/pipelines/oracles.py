@@ -69,6 +69,64 @@ def pagerank_sql(iters: int = 10) -> str:
 SELECT id AS vertex, ROUND(rank, 8) AS rank FROM r{iters}"""
 
 
+def _pagerank_chain(iters: int, *, e: str, v: str, nn: str, deg: str, prefix: str, init: str) -> str:
+    """Unrolled synchronous PageRank over arbitrary edge/vertex CTE
+    names, starting from the ``init`` CTE (columns id, rank) — the
+    building block of the snapshot warm-start oracle."""
+    steps = [f"{prefix}0 AS MATERIALIZED ({init})"]
+    for k in range(iters):
+        steps.append(
+            f"""{prefix}{k + 1} AS MATERIALIZED (
+  SELECT {v}.id,
+         (CAST(1 AS DOUBLE) - {DAMPING}) / (SELECT n FROM {nn})
+         + {DAMPING} * COALESCE(s.contrib, 0) AS rank
+  FROM {v} LEFT JOIN (
+    SELECT {e}.dst AS id, SUM({prefix}{k}.rank / {deg}.d) AS contrib
+    FROM {e} JOIN {prefix}{k} ON {prefix}{k}.id = {e}.src JOIN {deg} ON {deg}.src = {e}.src
+    GROUP BY {e}.dst
+  ) s ON s.id = {v}.id)"""
+        )
+    return ",\n".join(steps)
+
+
+def snapshot_pagerank_delta_sql(
+    base_iters: int = 10, delta_iters: int = 5, seed: int = 20260818
+) -> str:
+    """Mirror of ``queries.q_snapshot_pagerank_delta``: level-0 edges
+    are those with splitmix64(src·GOLD ⊕ dst ⊕ seed) % 8 ≠ 0; a
+    10-iteration chain runs on the level-0 view, then a 5-iteration
+    chain on the full view warm-started from it (vertices new at
+    level 1 enter at uniform 1/n over the full vertex set)."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    pre = f"""kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+e0 AS MATERIALIZED (SELECT src, dst FROM mx5 WHERE h % 8 <> 0),
+v0 AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0)),
+nn0 AS MATERIALIZED (SELECT COUNT(*) AS n FROM v0),
+deg0 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src)"""
+    chain0 = _pagerank_chain(
+        base_iters,
+        e="e0", v="v0", nn="nn0", deg="deg0", prefix="a",
+        init="SELECT id, 1.0 / (SELECT n FROM nn0) AS rank FROM v0",
+    )
+    warm = (
+        f"SELECT v.id, COALESCE(a{base_iters}.rank, 1.0 / (SELECT n FROM nn)) AS rank "
+        f"FROM v LEFT JOIN a{base_iters} ON a{base_iters}.id = v.id"
+    )
+    chain1 = _pagerank_chain(
+        delta_iters, e="e", v="v", nn="nn", deg="deg", prefix="b", init=warm
+    )
+    return f"""WITH {GRAPH_CTES},
+{pre},
+{chain0},
+{chain1}
+SELECT id AS vertex, ROUND(rank, 8) AS rank FROM b{delta_iters}"""
+
+
 def pagerank_top10_sql(iters: int = 10) -> str:
     return f"""WITH {GRAPH_CTES},
 {_pagerank_ctes(iters)}

@@ -137,6 +137,57 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_snapshot_pagerank_delta(sf_dir: str):
+    """Multi-version warm-start PageRank — the analytics pattern the
+    reference's immutable snapshot levels exist for (`ll_mlcsr_graph`
+    versioned CSR; reference streaming loop `benchmark.cc:1769-1893`):
+    the link graph's edges split deterministically into a base batch
+    (splitmix64(src·GOLD ⊕ dst ⊕ seed) % 8 ≠ 0) and a delta batch
+    (the rest), ingested as snapshot levels 0 and 1 of a real
+    `SnapshotStore`; PageRank runs 10 iterations on the level-0 view,
+    then the level-1 view resumes for 5 more iterations warm-started
+    from those ranks (new vertices enter at uniform 1/n) — the delta
+    recompute costs 5 supersteps instead of 10+ from cold. Oracle
+    replays both unrolled chains in SQL."""
+    import shutil
+    import tempfile
+
+    from ..data_ops.dedup import _GOLD, _mix64
+    from ..snapshots.store import SnapshotStore
+
+    seed = 20260818
+    edges = _cached_dedup_edges(sf_dir)
+
+    def split(batch: pa.Table, want_delta: bool):
+        s = batch_to_numpy(batch, "src")
+        d = batch_to_numpy(batch, "dst")
+        h = _mix64(s.astype(np.uint64) * _GOLD ^ d.astype(np.uint64) ^ np.uint64(seed))
+        keep = (h % np.uint64(8) == 0) == want_delta
+        return {"src": s[keep], "dst": d[keep]}
+
+    root = tempfile.mkdtemp(prefix="snap_pr_", dir="/tmp")
+    try:
+        store = SnapshotStore(root)
+        store.ingest_batch(
+            edges.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+        )
+        store.ingest_batch(
+            edges.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+        )
+        g0 = build_graph(store.edges(at_level=0))
+        pr0 = pagerank(g0, max_iters=10)
+        g1 = build_graph(store.edges())
+        init = np.full(g1.num_vertices, 1.0 / g1.num_vertices, np.float64)
+        pos = np.searchsorted(g1.ids, g0.ids)  # levels only add vertices
+        init[pos] = pr0.state["rank"]
+        pr1 = pagerank(g1, max_iters=5, init_rank=init)
+        return pa.table(
+            {"vertex": g1.ids, "rank": np.round(pr1.state["rank"], 8)}
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_pagerank_top10(sf_dir: str):
     g = _cached_tpch_graph(sf_dir)
     res = pagerank(g, max_iters=10)

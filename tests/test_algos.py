@@ -93,6 +93,36 @@ def test_pagerank_push_equals_pull():
     assert np.allclose(a.state["rank"], b.state["rank"], atol=1e-12)
 
 
+def test_pagerank_warm_start_all_engines():
+    """init_rank warm start (snapshot-delta recompute): all three
+    engines honor it bit-identically, k warm iterations equal k cold
+    iterations applied to the same vector, and warm-starting from the
+    converged fixpoint stays at the fixpoint."""
+    g = build_graph(rmat(7, 5, seed=21))
+    n = g.num_vertices
+    rng = np.random.default_rng(3)
+    init = rng.random(n)
+    init /= init.sum()
+    outs = [
+        pagerank(g, max_iters=3, engine=e, init_rank=init).state["rank"]
+        for e in ("dataset", "bsp", "bsp_sharded")
+    ]
+    # dataset vs bsp agree up to in-run float addition order; the two
+    # bsp engines are bit-identical (same gather kernel)
+    assert np.allclose(outs[0], outs[1], rtol=0, atol=1e-14)
+    assert np.array_equal(outs[1], outs[2])
+    # warm(3) == manual: 3 cold steps seeded with init (engine math
+    # identical, only the start vector differs from the default)
+    two = pagerank(g, max_iters=2, init_rank=init).state["rank"]
+    three = pagerank(g, max_iters=1, init_rank=two).state["rank"]
+    assert np.array_equal(outs[0], three)
+    # near-fixpoint: warm-started iteration barely moves
+    cold = pagerank(g, max_iters=400, tol=1e-13)
+    assert cold.converged
+    warm = pagerank(g, max_iters=1, init_rank=cold.state["rank"])
+    assert np.abs(warm.state["rank"] - cold.state["rank"]).sum() < 1e-12
+
+
 @pytest.mark.parametrize("name", list(FIXTURES))
 def test_wcc_matches_oracle(name):
     src, dst = map(np.array, FIXTURES[name])
