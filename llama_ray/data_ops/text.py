@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 
@@ -881,3 +882,156 @@ def token_fluency(
         }
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- BPE merges
+
+
+@ray.remote
+class _BPEShard:
+    """One shard of the BPE working set: a slice of the corpus
+    word-frequency table held as flat byte-symbol arrays. Per merge
+    round the shard answers one weighted adjacent-pair count (sparse
+    int64 partials) and applies one vectorized leftmost-greedy
+    rewrite — no Python loop over words, no re-materialization."""
+
+    def __init__(self, refs):
+        import pyarrow as _pa
+
+        from ..common import copied_strings as _cs
+        from .dedup import _string_segments
+
+        tables = [t if isinstance(t, _pa.Table) else ray.get(t) for t in refs]
+        syms, wid, fq = [], [], []
+        w0 = 0
+        for t in tables:
+            if t.num_rows == 0:
+                continue
+            arr = _cs(t.column("token"))
+            data, offs = _string_segments(arr)
+            cnts = t.column("cnt").combine_chunks().to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            syms.append(data[offs[0] : offs[-1]].astype(np.int64))
+            wid.append(np.repeat(np.arange(w0, w0 + len(lens), dtype=np.int64), lens))
+            fq.append(np.repeat(cnts.astype(np.int64), lens))
+            w0 += len(lens)
+        self.s = np.concatenate(syms) if syms else np.empty(0, np.int64)
+        self.w = np.concatenate(wid) if wid else np.empty(0, np.int64)
+        self.f = np.concatenate(fq) if fq else np.empty(0, np.int64)
+
+    _STRIDE = np.int64(1) << np.int64(21)  # symbol ids < 2^21 (256 + merges)
+
+    def pair_counts(self):
+        from ..common import sparse_partial_sum
+
+        if len(self.s) < 2:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        m = self.w[:-1] == self.w[1:]
+        if not m.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        keys = self.s[:-1][m] * self._STRIDE + self.s[1:][m]
+        u, c = sparse_partial_sum(keys, self.f[:-1][m])
+        return u, c.astype(np.int64)
+
+    def apply_merge(self, x: int, y: int, z: int):
+        s = self.s
+        if len(s) < 2:
+            return True
+        cand = (s[:-1] == x) & (s[1:] == y) & (self.w[:-1] == self.w[1:])
+        idx = np.flatnonzero(cand)
+        if len(idx) == 0:
+            return True
+        # leftmost-greedy: within each maximal run of position-adjacent
+        # candidates (overlapping matches like 'aaa' for pair (a,a)),
+        # keep the 1st, 3rd, ... occurrence
+        new_run = np.concatenate([[True], np.diff(idx) != 1])
+        run_id = np.cumsum(new_run) - 1
+        run_start = idx[new_run][run_id]
+        kept = idx[((idx - run_start) % 2) == 0]
+        s[kept] = z
+        keep_mask = np.ones(len(s), bool)
+        keep_mask[kept + 1] = False
+        self.s = s[keep_mask]
+        self.w = self.w[keep_mask]
+        self.f = self.f[keep_mask]
+        return True
+
+
+def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
+    """Byte-level BPE vocabulary induction (Sennrich et al. ACL'16)
+    over the exact corpus word-frequency table.
+
+    Classic BPE iterates on the *vocabulary* (distinct word, count),
+    not the corpus — the right working set at 100 TB: the corpus-wide
+    word count is the existing sorted run-reduce (one shuffle of
+    (token, cnt) partials), after which each merge round touches only
+    the vocab shards pinned in a small actor pool. Per round: each
+    shard returns sparse weighted adjacent-pair partials (overlapping
+    pairs counted, the reference zip semantics), the driver reduces
+    O(distinct pairs) integers and picks the (count desc, lhs, rhs)
+    argmax, and every shard applies one vectorized leftmost-greedy
+    rewrite. Returns one row per merge: ``(rank, lhs, rhs, cnt)``
+    with symbols as uppercase hex byte strings (DuckDB's ``hex()``
+    representation, so the SQL oracle compares byte-exactly).
+    """
+    import pyarrow.compute as pc
+
+    from ..common import group_sum_sorted, sparse_partial_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, _, data = _tokenize_batch(batch.column("text"), lower=False)
+        vc = pc.value_counts(_tokens_string_array(starts, lens, data))
+        return pa.table(
+            {"token": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    vocab = group_sum_sorted(
+        docs.select_columns(["text"]).map_batches(partial, batch_format="pyarrow"),
+        "token",
+        ["cnt"],
+    ).materialize()
+
+    refs = vocab.to_arrow_refs()
+    P = max(1, min(num_shards, len(refs)))
+    shards = [
+        _BPEShard.remote([refs[i] for i in range(j, len(refs), P)]) for j in range(P)
+    ]
+    table: list[bytes] = [bytes([b]) for b in range(256)]
+    stride = int(_BPEShard._STRIDE)
+    rows = []
+    try:
+        for r in range(1, num_merges + 1):
+            parts = ray.get([sh.pair_counts.remote() for sh in shards])
+            keys = np.concatenate([p[0] for p in parts])
+            cnts = np.concatenate([p[1] for p in parts])
+            if len(keys) == 0:
+                break
+            u, c = sparse_partial_sum(keys, cnts)
+            c = c.astype(np.int64)
+            top = c.max()
+            cand = u[c == top]
+            # tie order on the hex representation — identical to byte
+            # order (fixed-width monotone digits) and to the oracle's
+            pairs = sorted(
+                (table[int(k) // stride].hex().upper(), table[int(k) % stride].hex().upper(), int(k))
+                for k in cand
+            )
+            lhs_hex, rhs_hex, k = pairs[0]
+            x, y = k // stride, k % stride
+            z = len(table)
+            table.append(table[x] + table[y])
+            ray.get([sh.apply_merge.remote(x, y, z) for sh in shards])
+            rows.append((r, lhs_hex, rhs_hex, int(top)))
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "lhs": pa.array([r[1] for r in rows], pa.string()),
+            "rhs": pa.array([r[2] for r in rows], pa.string()),
+            "cnt": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )

@@ -2529,6 +2529,80 @@ SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}"""
 
 
+def bpe_merges_sql(num_merges: int = 3) -> str:
+    """Mirror of data_ops.text.bpe_merges: unrolled byte-level BPE
+    rounds over the exact word-frequency table. Symbols are hex byte
+    strings (merges concatenate them — fixed-width monotone digits
+    make hex order ≡ byte order); pair counts weight by word
+    frequency with overlapping pairs included; the merge rewrite is
+    leftmost-greedy (alternating keeps within runs of position-
+    adjacent candidates)."""
+    parts = [
+        """toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)""",
+        """wf AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks WHERE token <> '' GROUP BY token)""",
+        """t0 AS MATERIALIZED (
+  SELECT w, pos, substr(h, CAST(2 * pos + 1 AS INT), 2) AS sym, freq FROM (
+    SELECT token AS w, freq, hex(encode(token)) AS h,
+           CAST(unnest(range(octet_length(encode(token)))) AS BIGINT) AS pos
+    FROM wf))""",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT a.sym AS x, b.sym AS y, SUM(a.freq) AS c
+  FROM t{r} a JOIN t{r} b ON b.w = a.w AND b.pos = a.pos + 1
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT x, y, c FROM p{r} ORDER BY c DESC, x, y LIMIT 1)"
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT a.w, a.pos FROM t{r} a JOIN t{r} bb ON bb.w = a.w AND bb.pos = a.pos + 1, b{r}
+  WHERE a.sym = b{r}.x AND bb.sym = b{r}.y)"""
+        )
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, rid ORDER BY pos) AS rn
+    FROM (SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS rid
+          FROM c{r}))
+  WHERE rn % 2 = 1)"""
+        )
+        parts.append(
+            f"""t{r + 1} AS MATERIALIZED (
+  SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, sym, freq FROM (
+    SELECT t.w, t.pos,
+           CASE WHEN k.pos IS NOT NULL THEN t.sym || (SELECT y FROM b{r}) ELSE t.sym END AS sym,
+           t.freq
+    FROM t{r} t
+    LEFT JOIN k{r} k ON k.w = t.w AND k.pos = t.pos
+    LEFT JOIN k{r} kp ON kp.w = t.w AND kp.pos = t.pos - 1
+    WHERE kp.pos IS NULL))"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, x AS lhs, y AS rhs, CAST(c AS BIGINT) AS cnt FROM b{r}"
+        for r in range(num_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def group_sample_sql(k: int = 5, seed: int = 424242) -> str:
+    """Mirror of queries.q_group_sample: uniform k-subset per source
+    by the splitmix64 doc rank (shifted >>2 like the Ray side so the
+    comparison space is identical)."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH kh AS MATERIALIZED (SELECT doc_id, source, {key} AS h FROM documents),
+{_mix64_ctes('kh', 'doc_id, source')},
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h >> 2, doc_id) AS rank
+  FROM mx5)
+SELECT source, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"""
+
+
 def lang_mix_sql(seed: int = 777) -> str:
     """Mirror of data_ops.curation.lang_mix_sample: per-lang counts,
     integer threshold (min_count*10^6)//count, keep iff

@@ -1643,6 +1643,51 @@ def q_corpus_pipeline(sf_dir: str, *, quality_min: float = 0.5, seq_len: int = 5
     )
 
 
+def q_bpe_merges(sf_dir: str, *, num_merges: int = 3):
+    """First ``num_merges`` byte-level BPE merges learned from the
+    corpus word-frequency table (tokenizer induction —
+    :func:`llama_ray.data_ops.text.bpe_merges`); symbols reported as
+    uppercase hex byte strings so DuckDB's `hex()` oracle compares
+    byte-exactly."""
+    from ..data_ops.text import bpe_merges
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_merges(docs, num_merges=num_merges)
+
+
+def q_group_sample(sf_dir: str, *, k: int = 5):
+    """Deterministic uniform k-per-group sample — the distributed
+    reservoir: rank docs within each source by
+    splitmix64(doc_id·GOLD ⊕ seed) (shifted into non-negative int64)
+    and keep the k smallest, an exact uniform k-subset per group,
+    independent of layout; same one-sort + boundary-pass machinery
+    as the per-source document cap."""
+    from ..data_ops.curation import topk_per_group
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    seed = 424242
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def hcol(b: pa.Table):
+        ids = batch_to_numpy(b, "doc_id")
+        h = _mix64(ids.astype(np.uint64) * _GOLD ^ np.uint64(seed))
+        return {
+            "doc_id": ids,
+            "source": b.column("source"),
+            "h": (h >> np.uint64(2)).astype(np.int64),
+        }
+
+    ds = docs.map_batches(hcol, batch_format="pyarrow")
+    out = topk_per_group(
+        ds,
+        group_col="source",
+        order_cols=["h", "doc_id"],
+        descending=[False, False],
+        k=k,
+    )
+    return out.select_columns(["source", "doc_id", "rank"])
+
+
 def q_source_cap(sf_dir: str, *, k: int = 10):
     """Per-source document cap: keep the top-10 docs per source by
     (n_chars desc, doc_id asc) — distributed sort + per-block run

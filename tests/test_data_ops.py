@@ -1437,3 +1437,62 @@ def test_lm_score_matches_brute_force_and_layouts():
     for i in exp:
         assert got[i][0] == exp[i][0]
         assert got[i][1] == exp[i][1]
+
+
+def bpe_np(texts, num_merges):
+    """Row-at-a-time byte-level BPE reference: overlapping pairs
+    counted, leftmost-greedy merge, ties by hex pair."""
+    from collections import Counter
+
+    wf = Counter(tok for t in texts for tok in t.split())
+    words = {w: [bytes([b]) for b in w.encode()] for w in wf}
+    out = []
+    for r in range(1, num_merges + 1):
+        pc_ = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc_[(a, b)] += wf[w]
+        if not pc_:
+            break
+        top = max(pc_.values())
+        x, y = min(
+            (k for k, v in pc_.items() if v == top),
+            key=lambda k: (k[0].hex().upper(), k[1].hex().upper()),
+        )
+        for w, syms in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    new.append(x + y)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+        out.append((r, x.hex().upper(), y.hex().upper(), top))
+    return out
+
+
+def test_bpe_merges_matches_reference_and_layouts():
+    """Overlap runs ('aaaa' → leftmost-greedy), frequency weighting
+    and hex tie order all exercised; identical across block layouts."""
+    from llama_ray.data_ops.text import bpe_merges
+
+    texts = [
+        "aaaa banana banana bandana",
+        "low lower lowest low low",
+        "aaaa aaa nan ban",
+        "es est west wide wider es es est",
+    ] * 3
+    expect = bpe_np(texts, 6)
+    for blocks in (1, 5):
+        out = bpe_merges(docs_ds(texts).repartition(blocks), num_merges=6)
+        got = list(
+            zip(
+                out.column("rank").to_pylist(),
+                out.column("lhs").to_pylist(),
+                out.column("rhs").to_pylist(),
+                out.column("cnt").to_pylist(),
+            )
+        )
+        assert got == expect
