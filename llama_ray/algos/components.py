@@ -53,6 +53,7 @@ def weakly_connected_components(
     engine: str = "auto",
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
+    init_labels: Optional[np.ndarray] = None,
 ) -> SuperstepResult:
     """Min-label propagation to fixpoint over the graph's edges treated
     as undirected (each directed edge passes messages both ways, so no
@@ -81,10 +82,25 @@ def weakly_connected_components(
     bsp engines iterate on dense indices (int32 when V ≤ 2^31) and map
     back through the sorted ``graph.ids`` — exact integer math for the
     full int64 id range in every engine.
+
+    ``init_labels`` (original ids, dense vertex order) warm-starts the
+    fixpoint — the snapshot-delta recompute: levels only ADD edges, so
+    a previous level's converged labels (own id for new vertices) are
+    valid initial values — each entry must be the id of some vertex in
+    the same component, which keeps the fixpoint at the exact
+    component minima while late supersteps only touch merged regions.
     """
     n = graph.num_vertices
     if n == 0:
         return SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+
+    init_idx = None
+    if init_labels is not None:
+        init_labels = np.asarray(init_labels, np.int64)
+        init_idx = np.searchsorted(graph.ids, init_labels)
+        init_idx = np.clip(init_idx, 0, n - 1)
+        if not np.array_equal(graph.ids[init_idx], init_labels):
+            raise ValueError("init_labels must be ids of vertices in the graph")
 
     if engine == "auto":
         if n >= AUTO_SHARD_VERTICES:
@@ -117,7 +133,9 @@ def weakly_connected_components(
         gat = shared_pool(graph, view="undirected")
         try:
             labs, iters, conv, metrics = gat.run_min_label_sharded(
-                np.arange(n, dtype=idx_dtype),
+                init_idx.astype(idx_dtype)
+                if init_idx is not None
+                else np.arange(n, dtype=idx_dtype),
                 max_iters=max_iters,
                 num_edges=num_edges,
             )
@@ -135,6 +153,8 @@ def weakly_connected_components(
         gat_bwd = shared_pool(graph, view="reversed")
 
         def init_state_bsp():
+            if init_idx is not None:
+                return {"label_idx": init_idx.astype(idx_dtype)}
             return {"label_idx": np.arange(n, dtype=idx_dtype)}
 
         def step_bsp(state, k):
@@ -162,6 +182,8 @@ def weakly_connected_components(
         return res
 
     def init_state():
+        if init_labels is not None:
+            return {"label": init_labels.copy()}
         return {"label": graph.ids.copy()}
 
     def step(state, k):

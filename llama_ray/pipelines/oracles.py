@@ -127,6 +127,50 @@ deg0 AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src)"""
 SELECT id AS vertex, ROUND(rank, 8) AS rank FROM b{delta_iters}"""
 
 
+def snapshot_wcc_delta_sql(rounds: int = WCC_ROUNDS, seed: int = 20260818) -> str:
+    """Mirror of ``queries.q_snapshot_wcc_delta``: a full min-label
+    chain on the level-0 edge view, then a second chain on the full
+    view warm-started from it (new vertices enter at their own id).
+    Both chains run ``rounds`` ≥ diameter sweeps — idempotent past the
+    fixpoint, like ``wcc_sql``."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+
+    def chain(n: int, prefix: str, ue: str, v: str, init: str) -> str:
+        steps = [f"{prefix}0 AS MATERIALIZED ({init})"]
+        for k in range(n):
+            steps.append(
+                f"""{prefix}{k + 1} AS MATERIALIZED (
+  SELECT {prefix}{k}.id, LEAST({prefix}{k}.label, COALESCE(m.minlab, {prefix}{k}.label)) AS label
+  FROM {prefix}{k} LEFT JOIN (
+    SELECT {ue}.b AS id, MIN(l.label) AS minlab
+    FROM {ue} JOIN {prefix}{k} l ON l.id = {ue}.a GROUP BY {ue}.b
+  ) m ON m.id = {prefix}{k}.id)"""
+            )
+        return ",\n".join(steps)
+
+    pre = f"""kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+e0 AS MATERIALIZED (SELECT src, dst FROM mx5 WHERE h % 8 <> 0),
+v0 AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM e0 UNION SELECT dst AS id FROM e0)),
+ue0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e)"""
+    c0 = chain(rounds, "a", "ue0", "v0", "SELECT id, id AS label FROM v0")
+    warm = (
+        f"SELECT v.id, COALESCE(a{rounds}.label, v.id) AS label "
+        f"FROM v LEFT JOIN a{rounds} ON a{rounds}.id = v.id"
+    )
+    c1 = chain(rounds, "b", "ue", "v", warm)
+    return f"""WITH {GRAPH_CTES},
+{pre},
+{c0},
+{c1}
+SELECT id AS vertex, label AS component FROM b{rounds}"""
+
+
 def pagerank_top10_sql(iters: int = 10) -> str:
     return f"""WITH {GRAPH_CTES},
 {_pagerank_ctes(iters)}

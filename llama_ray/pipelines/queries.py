@@ -137,25 +137,18 @@ def q_pagerank(sf_dir: str):
     )
 
 
-def q_snapshot_pagerank_delta(sf_dir: str):
-    """Multi-version warm-start PageRank — the analytics pattern the
-    reference's immutable snapshot levels exist for (`ll_mlcsr_graph`
-    versioned CSR; reference streaming loop `benchmark.cc:1769-1893`):
-    the link graph's edges split deterministically into a base batch
-    (splitmix64(src·GOLD ⊕ dst ⊕ seed) % 8 ≠ 0) and a delta batch
-    (the rest), ingested as snapshot levels 0 and 1 of a real
-    `SnapshotStore`; PageRank runs 10 iterations on the level-0 view,
-    then the level-1 view resumes for 5 more iterations warm-started
-    from those ranks (new vertices enter at uniform 1/n) — the delta
-    recompute costs 5 supersteps instead of 10+ from cold. Oracle
-    replays both unrolled chains in SQL."""
+def _snapshot_base_delta_graphs(sf_dir: str, seed: int = 20260818):
+    """(g0, g1, cleanup): the link graph's edges split deterministically
+    into a base batch (splitmix64(src·GOLD ⊕ dst ⊕ seed) % 8 ≠ 0) and a
+    delta batch (the rest), ingested as levels 0 and 1 of a real
+    `SnapshotStore` under /tmp; graphs built from the level-0 view and
+    the full view. Caller must invoke ``cleanup()`` when done."""
     import shutil
     import tempfile
 
     from ..data_ops.dedup import _GOLD, _mix64
     from ..snapshots.store import SnapshotStore
 
-    seed = 20260818
     edges = _cached_dedup_edges(sf_dir)
 
     def split(batch: pa.Table, want_delta: bool):
@@ -165,7 +158,7 @@ def q_snapshot_pagerank_delta(sf_dir: str):
         keep = (h % np.uint64(8) == 0) == want_delta
         return {"src": s[keep], "dst": d[keep]}
 
-    root = tempfile.mkdtemp(prefix="snap_pr_", dir="/tmp")
+    root = tempfile.mkdtemp(prefix="snap_delta_", dir="/tmp")
     try:
         store = SnapshotStore(root)
         store.ingest_batch(
@@ -175,8 +168,25 @@ def q_snapshot_pagerank_delta(sf_dir: str):
             edges.map_batches(lambda b: split(b, True), batch_format="pyarrow")
         )
         g0 = build_graph(store.edges(at_level=0))
-        pr0 = pagerank(g0, max_iters=10)
         g1 = build_graph(store.edges())
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    return g0, g1, lambda: shutil.rmtree(root, ignore_errors=True)
+
+
+def q_snapshot_pagerank_delta(sf_dir: str):
+    """Multi-version warm-start PageRank — the analytics pattern the
+    reference's immutable snapshot levels exist for (`ll_mlcsr_graph`
+    versioned CSR; reference streaming loop `benchmark.cc:1769-1893`):
+    PageRank runs 10 iterations on the level-0 view, then the level-1
+    view resumes for 5 more iterations warm-started from those ranks
+    (new vertices enter at uniform 1/n) — the delta recompute costs 5
+    supersteps instead of 10+ from cold. Oracle replays both unrolled
+    chains in SQL."""
+    g0, g1, cleanup = _snapshot_base_delta_graphs(sf_dir)
+    try:
+        pr0 = pagerank(g0, max_iters=10)
         init = np.full(g1.num_vertices, 1.0 / g1.num_vertices, np.float64)
         pos = np.searchsorted(g1.ids, g0.ids)  # levels only add vertices
         init[pos] = pr0.state["rank"]
@@ -185,7 +195,26 @@ def q_snapshot_pagerank_delta(sf_dir: str):
             {"vertex": g1.ids, "rank": np.round(pr1.state["rank"], 8)}
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        cleanup()
+
+
+def q_snapshot_wcc_delta(sf_dir: str):
+    """Incremental connected components across snapshot levels: WCC
+    converges on the level-0 view, the level-1 view warm-starts from
+    those labels (exact — levels only ADD edges, so old labels remain
+    valid component members and the min-label fixpoint lands on the
+    same minima, touching mostly merged regions). Oracle runs both
+    unrolled min-label chains."""
+    g0, g1, cleanup = _snapshot_base_delta_graphs(sf_dir)
+    try:
+        w0 = weakly_connected_components(g0)
+        init = g1.ids.copy()
+        pos = np.searchsorted(g1.ids, g0.ids)
+        init[pos] = w0.state["label"]
+        w1 = weakly_connected_components(g1, init_labels=init)
+        return pa.table({"vertex": g1.ids, "component": w1.state["label"]})
+    finally:
+        cleanup()
 
 
 def q_pagerank_top10(sf_dir: str):

@@ -123,6 +123,31 @@ def test_pagerank_warm_start_all_engines():
     assert np.abs(warm.state["rank"] - cold.state["rank"]).sum() < 1e-12
 
 
+def test_wcc_warm_start_incremental():
+    """init_labels warm start: WCC on a base edge subset, then the
+    full graph warm-started from those labels — exact (same labels as
+    cold) in every engine, and the warm fixpoint needs fewer
+    supersteps than cold on a long path whose base is pre-merged."""
+    # path 0-1-2-...-19 plus a separate clique; base = all but one edge
+    src = list(range(19)) + [100, 100, 101]
+    dst = list(range(1, 20)) + [101, 102, 102]
+    full = edges_ds(np.array(src), np.array(dst))
+    base = edges_ds(np.array(src[:9] + src[10:]), np.array(dst[:9] + dst[10:]))
+    g0 = build_graph(base)
+    g1 = build_graph(full)
+    cold = weakly_connected_components(g1)
+    w0 = weakly_connected_components(g0)
+    init = g1.ids.copy()
+    pos = np.searchsorted(g1.ids, g0.ids)
+    init[pos] = w0.state["label"]
+    for engine in ("dataset", "bsp", "bsp_sharded"):
+        warm = weakly_connected_components(g1, engine=engine, init_labels=init)
+        assert np.array_equal(warm.state["label"], cold.state["label"])
+        assert warm.iterations < cold.iterations
+    with pytest.raises(ValueError):
+        weakly_connected_components(g1, init_labels=np.full(g1.num_vertices, -5))
+
+
 @pytest.mark.parametrize("name", list(FIXTURES))
 def test_wcc_matches_oracle(name):
     src, dst = map(np.array, FIXTURES[name])
