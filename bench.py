@@ -227,6 +227,18 @@ def run_benchmark() -> dict:
     )
     walk_rows = walk_tbl.num_rows
     timings["neighbor_sample_k3"], _ = best_of(lambda: sample_neighbors(g, 3), 2)
+    from llama_ray.algos.walks import node2vec_walks
+
+    timings["node2vec_4step"], n2v_tbl = best_of(
+        lambda: node2vec_walks(g, num_steps=4), 2
+    )
+    node2vec_rows = n2v_tbl.num_rows
+
+    # 4-clique census: shares the oriented edge-key sort with TC; the
+    # second phase sorts the O(T) triangle stream by base edge
+    from llama_ray.algos.cliques import four_clique_count
+
+    timings["four_cliques"], k4_count = best_of(lambda: four_clique_count(g), 2)
 
     from llama_ray.algos.hyperanf import hyperanf
     from llama_ray.algos.mis import maximal_independent_set
@@ -436,6 +448,51 @@ def run_benchmark() -> dict:
     n_window = _q.q_events_running_total(sf_dir).count()
     timings["window_running_total"] = time.perf_counter() - t0
 
+    # snapshot-delta warm-start vs cold recompute (the multi-version
+    # analytics win: converge on the base level, resume after a 1/64
+    # edge delta). The TPC-H link graph is a depth-7 DAG where any
+    # start converges exactly at depth, so the measurement uses a
+    # cyclic R-MAT graph; timed sections exclude both graph builds.
+    from llama_ray.data_ops.dedup import _GOLD as _G2, _mix64 as _mx2
+
+    es_delta = _rmat(17, 8, seed=55).materialize()
+
+    def _base_only(b):
+        s = b.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+        d = b.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+        keep = (
+            _mx2(s.astype(np.uint64) * _G2 ^ d.astype(np.uint64)) % np.uint64(64)
+        ) != 0
+        return {"src": s[keep], "dst": d[keep]}
+
+    g0d = build_graph(es_delta.map_batches(_base_only, batch_format="pyarrow"))
+    g1d = build_graph(es_delta)
+    pr_base = pagerank(g0d, max_iters=200, tol=1e-9, engine="bsp")
+    init_warm = np.full(g1d.num_vertices, 1.0 / g1d.num_vertices, np.float64)
+    init_warm[np.searchsorted(g1d.ids, g0d.ids)] = pr_base.state["rank"]
+    pagerank(g1d, max_iters=1, engine="bsp")  # prewarm g1's pool
+    t0 = time.perf_counter()
+    pr_warm = pagerank(g1d, max_iters=200, tol=1e-9, engine="bsp", init_rank=init_warm)
+    timings["snapshot_delta_pagerank_warm"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pr_cold = pagerank(g1d, max_iters=200, tol=1e-9, engine="bsp")
+    timings["snapshot_delta_pagerank_cold"] = time.perf_counter() - t0
+    warm_iters, cold_iters = pr_warm.iterations, pr_cold.iterations
+    assert np.abs(pr_warm.state["rank"] - pr_cold.state["rank"]).max() < 1e-7, (
+        "warm-start PageRank diverged from cold recompute"
+    )
+
+    # BPE merge rounds over the corpus word-frequency table
+    from llama_ray.data_ops.text import bpe_merges
+    from ray.data import read_parquet as _rp
+
+    t0 = time.perf_counter()
+    bpe_tbl = bpe_merges(
+        _rp(os.path.join(sf_dir, "documents.parquet"), columns=["text"]),
+        num_merges=8,
+    )
+    timings["bpe_8_merges"] = time.perf_counter() - t0
+
     # streaming micro-batch loop (reference benchmark.cc:1769-1893:
     # pull -> checkpoint -> window-advance -> task, per batch)
     import shutil as _sh
@@ -517,6 +574,11 @@ def run_benchmark() -> dict:
         "triangles": tc,
         "msf_edges": msf_edges,
         "walk_rows": walk_rows,
+        "node2vec_rows": node2vec_rows,
+        "four_cliques": int(k4_count),
+        "snapshot_warm_iters": warm_iters,
+        "snapshot_cold_iters": cold_iters,
+        "bpe_merges": bpe_tbl.num_rows,
         "anf_rounds": anf.rounds,
         "effective_diameter": anf.effective_diameter,
         "ingest_rows": repo_rows,
