@@ -595,3 +595,70 @@ def source_overlap(
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         ["source_a", "source_b"]
     )
+
+
+# ------------------------------------------------------------ chunking
+
+
+def chunk_documents(
+    docs: rd.Dataset,
+    *,
+    size: int = 200,
+    stride: int = 150,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sliding-window document chunking (RAG / context-window prep):
+    chunk ``k`` of a doc covers characters ``[k·stride, k·stride +
+    size)`` for every ``k·stride < n_chars`` (trailing pieces kept,
+    empty docs emit no chunks); columns ``(doc_id, chunk_id, start,
+    chunk)``.
+
+    Pure ``map_batches`` — no shuffle, nothing on the driver. The
+    chunk strings are gathered from the Arrow utf8 buffer with one
+    repeat + per-chunk offset index (the ``_tokens_string_array``
+    machinery), so there is no per-row Python. Offsets are CHARACTER
+    offsets (SQL ``substr`` semantics); ASCII corpora only — a
+    multi-byte batch raises loudly rather than slicing mid-codepoint
+    (the scale path for non-ASCII is a per-batch codepoint index,
+    same shape, one extra cumsum).
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def expand(batch: pa.Table):
+        from .dedup import _string_segments, _tokens_string_array
+
+        from ..common import copied_strings
+
+        ids = batch_to_numpy(batch, id_col)
+        arr = copied_strings(batch.column(text_col))
+        data, offs = _string_segments(arr)
+        lens = np.diff(offs)
+        if len(data) and (data[offs[0] : offs[-1]] > 127).any():
+            raise ValueError(
+                "chunk_documents: non-ASCII document — character offsets "
+                "would split a codepoint; index codepoints first"
+            )
+        n_chunks = -(-lens // stride)  # ceil; 0 chunks for empty docs
+        did = np.repeat(ids, n_chunks)
+        total = int(n_chunks.sum())
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        start = k * stride
+        clen = np.minimum(size, np.repeat(lens, n_chunks) - start)
+        abs_start = np.repeat(offs[:-1], n_chunks) + start
+        chunks = _tokens_string_array(abs_start, clen, data)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "chunk_id": pa.array(k, pa.int64()),
+                "start": pa.array(start, pa.int64()),
+                "chunk": chunks,
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )

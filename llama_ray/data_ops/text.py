@@ -1035,3 +1035,86 @@ def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
             "cnt": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------ inverted index
+
+
+class InvertedIndex:
+    """Distributed exact inverted index: postings are the distinct
+    (token, doc_id) pairs, built by per-batch tokenize + in-batch
+    distinct (C++ group_by) and ONE range sort by token, materialized
+    as the probe structure — lookups fetch only the blocks whose
+    token range covers the term (zero-copy plasma reads + one binary
+    search per block), never scanning the corpus again. The same
+    bucket-sorted-pinned-blocks shape as the ANN LSH index; at
+    cluster scale the sorted postings partition across nodes and a
+    term probe touches exactly the owning block(s)."""
+
+    def __init__(self, docs, *, id_col: str = "doc_id", text_col: str = "text", lower: bool = True):
+        from ..common import per_block_results
+
+        def partial(batch: pa.Table) -> pa.Table:
+            from .dedup import _tokens_string_array
+
+            starts, lens, per_doc, data = _tokenize_batch(batch.column(text_col), lower=lower)
+            toks = _tokens_string_array(starts, lens, data)
+            ids = np.repeat(
+                batch.column(id_col).combine_chunks().to_numpy(zero_copy_only=False),
+                per_doc,
+            )
+            t = pa.table({"token": toks, "doc_id": pa.array(ids, pa.int64())})
+            return t.group_by(["token", "doc_id"]).aggregate([])
+
+        self.ds = (
+            docs.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sort("token")
+            .materialize()
+        )
+        self.refs = self.ds.to_arrow_refs()
+
+        def bounds(tbl: pa.Table):
+            if tbl.num_rows == 0:
+                return None
+            col = tbl.column("token")
+            return (str(col[0].as_py()), str(col[-1].as_py()))
+
+        bs = per_block_results(self.ds, bounds)
+        keep = [i for i, b in enumerate(bs) if b is not None]
+        self.refs = [self.refs[i] for i in keep]
+        self._lo = [bs[i][0] for i in keep]
+        self._hi = [bs[i][1] for i in keep]
+
+    def postings(self, term: str) -> np.ndarray:
+        """Sorted doc ids containing ``term`` — probes only blocks
+        whose token range covers it."""
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        out = []
+        for i, ref in enumerate(self.refs):
+            if self._lo[i] <= term <= self._hi[i]:
+                t = _ray.get(ref)
+                m = pc.equal(t.column("token"), term)
+                hit = t.filter(m)
+                if hit.num_rows:
+                    out.append(
+                        hit.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+                    )
+        return np.unique(np.concatenate(out)) if out else np.empty(0, np.int64)
+
+    def search(self, terms: list[str], mode: str = "and") -> np.ndarray:
+        """Doc ids containing ALL (``and``) or ANY (``or``) terms."""
+        if mode not in ("and", "or"):
+            raise ValueError(f"unknown mode {mode}")
+        if not terms:
+            return np.empty(0, np.int64)
+        sets = [self.postings(t) for t in terms]
+        acc = sets[0]
+        for s in sets[1:]:
+            if mode == "and":
+                acc = acc[np.isin(acc, s, assume_unique=True)]
+            else:
+                acc = np.union1d(acc, s)
+        return acc

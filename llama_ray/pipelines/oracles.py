@@ -2632,6 +2632,29 @@ def bpe_merges_sql(num_merges: int = 3) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def doc_chunks_sql(size: int = 200, stride: int = 150) -> str:
+    """Mirror of data_ops.curation.chunk_documents: chunk k covers
+    chars [k·stride, k·stride+size) while k·stride < length (ASCII
+    corpus: char offsets ≡ byte offsets on both sides)."""
+    return f"""WITH g AS (
+  SELECT doc_id, text,
+         CAST(unnest(range((length(text) + {stride} - 1) // {stride})) AS BIGINT) AS chunk_id
+  FROM documents)
+SELECT doc_id, chunk_id, CAST(chunk_id * {stride} AS BIGINT) AS start,
+       substr(text, CAST(chunk_id * {stride} + 1 AS INT), {size}) AS chunk
+FROM g"""
+
+
+def keyword_search_sql(terms: tuple = ("merge", "join")) -> str:
+    """Mirror of queries.q_keyword_search: docs whose lowered
+    whitespace tokens contain ALL terms."""
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+SELECT doc_id FROM toks WHERE tok IN ({quoted})
+GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {len(terms)}"""
+
+
 def group_sample_sql(k: int = 5, seed: int = 424242) -> str:
     """Mirror of queries.q_group_sample: uniform k-subset per source
     by the splitmix64 doc rank (shifted >>2 like the Ray side so the

@@ -1684,6 +1684,28 @@ def q_bpe_merges(sf_dir: str, *, num_merges: int = 3):
     return bpe_merges(docs, num_merges=num_merges)
 
 
+def q_doc_chunks(sf_dir: str, *, size: int = 200, stride: int = 150):
+    """Sliding-window chunking of every document (RAG prep) —
+    :func:`llama_ray.data_ops.curation.chunk_documents`."""
+    from ..data_ops.curation import chunk_documents
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(docs, size=size, stride=stride)
+
+
+def q_keyword_search(sf_dir: str, *, terms: tuple = ("merge", "join")):
+    """Exact conjunctive keyword search through the distributed
+    inverted index (:class:`llama_ray.data_ops.text.InvertedIndex`):
+    postings built by one token range sort, term probes touch only the
+    covering blocks."""
+    from ..data_ops.text import InvertedIndex
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    idx = InvertedIndex(docs)
+    hits = idx.search(list(terms), mode="and")
+    return pa.table({"doc_id": pa.array(hits, pa.int64())})
+
+
 def q_group_sample(sf_dir: str, *, k: int = 5):
     """Deterministic uniform k-per-group sample — the distributed
     reservoir: rank docs within each source by

@@ -1496,3 +1496,56 @@ def test_bpe_merges_matches_reference_and_layouts():
             )
         )
         assert got == expect
+
+
+def test_chunk_documents_matches_reference_and_layouts():
+    from llama_ray.data_ops.curation import chunk_documents
+
+    texts = ["abcdefghij", "xyz", "", "a" * 23, "0123456789" * 3]
+    size, stride = 6, 4
+    expect = []
+    for i, t in enumerate(texts):
+        k = 0
+        while k * stride < len(t):
+            expect.append((i, k, k * stride, t[k * stride : k * stride + size]))
+            k += 1
+    for blocks in (1, 4):
+        out = chunk_documents(
+            docs_ds(texts).repartition(blocks), size=size, stride=stride
+        ).to_pandas()
+        got = sorted(
+            zip(out["doc_id"], out["chunk_id"], out["start"], out["chunk"])
+        )
+        assert got == sorted(expect)
+    # non-ASCII raises loudly instead of slicing mid-codepoint
+    import pytest as _pytest
+    import ray.exceptions
+
+    with _pytest.raises(Exception, match="non-ASCII"):
+        chunk_documents(docs_ds(["héllo wörld"]), size=4, stride=2).materialize()
+
+
+def test_inverted_index_search_matches_brute_force():
+    from llama_ray.data_ops.text import InvertedIndex
+
+    texts = [
+        "alpha beta gamma",
+        "beta delta",
+        "ALPHA beta",
+        "gamma gamma beta alpha",
+        "",
+        "delta",
+    ]
+    for blocks in (1, 4):
+        idx = InvertedIndex(docs_ds(texts).repartition(blocks))
+        toksets = [set(t.lower().split()) for t in texts]
+        assert idx.postings("beta").tolist() == [
+            i for i, s in enumerate(toksets) if "beta" in s
+        ]
+        assert idx.postings("nosuchtoken").tolist() == []
+        assert idx.search(["alpha", "beta"]).tolist() == [
+            i for i, s in enumerate(toksets) if {"alpha", "beta"} <= s
+        ]
+        assert idx.search(["alpha", "delta"], mode="or").tolist() == [
+            i for i, s in enumerate(toksets) if s & {"alpha", "delta"}
+        ]
