@@ -525,6 +525,72 @@ SELECT CAST(COUNT(*) AS BIGINT) AS triangles
 FROM ce x JOIN ce y ON y.a = x.b JOIN ce z ON z.a = x.a AND z.b = y.b"""
 
 
+def balanced_partition_sql(k: int = 8, rounds: int = 4) -> str:
+    """Mirror of algos.partition.balanced_partition: unrolled
+    size-penalized LP rounds with integer scores
+    cnt·⌈V/k⌉ − load·deg(v), parity gate (id + r) % 2 = 0,
+    strict-improvement candidates, ties → smallest part, and ranked
+    capacity admission (top gains per target part up to cap − load)."""
+    parts = [
+        "cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)",
+        "cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu)",
+        f"cap AS MATERIALIZED (SELECT (COUNT(*) + {k} - 1) // {k} AS c FROM cv)",
+        "uep AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu)",
+        "udeg AS MATERIALIZED (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM uep GROUP BY a)",
+        f"p0 AS MATERIALIZED (SELECT id, id % {k} AS part FROM cv)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"ld{r} AS MATERIALIZED (SELECT part, CAST(COUNT(*) AS BIGINT) AS c FROM p{r - 1} GROUP BY part)"
+        )
+        parts.append(
+            f"""cnt{r} AS MATERIALIZED (
+  SELECT uep.b AS id, l.part, CAST(COUNT(*) AS BIGINT) AS c
+  FROM uep JOIN p{r - 1} l ON l.id = uep.a GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""sc{r} AS MATERIALIZED (
+  SELECT v.id, pp.part,
+         COALESCE(cnt.c, 0) * (SELECT c FROM cap) - COALESCE(ld.c, 0) * udeg.d AS s
+  FROM cv v CROSS JOIN (SELECT CAST(unnest(range({k})) AS BIGINT) AS part) pp
+  JOIN udeg ON udeg.id = v.id
+  LEFT JOIN cnt{r} cnt ON cnt.id = v.id AND cnt.part = pp.part
+  LEFT JOIN ld{r} ld ON ld.part = pp.part)"""
+        )
+        parts.append(
+            f"""best{r} AS MATERIALIZED (
+  SELECT id, part AS bpart, s AS bs FROM (
+    SELECT id, part, s, row_number() OVER (PARTITION BY id ORDER BY s DESC, part) AS rn
+    FROM sc{r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""mv{r} AS MATERIALIZED (
+  SELECT p.id, b.bpart, b.bs - cur.s AS gain
+  FROM p{r - 1} p
+  JOIN best{r} b ON b.id = p.id
+  JOIN sc{r} cur ON cur.id = p.id AND cur.part = p.part
+  WHERE (p.id + {r}) % 2 = 0 AND b.bs > cur.s)"""
+        )
+        parts.append(
+            f"""adm{r} AS MATERIALIZED (
+  SELECT id, bpart FROM (
+    SELECT id, bpart,
+           row_number() OVER (PARTITION BY bpart ORDER BY gain DESC, id) AS rn
+    FROM mv{r}) m
+  WHERE rn <= GREATEST((SELECT c FROM cap)
+                       - COALESCE((SELECT c FROM ld{r} WHERE part = m.bpart), 0), 0))"""
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT p.id, COALESCE(a.bpart, p.part) AS part
+  FROM p{r - 1} p LEFT JOIN adm{r} a ON a.id = p.id)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex, CAST(part AS BIGINT) AS part FROM p{rounds}"""
+
+
 def four_cliques_sql() -> str:
     """Mirror of ``algos.cliques.four_clique_count``: each K4 counted
     once at its id-ordered labelling a<b<c<d (same total as the

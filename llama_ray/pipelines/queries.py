@@ -524,6 +524,18 @@ def q_copurchase_k4(sf_dir: str):
     return pa.table({"k4_sampled": pa.array([k4], pa.int64())})
 
 
+def q_balanced_partition(sf_dir: str, *, k: int = 8, rounds: int = 4):
+    """Deterministic Spinner-style balanced k-way partitioning of the
+    canonical undirected graph (:mod:`llama_ray.algos.partition`) —
+    per-vertex part assignment after ``rounds`` parity-gated
+    size-penalized LP rounds."""
+    from ..algos.partition import balanced_partition
+
+    g = _cached_canonical_graph(sf_dir)
+    labels, _ = balanced_partition(g, k=k, rounds=rounds)
+    return pa.table({"vertex": g.ids, "part": pa.array(labels, pa.int64())})
+
+
 def q_bipartite_colors(sf_dir: str):
     """Per-vertex BFS-parity 2-coloring (the deterministic coloring
     behind ``bipartite``; one traversal, cached on the graph)."""

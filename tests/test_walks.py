@@ -904,3 +904,65 @@ def test_pseudo_diameter_matches_brute_force():
     far = min(v for v, d in d1.items() if d == ecc1)
     ecc2 = max(bfs(far).values())
     assert (got.start, got.ecc_start, got.far, got.ecc_far) == (start, ecc1, far, ecc2)
+
+
+def partition_np(src, dst, k, rounds):
+    """Row-at-a-time reference of algos.partition.balanced_partition
+    over the canonical undirected simple graph."""
+    es = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    ids = sorted({v for e in es for v in e})
+    adj = {v: [] for v in ids}
+    for a, b in es:
+        adj[a].append(b)
+        adj[b].append(a)
+    n = len(ids)
+    cap = (n + k - 1) // k
+    part = {v: v % k for v in ids}
+    for r in range(1, rounds + 1):
+        loads = [0] * k
+        for v in ids:
+            loads[part[v]] += 1
+        new = dict(part)
+        movers = []
+        for v in ids:
+            cnt = [0] * k
+            for u in adj[v]:
+                cnt[part[u]] += 1
+            d = max(len(adj[v]), 1)
+            scores = [cnt[p] * cap - loads[p] * d for p in range(k)]
+            best = max(range(k), key=lambda p: (scores[p], -p))
+            if (v + r) % 2 == 0 and scores[best] > scores[part[v]]:
+                movers.append((v, best, scores[best] - scores[part[v]]))
+        # ranked capacity admission per target part
+        by_part = {}
+        for v, b, gain in movers:
+            by_part.setdefault(b, []).append((v, gain))
+        for b, cands in by_part.items():
+            cands.sort(key=lambda t: (-t[1], t[0]))
+            for v, _ in cands[: max(cap - loads[b], 0)]:
+                new[v] = b
+        part = new
+    return ids, part
+
+
+def test_balanced_partition_matches_reference_and_balances():
+    from llama_ray.algos.partition import balanced_partition
+    from llama_ray.graph import canonical_undirected
+
+    es = rmat(8, 6, seed=17)
+    tbl = es.materialize().to_pandas()
+    src, dst = tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+    ids, ref = partition_np(src, dst, 4, 3)
+    for blocks in (1, 6):
+        g = canonical_undirected(build_graph(dedup_edges(edges_ds(src, dst, blocks))))
+        labels, stats = balanced_partition(g, k=4, rounds=3)
+        assert np.array_equal(g.ids, np.array(ids))
+        assert labels.tolist() == [ref[v] for v in ids]
+        # capacity admission keeps every part within ~cap
+        assert stats["loads"].max() <= (len(ids) // 4 + 1) + 3
+        assert stats["loads"].sum() == len(ids)
+        # cut metric consistent with the labels
+        lab = {v: ref[v] for v in ids}
+        cut = sum(1 for a, b in {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+                  if lab[a] != lab[b])
+        assert stats["edge_cut"] == cut
