@@ -591,6 +591,54 @@ def balanced_partition_sql(k: int = 8, rounds: int = 4) -> str:
 SELECT id AS vertex, CAST(part AS BIGINT) AS part FROM p{rounds}"""
 
 
+def triad_census_sql() -> str:
+    """Mirror of algos.triads.triad_census: pair codes 1/2/3 per
+    unordered linked pair; closed triples = 3 joined pairs a<b<c
+    classified via the 27-entry LUT; open triples = wedges whose
+    endpoints are NOT linked, classified by the two center rels. The
+    LUTs are part of the SPEC (generated once by brute-force
+    canonicalization against the standard catalog); the enumeration,
+    joins and counting here are independent of the Ray engine."""
+    from ..algos.triads import _CLOSED_LUT, _OPEN_LUT, TRIAD_TYPES
+
+    lut27 = ", ".join(
+        f"({ab}, {ac}, {bc}, '{TRIAD_TYPES[_CLOSED_LUT[ab, ac, bc]]}')"
+        for ab in (1, 2, 3)
+        for ac in (1, 2, 3)
+        for bc in (1, 2, 3)
+    )
+    lutopen = ", ".join(
+        f"({r1}, {r2}, '{TRIAD_TYPES[_OPEN_LUT[r1, r2]]}')"
+        for r1 in (1, 2, 3)
+        for r2 in (1, 2, 3)
+    )
+    return f"""WITH {GRAPH_CTES},
+pr AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+  FROM e WHERE src <> dst GROUP BY 1, 2),
+up AS MATERIALIZED (
+  SELECT u AS a, v AS b, code AS rel FROM pr
+  UNION ALL
+  SELECT v, u, CASE code WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END FROM pr),
+lut27(ab, ac, bc, name) AS (VALUES {lut27}),
+lutopen(r1, r2, name) AS (VALUES {lutopen}),
+closed AS (
+  SELECT l.name FROM pr p1
+  JOIN pr p2 ON p2.u = p1.u AND p2.v > p1.v
+  JOIN pr p3 ON p3.u = p1.v AND p3.v = p2.v
+  JOIN lut27 l ON l.ab = p1.code AND l.ac = p2.code AND l.bc = p3.code),
+open_t AS (
+  SELECT l.name FROM up u1
+  JOIN up u2 ON u2.a = u1.a AND u2.b > u1.b
+  LEFT JOIN pr p3 ON p3.u = u1.b AND p3.v = u2.b
+  JOIN lutopen l ON l.r1 = u1.rel AND l.r2 = u2.rel
+  WHERE p3.u IS NULL),
+allt AS (SELECT name FROM closed UNION ALL SELECT name FROM open_t)
+SELECT name AS triad_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM allt GROUP BY name"""
+
+
 def four_cliques_sql() -> str:
     """Mirror of ``algos.cliques.four_clique_count``: each K4 counted
     once at its id-ordered labelling a<b<c<d (same total as the

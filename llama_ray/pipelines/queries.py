@@ -429,6 +429,15 @@ def q_squares(sf_dir: str):
     return square_count(_cached_canonical_graph(sf_dir))
 
 
+def q_triad_census(sf_dir: str):
+    """Directed triad census — counts of the 13 connected
+    Holland–Leinhardt classes over the link graph
+    (:mod:`llama_ray.algos.triads`)."""
+    from ..algos.triads import triad_census
+
+    return triad_census(_cached_tpch_graph(sf_dir))
+
+
 def q_four_cliques(sf_dir: str):
     """Exact K4 count over the canonical simple graph (oriented
     triangle bases + pair matching — :mod:`llama_ray.algos.cliques`)."""

@@ -1065,3 +1065,64 @@ def test_eccentricity_sampled_matches_bfs():
         fin = np.isfinite(d)
         assert res.column("reached")[row].as_py() == int(fin.sum())
         assert res.column("eccentricity")[row].as_py() == int(d[fin].max())
+
+
+def triad_census_np(src, dst):
+    """Brute-force census over all C(V,3) triples."""
+    from itertools import combinations
+
+    from llama_ray.algos.triads import _BY_SIG, _canon
+
+    es = {(s, d) for s, d in zip(src, dst) if s != d}
+    ids = sorted({v for e in es for v in e})
+    from collections import Counter
+
+    out = Counter()
+    for a, b, c in combinations(ids, 3):
+        sub = {(x, y) for x, y in es if {x, y} <= {a, b, c}}
+        und = {frozenset(e) for e in sub}
+        if len(und) < 2:
+            continue  # disconnected triple
+        idx = {a: 0, b: 1, c: 2}
+        sig = _canon({(idx[x], idx[y]) for x, y in sub})
+        out[_BY_SIG[sig]] += 1
+    return dict(out)
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_triad_census_fixtures(name):
+    from llama_ray.algos.triads import triad_census
+
+    src, dst = map(np.array, FIXTURES[name])
+    g = build_graph(edges_ds(src, dst))
+    out = triad_census(g)
+    got = dict(zip(out.column("triad_type").to_pylist(), out.column("cnt").to_pylist()))
+    assert got == triad_census_np(src, dst)
+
+
+def test_triad_census_rmat_with_mutuals_and_layouts():
+    """R-MAT (asym-heavy) + planted mutual pairs and a mutual triangle
+    so 201/300/210/120* classes appear; equals brute force at any
+    block layout and the closed classes sum to the triangle count."""
+    tbl = rmat(7, 4, seed=29).materialize().to_pandas()
+    src = tbl["src"].to_numpy().tolist()
+    dst = tbl["dst"].to_numpy().tolist()
+    for a, b in [(500, 501), (501, 502), (502, 500), (500, 502)]:
+        src += [a, b]
+        dst += [b, a]
+    src += [1, 2, 3]
+    dst += [2, 3, 1]
+    expect = triad_census_np(src, dst)
+    from llama_ray.algos.triads import triad_census
+
+    for blocks in (1, 9):
+        g = build_graph(edges_ds(src, dst).repartition(blocks))
+        out = triad_census(g)
+        got = dict(zip(out.column("triad_type").to_pylist(), out.column("cnt").to_pylist()))
+        assert got == expect
+    assert {"300", "201", "030C"} <= set(expect)
+    closed = {"030T", "030C", "120D", "120U", "120C", "210", "300", "201"}
+    # closed classes are exactly the undirected triangles
+    tri = triangle_count(build_graph(edges_ds(src, dst)))
+    closed_classes = {"030T", "030C", "120D", "120U", "120C", "210", "300"}
+    assert sum(v for k, v in expect.items() if k in closed_classes) == tri
