@@ -4,7 +4,7 @@ classes (021D…300), distributed.
 The motif completion of the clique family (triangles → squares → K4 →
 this): every connected unordered vertex triple of the directed simple
 graph classified by isomorphism type. Method (Batagelj–Mrvar-style
-pair-type reformulation, one sort + one wedge pass):
+pair-type reformulation, one sort + an analytic open count + a degree-oriented closed pass):
 
 1. **pair table**: each unordered linked pair ``u<v`` gets a code
    ``1`` (u→v only), ``2`` (v→u only), ``3`` (mutual) — built from the
@@ -167,79 +167,89 @@ def _probe_codes(
     return out
 
 
-def _census_rows(k: np.ndarray, rel: np.ndarray, n: int, refs, bounds_hi, cache: dict, extra=None):
-    """Counts (len-13) of the wedges of center-sorted rows
-    (k = center·n + x packed keys, rel aligned)."""
-    counts = np.zeros(len(TRIAD_TYPES), np.int64)
-    if len(k) < 2:
-        return counts
-    ctr = k // n
-    x = k % n
-    # bounded-chunk within-run pairs (hub centers chunked like TC)
-    starts = np.flatnonzero(np.concatenate([[True], ctr[1:] != ctr[:-1]]))
-    lengths = np.diff(np.concatenate([starts, [len(k)]]))
-    work = lengths * (lengths - 1) // 2
-    chunk = 1 << 20
-    r, R = 0, len(starts)
-    while r < R:
-        if work[r] > chunk:
-            s, L = starts[r], lengths[r]
-            step = max(1, chunk // max(1, L))
-            for j0 in range(0, L - 1, step):
-                j1 = min(j0 + step, L - 1)
-                lefts = np.arange(j0, j1)
-                reps = L - 1 - lefts
-                li = np.repeat(lefts, reps) + s
-                cum = np.concatenate([[0], np.cumsum(reps)])
-                ri = li + (np.arange(int(reps.sum())) - np.repeat(cum[:-1], reps)) + 1
-                counts += _classify(ctr, x, rel, li, ri, n, refs, bounds_hi, cache, extra)
-            r += 1
-            continue
-        e, tot = r, 0
-        while e < R and tot + work[e] <= chunk:
-            tot += work[e]
-            e += 1
-        e = max(e, r + 1)
-        lo = starts[r]
-        hi = starts[e] if e < R else len(k)
-        li, ri = _pairs_multirun(ctr[lo:hi])
-        if len(li):
-            counts += _classify(ctr, x, rel, lo + li, lo + ri, n, refs, bounds_hi, cache, extra)
-        r = e
-    return counts
+
+# the 6 unordered rel multisets {rel_x, rel_y} of an open wedge and
+# their triad classes (the OPEN LUT is symmetric by vertex relabeling)
+_MULTISETS = [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (3, 3)]
+_OPEN_OF_MULTI = np.array([_OPEN_LUT[a, b] for a, b in _MULTISETS], np.int64)
+# multiset index lookup: _MIDX[min(r1,r2), max(r1,r2)]
+_MIDX = np.full((4, 4), -1, np.int64)
+for _i, (_a, _b) in enumerate(_MULTISETS):
+    _MIDX[_a, _b] = _i
+    _MIDX[_b, _a] = _i
 
 
-def _classify(ctr, x, rel, li, ri, n, refs, bounds_hi, cache, extra=None) -> np.ndarray:
-    """Class counts for wedge index pairs (li, ri) into the
-    center-sorted rows (within-run neighbors ascend, so x[li] < x[ri])."""
-    m = ctr[li]
-    a, ra = x[li], rel[li]
-    b, rb = x[ri], rel[ri]
-    code = _probe_codes(a * n + b, refs, bounds_hi, cache, extra)
-    counts = np.zeros(len(TRIAD_TYPES), np.int64)
-    open_m = code == 0
-    if open_m.any():
-        cls = _OPEN_LUT[ra[open_m], rb[open_m]]
-        counts += np.bincount(cls, minlength=len(TRIAD_TYPES))
-    closed_m = (~open_m) & (m < a)  # count each closed triple at its min vertex
-    if closed_m.any():
-        # a<b<c with a=center: codes to u<v convention = rel as-is
-        cls = _CLOSED_LUT[ra[closed_m], rb[closed_m], code[closed_m]]
-        counts += np.bincount(cls, minlength=len(TRIAD_TYPES))
-    return counts
+def _classify_triangles(m, x, y, n, prefs, bounds_hi, cache, extra):
+    """(closed class counts (13,), open-wedge corrections (6,)) for
+    triangles (m ≺ x ≺ y in degree order; every triangle exactly
+    once). Codes probed from the id-packed pair index; each triangle
+    also subtracts its 3 centers' rel multisets from the analytic
+    open-wedge totals."""
+    i = np.minimum(np.minimum(m, x), y)
+    k = np.maximum(np.maximum(m, x), y)
+    j = m + x + y - i - k
+    c_ij = _probe_codes(i * n + j, prefs, bounds_hi, cache, extra)
+    c_ik = _probe_codes(i * n + k, prefs, bounds_hi, cache, extra)
+    c_jk = _probe_codes(j * n + k, prefs, bounds_hi, cache, extra)
+    closed = np.bincount(
+        _CLOSED_LUT[c_ij, c_ik, c_jk], minlength=len(TRIAD_TYPES)
+    )
+    corr = np.zeros(len(_MULTISETS), np.int64)
+    # center i: rels (c_ij, c_ik); center j: (flip c_ij, c_jk);
+    # center k: (flip c_ik, flip c_jk)
+    for r1, r2 in (
+        (c_ij, c_ik),
+        (_FLIP[c_ij], c_jk),
+        (_FLIP[c_ik], _FLIP[c_jk]),
+    ):
+        corr += np.bincount(_MIDX[r1, r2], minlength=len(_MULTISETS))
+    return closed, corr
+
+
+def _closed_pass_rows(kk, deg, n, orefs, obounds_hi, prefs, bounds_hi, extra):
+    """Run the degree-oriented wedge → closure-probe → classify pass
+    over oriented rows ``kk`` (sorted, interior runs only or the
+    driver's stitched boundary rows). Returns (closed (13,), corr (6,))."""
+    from .triangles import _gen_wedge_chunks, _probe_mask
+
+    closed = np.zeros(len(TRIAD_TYPES), np.int64)
+    corr = np.zeros(len(_MULTISETS), np.int64)
+    if len(kk) < 2:
+        return closed, corr
+    cache_pair: dict = {}
+    for ctr, xx, yy in _gen_wedge_chunks(kk // n, kk % n, deg, n, with_center=True):
+        lo = np.minimum(xx, yy)
+        hi = np.maximum(xx, yy)
+        code = _probe_codes(lo * n + hi, prefs, bounds_hi, cache_pair, extra)
+        hit = code > 0
+        if hit.any():
+            cl, co = _classify_triangles(
+                ctr[hit], xx[hit], yy[hit], n, prefs, bounds_hi, cache_pair, extra
+            )
+            closed += cl
+            corr += co
+    return closed, corr
 
 
 def triad_census(graph: Graph) -> pa.Table:
     """(triad_type, cnt) rows for the 13 connected classes with
     nonzero count, over the directed simple graph (duplicate edges
-    and self-loops collapse)."""
+    and self-loops collapse).
+
+    Open classes are counted ANALYTICALLY — per-center rel histograms
+    (one sparse-partial pass over the pair blocks, O(E) work, O(V)
+    driver state like the degree vectors) give every center's wedge
+    multiset counts; the closed pass subtracts each triangle's three
+    center multisets. No open wedge is ever enumerated, so hub
+    vertices cost O(deg), not O(deg²) — the same reason the reference
+    counts triangles degree-oriented."""
     n = graph.num_vertices
     if n == 0 or graph.num_edges == 0:
         return pa.table({"triad_type": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     if n >= (1 << 31):
         raise NotImplementedError("packed-key census valid to ~3e9 vertices")
 
-    # ---- pair table: one sort, run-OR merge ----
+    # ---- pair table: one sort, run-OR merge; blocks = probe index ----
     def pair_partial(batch: pa.Table):
         s = batch_to_numpy(batch, "src")
         d = batch_to_numpy(batch, "dst")
@@ -249,7 +259,6 @@ def triad_census(graph: Graph) -> pa.Table:
         hi = np.maximum(s, d)
         code = np.where(s < d, 1, 2).astype(np.int64)
         key = lo * n + hi
-        # in-batch OR-combine per key
         order = np.argsort(key, kind="stable")
         key, code = key[order], code[order]
         newk = np.concatenate([[True], key[1:] != key[:-1]])
@@ -265,10 +274,6 @@ def triad_census(graph: Graph) -> pa.Table:
         .materialize()
     )
 
-    # in-block run-OR keeps interior pairs DISTRIBUTED (blocks remain
-    # sorted with disjoint key ranges — the probe index); boundary
-    # runs (≤2 per block) merge in a bounded driver pass and ride as
-    # the probe's small sorted side table
     def interior_block(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"key": pa.array([], pa.int64()), "code": pa.array([], pa.int64())})
         if tbl.num_rows == 0 or "key" not in tbl.schema.names:
@@ -322,12 +327,12 @@ def triad_census(graph: Graph) -> pa.Table:
         return (int(kcol[0]), int(kcol[-1]))
 
     bs = per_block_results(pairs, bounds)
-    keep = [i for i, b in enumerate(bs) if b is not None]
-    prefs = [prefs[i] for i in keep]
-    bounds_hi = np.array([bs[i][1] for i in keep], np.int64)
-    extra_ref = ray.put((bkeys, bcodes))
+    keepb = [i for i, b in enumerate(bs) if b is not None]
+    prefs = [prefs[i] for i in keepb]
+    bounds_hi = np.array([bs[i][1] for i in keepb], np.int64)
+    extra = (bkeys, bcodes)
+    extra_ref = ray.put(extra)
 
-    # ---- doubled center-packed table (boundary pairs ride along) ----
     import ray.data as rd
 
     pairs_all = pairs
@@ -336,65 +341,111 @@ def triad_census(graph: Graph) -> pa.Table:
             rd.from_arrow(pa.table({"key": pa.array(bkeys), "code": pa.array(bcodes)}))
         )
 
-    def doubled(t: pa.Table):
-        if t.num_rows == 0:
-            return {"k": np.empty(0, np.int64), "rel": np.empty(0, np.int64)}
+    # ---- per-center rel histograms → analytic open totals ----
+    def hist_partial(t: pa.Table):
+        if t.num_rows == 0 or "key" not in t.schema.names:
+            return {"hk": np.empty(0, np.int64), "c": np.empty(0, np.int64)}
         key = batch_to_numpy(t, "key")
         code = batch_to_numpy(t, "code")
         u, v = key // n, key % n
-        return {
-            "k": np.concatenate([u * n + v, v * n + u]),
-            "rel": np.concatenate([code, _FLIP[code]]),
-        }
+        hk = np.concatenate([u * 4 + code, v * 4 + _FLIP[code]])
+        from ..common import sparse_partial_sum
 
-    dsrt = (
-        pairs_all.map_batches(doubled, batch_format="pyarrow", batch_size=None)
-        .sort("k")
-        .repartition(target_num_blocks(2 * graph.num_edges))
+        uk, cs = sparse_partial_sum(hk, np.ones(len(hk), np.int64))
+        return {"hk": uk, "c": cs.astype(np.int64)}
+
+    hist = np.zeros((n, 4), np.int64)
+    for t in pairs_all.map_batches(hist_partial, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_format="pyarrow"
+    ):
+        hk = batch_to_numpy(t, "hk")
+        cs = batch_to_numpy(t, "c")
+        np.add.at(hist.reshape(-1), hk, cs)
+    n1, n2, n3 = hist[:, 1], hist[:, 2], hist[:, 3]
+    open_tot = np.array(
+        [
+            (n1 * (n1 - 1) // 2).sum(),
+            (n1 * n2).sum(),
+            (n1 * n3).sum(),
+            (n2 * (n2 - 1) // 2).sum(),
+            (n2 * n3).sum(),
+            (n3 * (n3 - 1) // 2).sum(),
+        ],
+        np.int64,
+    )
+
+    # ---- degree-oriented closed pass (triangles exactly once) ----
+    deg = graph.out_degrees + graph.in_degrees()
+    deg_ref = ray.put(deg)
+    from .triangles import _orient_pairs
+
+    def orient(t: pa.Table):
+        if t.num_rows == 0 or "key" not in t.schema.names:
+            return {"ok": np.empty(0, np.int64)}
+        key = batch_to_numpy(t, "key")
+        u, v = key // n, key % n
+        x, y = _orient_pairs(u, v, ray.get(deg_ref))
+        return {"ok": x * n + y}
+
+    osrt = (
+        pairs_all.map_batches(orient, batch_format="pyarrow", batch_size=None)
+        .sort("ok")
+        .repartition(target_num_blocks(graph.num_edges))
         .materialize()
     )
 
-    def census_block(t: pa.Table):
-        empty = {"kind": np.empty(0, np.int64), "v1": np.empty(0, np.int64), "v2": np.empty(0, np.int64)}
-        if t.num_rows == 0 or "k" not in t.schema.names:
+    def closed_block(t: pa.Table):
+        empty = {
+            "kind": np.empty(0, np.int64),
+            "idx": np.empty(0, np.int64),
+            "val": np.empty(0, np.int64),
+        }
+        if t.num_rows == 0 or "ok" not in t.schema.names:
             return empty
-        k = batch_to_numpy(t, "k")
-        rel = batch_to_numpy(t, "rel")
+        k = batch_to_numpy(t, "ok")
         aa = k // n
         if aa[0] == aa[-1]:
             s0 = s1 = len(k)
         else:
             s0 = int(np.searchsorted(aa, aa[0], side="right"))
             s1 = int(np.searchsorted(aa, aa[-1], side="left"))
-        counts = _census_rows(
-            k[s0:s1], rel[s0:s1], n, prefs, bounds_hi, {}, ray.get(extra_ref)
+        dd = ray.get(deg_ref)
+        closed, corr = _closed_pass_rows(
+            k[s0:s1], dd, n, None, None, prefs, bounds_hi, ray.get(extra_ref)
         )
-        bnd = np.concatenate([np.arange(s0), np.arange(s1, len(k))])
+        bnd = k[np.concatenate([np.arange(s0), np.arange(s1, len(k))])]
         return {
-            "kind": np.concatenate([np.zeros(len(TRIAD_TYPES), np.int64), np.ones(len(bnd), np.int64)]),
-            "v1": np.concatenate([np.arange(len(TRIAD_TYPES), dtype=np.int64), k[bnd]]),
-            "v2": np.concatenate([counts, rel[bnd]]),
+            "kind": np.concatenate(
+                [np.zeros(13, np.int64), np.ones(6, np.int64), np.full(len(bnd), 2, np.int64)]
+            ),
+            "idx": np.concatenate(
+                [np.arange(13, dtype=np.int64), np.arange(6, dtype=np.int64), np.zeros(len(bnd), np.int64)]
+            ),
+            "val": np.concatenate([closed, corr, bnd]),
         }
 
-    total = np.zeros(len(TRIAD_TYPES), np.int64)
-    rk, rr = [], []
-    for t in dsrt.map_batches(census_block, batch_format="pyarrow", batch_size=None).iter_batches(
+    closed_tot = np.zeros(len(TRIAD_TYPES), np.int64)
+    corr_tot = np.zeros(len(_MULTISETS), np.int64)
+    bnd_parts = []
+    for t in osrt.map_batches(closed_block, batch_format="pyarrow", batch_size=None).iter_batches(
         batch_format="pyarrow"
     ):
         kind = batch_to_numpy(t, "kind")
-        v1 = batch_to_numpy(t, "v1")
-        v2 = batch_to_numpy(t, "v2")
-        np.add.at(total, v1[kind == 0], v2[kind == 0])
-        rk.append(v1[kind == 1])
-        rr.append(v2[kind == 1])
-    bkk = np.concatenate(rk) if rk else np.empty(0, np.int64)
-    brr = np.concatenate(rr) if rr else np.empty(0, np.int64)
-    if len(bkk):
-        check_boundary_size(len(bkk), "triad_census")
-        order = np.argsort(bkk, kind="stable")
-        total += _census_rows(
-            bkk[order], brr[order], n, prefs, bounds_hi, {}, (bkeys, bcodes)
-        )
+        idx = batch_to_numpy(t, "idx")
+        val = batch_to_numpy(t, "val")
+        np.add.at(closed_tot, idx[kind == 0], val[kind == 0])
+        np.add.at(corr_tot, idx[kind == 1], val[kind == 1])
+        bnd_parts.append(val[kind == 2])
+    bnd = np.concatenate(bnd_parts) if bnd_parts else np.empty(0, np.int64)
+    if len(bnd):
+        check_boundary_size(len(bnd), "triad_census")
+        bnd = np.sort(bnd)
+        cl, co = _closed_pass_rows(bnd, deg, n, None, None, prefs, bounds_hi, extra)
+        closed_tot += cl
+        corr_tot += co
+
+    total = closed_tot.copy()
+    np.add.at(total, _OPEN_OF_MULTI, open_tot - corr_tot)
 
     nz = total > 0
     return pa.table(
