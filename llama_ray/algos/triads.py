@@ -12,24 +12,23 @@ pair-type reformulation, one sort + an analytic open count + a degree-oriented c
    bits: ONE distributed range sort, in-block run-OR, tiny boundary
    pass. The sorted (key, code) blocks double as the closing-pair
    probe index (zero-copy plasma reads, the triangles.py pattern).
-2. **wedges**: the doubled pair table (center-packed keys carrying
-   the rel-to-center code: out/in/mutual) is range-sorted so blocks
-   are center runs; every within-run endpoint pair (x < y) is one
-   candidate triple, generated in bounded chunks (hub centers never
-   materialize all C(deg,2) pairs at once):
+2. **open classes, analytically**: per-center rel histograms
+   (out/in/mutual counts — one sparse-partial pass over the pair
+   blocks, O(V) driver state like the degree vectors) give each
+   center's wedge multiset counts (C(n_o,2) of out-out → 021D,
+   n_o·n_i → 021C, … 201); each triangle's three center multisets
+   are subtracted by the closed pass. No open wedge is ever
+   enumerated — hubs cost O(deg), not O(deg²).
+3. **closed classes**: triangles enumerated exactly once through the
+   degree-oriented wedge bound (the triangles.py machinery over
+   id-oriented pair keys re-oriented by (degree, id)), each
+   classified by its 3 pair codes in i<j<k id convention via a
+   27-entry lookup built at import by brute-force canonicalization
+   (min over the 6 vertex permutations of the 6-bit adjacency
+   signature), so the class names are correct by construction
+   against the standard catalog representatives.
 
-   - (x, y) NOT linked → **open** triple, counted once (its center is
-     unique): class from the two rel codes (021D out-out, 021U in-in,
-     021C chain, 111D/111U mutual+asym, 201 both-mutual);
-   - (x, y) linked → **closed** triple, seen from all 3 centers —
-     counted only where center < x (the triple's minimum), classified
-     by the 3 pair codes in a<b<c convention via a 27-entry lookup
-     built at import by brute-force canonicalization (min over the 6
-     vertex permutations of the 6-bit adjacency signature), so the
-     class names are correct by construction against the standard
-     catalog representatives.
-
-Block-edge center runs resolve in a bounded driver pass (≤2 runs per
+Block-edge runs resolve in bounded driver passes (≤2 runs per
 block). The disconnected classes (003, 012, 102) follow analytically
 from |V|, the pair-code histogram and this census; they are not
 triples-enumerable at scale and are intentionally not emitted.
