@@ -240,6 +240,24 @@ def run_benchmark() -> dict:
 
     timings["four_cliques"], k4_count = best_of(lambda: four_clique_count(g), 2)
 
+    # directed triad census (analytic open count, O(E+T)) and the
+    # deterministic Spinner partitioner (4 gated rounds, k=8)
+    from llama_ray.algos.partition import balanced_partition
+    from llama_ray.algos.triads import triad_census
+    from llama_ray.graph import canonical_undirected
+
+    timings["triad_census"], census_tbl = best_of(lambda: triad_census(g), 2)
+    g_canon = canonical_undirected(g)
+    timings["balanced_partition_k8"], part_res = best_of(
+        lambda: balanced_partition(g_canon, k=8, rounds=4), 2
+    )
+    partition_cut = int(part_res[1]["edge_cut"])
+    partition_imbalance = round(
+        float(part_res[1]["loads"].max())
+        / max(1.0, g_canon.num_vertices / 8),
+        3,
+    )
+
     from llama_ray.algos.hyperanf import hyperanf
     from llama_ray.algos.mis import maximal_independent_set
 
@@ -576,6 +594,9 @@ def run_benchmark() -> dict:
         "walk_rows": walk_rows,
         "node2vec_rows": node2vec_rows,
         "four_cliques": int(k4_count),
+        "triad_classes": census_tbl.num_rows,
+        "partition_cut": partition_cut,
+        "partition_imbalance": partition_imbalance,
         "snapshot_warm_iters": warm_iters,
         "snapshot_cold_iters": cold_iters,
         "bpe_merges": bpe_tbl.num_rows,
