@@ -403,3 +403,89 @@ def _count_shuffle(srt, deg, deg_ref, n, refs, bounds_hi, graph) -> int:
         return _probe_count(wk, refs, bounds_hi, n, {})
 
     return int(sum(r for r in per_block_results(wsrt, probe_block) if r is not None))
+
+
+def triangle_count_delta(graph: Graph, delta_lo: np.ndarray, delta_hi: np.ndarray) -> int:
+    """Incremental triangle count: triangles of ``graph`` (canonical
+    undirected simple — each neighbor once per adjacency run)
+    containing at least one of the given canonical delta edges
+    (``delta_lo < delta_hi``, DENSE indices) — the snapshot-delta
+    recompute: after a level adds |D| edges,
+    ``TC(new) = TC(old) + triangle_count_delta(new, D)`` for
+    Σ min(deg(a), deg(b)) work over D (the edge-iterator bound)
+    instead of a full O(E^1.5) recount.
+
+    Each qualifying triangle is counted exactly once, at its
+    maximum-key delta edge: for delta edge e = (a, b), common
+    neighbors c of a and b count unless a delta side edge (a,c)/(b,c)
+    has a larger canonical key (that edge will count it). Distributed
+    form: per chunk of delta edges, ONE ``walk_candidates`` fan-out
+    fetches the smaller endpoint's adjacency run from its range owner
+    and ONE ``edge_member`` fan-out checks the other endpoint's
+    membership (the node2vec phase machinery over the undirected
+    pool); the delta key set itself is broadcast once (sorted, O(|D|))
+    for the ordering rule."""
+    from ..engine.bsp import shared_pool
+
+    n = graph.num_vertices
+    if n == 0 or len(delta_lo) == 0:
+        return 0
+    a = np.asarray(delta_lo, np.int64)
+    b = np.asarray(delta_hi, np.int64)
+    if (a >= b).any():
+        raise ValueError("delta edges must be canonical (lo < hi) without self-loops")
+    dkeys = np.unique(a * n + b)
+    a, b = dkeys // n, dkeys % n
+
+    pool = shared_pool(graph, view="undirected")
+    ray.get([ac.prepare_walks.remote(False) for ac in pool.actors])
+
+    deg = graph.out_degrees + graph.in_degrees()
+    # run side = smaller-degree endpoint (ties -> lo)
+    swap = deg[b] < deg[a]
+    side = np.where(swap, b, a)
+    other = np.where(swap, a, b)
+
+    total = 0
+    chunk = 1 << 17
+    for lo_i in range(0, len(dkeys), chunk):
+        cs = slice(lo_i, lo_i + chunk)
+        sv, ov, ke = side[cs], other[cs], dkeys[cs]
+        sv_ref = ray.put(sv)
+        wk_parts, cd_parts = [], []
+        for part in ray.get([ac.walk_candidates.remote(sv_ref) for ac in pool.actors]):
+            if part is None:
+                continue
+            idx, counts, flat = part
+            wk_parts.append(np.repeat(idx, counts))
+            cd_parts.append(flat)
+        if not wk_parts:
+            continue
+        wk = np.concatenate(wk_parts)
+        cd = np.concatenate(cd_parts)
+        # drop the edge's own endpoints from the candidate run
+        keep = (cd != ov[wk]) & (cd != sv[wk])
+        wk, cd = wk[keep], cd[keep]
+        if not len(wk):
+            continue
+        q_ref, c_ref = ray.put(ov[wk]), ray.put(cd)
+        member = np.zeros(len(cd), bool)
+        for part in ray.get([ac.edge_member.remote(q_ref, c_ref) for ac in pool.actors]):
+            if part is not None:
+                member[part[0]] = part[1]
+        wk, cd = wk[member], cd[member]
+        if not len(wk):
+            continue
+        # ordering rule against the sorted delta key set
+        ke_w = ke[wk]
+
+        def is_delta_and_larger(x, y, ref_key):
+            k2 = np.minimum(x, y) * n + np.maximum(x, y)
+            pos = np.clip(np.searchsorted(dkeys, k2), 0, len(dkeys) - 1)
+            return (dkeys[pos] == k2) & (k2 > ref_key)
+
+        blocked = is_delta_and_larger(sv[wk], cd, ke_w) | is_delta_and_larger(
+            ov[wk], cd, ke_w
+        )
+        total += int((~blocked).sum())
+    return total

@@ -171,6 +171,29 @@ ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM 
 SELECT id AS vertex, label AS component FROM b{rounds}"""
 
 
+def snapshot_triangle_delta_sql(seed: int = 20260818) -> str:
+    """Mirror of queries.q_snapshot_triangle_delta: exact canonical
+    triangle counts over the level-0 view and the full view; the
+    incremental path must land on their difference."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH {GRAPH_CTES},
+kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+e0 AS MATERIALIZED (SELECT src, dst FROM mx5 WHERE h % 8 <> 0),
+ce0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+t0 AS (SELECT COUNT(*) AS c FROM ce0 x JOIN ce0 y ON y.a = x.b JOIN ce0 z ON z.a = x.a AND z.b = y.b),
+t1 AS (SELECT COUNT(*) AS c FROM ce x JOIN ce y ON y.a = x.b JOIN ce z ON z.a = x.a AND z.b = y.b)
+SELECT CAST(t0.c AS BIGINT) AS tc_base,
+       CAST(t1.c - t0.c AS BIGINT) AS tc_new,
+       CAST(t1.c AS BIGINT) AS tc_total
+FROM t0, t1"""
+
+
 def pagerank_top10_sql(iters: int = 10) -> str:
     return f"""WITH {GRAPH_CTES},
 {_pagerank_ctes(iters)}

@@ -217,6 +217,79 @@ def q_snapshot_wcc_delta(sf_dir: str):
         cleanup()
 
 
+def q_snapshot_triangle_delta(sf_dir: str):
+    """Incremental triangle maintenance across snapshot levels: exact
+    TC on the level-0 view, then only the delta edges' common-neighbor
+    intersections (edge-iterator bound, Σ min-deg work over the delta
+    — :func:`llama_ray.algos.triangles.triangle_count_delta`) close
+    the gap to the full view; the level-1 recount never runs. Delta
+    pairs found by probing the level-1 canonical edges against the
+    sorted level-0 key blocks."""
+    from ..algos.triangles import _probe_mask, triangle_count_delta
+    from ..common import per_block_results
+    from ..graph import canonical_undirected
+
+    g0, g1, cleanup = _snapshot_base_delta_graphs(sf_dir)
+    try:
+        tc0 = _triangle_count(g0)
+        g1c = canonical_undirected(g1)
+        n1 = g1c.num_vertices
+        tr = np.searchsorted(g1c.ids, g0.ids)  # g0 dense → g1c dense
+        tr_ref = ray.put(tr)
+
+        def base_keys(batch: pa.Table):
+            s = batch_to_numpy(batch, "src")
+            d = batch_to_numpy(batch, "dst")
+            t = ray.get(tr_ref)
+            s, d = t[s], t[d]
+            keep = s != d
+            lo = np.minimum(s[keep], d[keep]).astype(np.int64)
+            hi = np.maximum(s[keep], d[keep]).astype(np.int64)
+            return {"key": np.unique(lo * n1 + hi)}
+
+        bsrt = (
+            g0.edges.map_batches(base_keys, batch_format="pyarrow", batch_size=None)
+            .sort("key")
+            .materialize()
+        )
+        refs = bsrt.to_arrow_refs()
+
+        def bounds(t: pa.Table):
+            if t.num_rows == 0:
+                return None
+            k = batch_to_numpy(t, "key")
+            return (int(k[0]), int(k[-1]))
+
+        bs = per_block_results(bsrt, bounds)
+        keep = [i for i, b in enumerate(bs) if b is not None]
+        refs = [refs[i] for i in keep]
+        bounds_hi = np.array([bs[i][1] for i in keep], np.int64)
+
+        def nonmember(batch: pa.Table):
+            s = batch_to_numpy(batch, "src").astype(np.int64)
+            d = batch_to_numpy(batch, "dst").astype(np.int64)
+            k = s * n1 + d  # canonical graph: src < dst already
+            hit = _probe_mask(k, refs, bounds_hi, {})
+            return {"k": k[~hit]}
+
+        dparts = []
+        for t in g1c.edges.map_batches(
+            nonmember, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            dparts.append(batch_to_numpy(t, "k"))
+        dk = np.unique(np.concatenate(dparts)) if dparts else np.empty(0, np.int64)
+        tc_new = triangle_count_delta(g1c, dk // n1, dk % n1)
+        return pa.table(
+            {
+                "tc_base": pa.array([tc0], pa.int64()),
+                "tc_new": pa.array([tc_new], pa.int64()),
+                "tc_total": pa.array([tc0 + tc_new], pa.int64()),
+            }
+        )
+    finally:
+        cleanup()
+
+
 def q_pagerank_top10(sf_dir: str):
     g = _cached_tpch_graph(sf_dir)
     res = pagerank(g, max_iters=10)

@@ -1126,3 +1126,32 @@ def test_triad_census_rmat_with_mutuals_and_layouts():
     tri = triangle_count(build_graph(edges_ds(src, dst)))
     closed_classes = {"030T", "030C", "120D", "120U", "120C", "210", "300"}
     assert sum(v for k, v in expect.items() if k in closed_classes) == tri
+
+
+def test_triangle_count_delta_matches_recount():
+    """Incremental TC: for random base/delta splits of an R-MAT graph
+    (plus a planted triangle fully inside the delta — the ordering
+    rule must count it once), TC(base) + delta == TC(full)."""
+    from llama_ray.algos.triangles import triangle_count_delta
+    from llama_ray.graph import canonical_undirected
+
+    tbl = rmat(7, 6, seed=23).materialize().to_pandas()
+    src = tbl["src"].to_numpy().tolist() + [900, 901, 902]
+    dst = tbl["dst"].to_numpy().tolist() + [901, 902, 900]
+    g1 = canonical_undirected(build_graph(edges_ds(src, dst)))
+    rng = np.random.default_rng(5)
+    full = g1.edges.to_pandas()
+    lo = full["src"].to_numpy()
+    hi = full["dst"].to_numpy()
+    tc_full = triangle_count(g1)
+    for frac in (0.1, 0.5, 1.0):
+        mask = rng.random(len(lo)) < frac
+        # delta in g1's dense space; base graph from the complement
+        base_ids = g1.ids  # same vertex universe for the recount
+        gb = build_graph(
+            edges_ds(g1.ids[lo[~mask]].tolist(), g1.ids[hi[~mask]].tolist())
+        )
+        delta = triangle_count_delta(g1, lo[mask].astype(np.int64), hi[mask].astype(np.int64))
+        assert triangle_count(gb) + delta == tc_full, frac
+    # empty delta
+    assert triangle_count_delta(g1, np.empty(0, np.int64), np.empty(0, np.int64)) == 0
