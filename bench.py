@@ -500,6 +500,35 @@ def run_benchmark() -> dict:
         "warm-start PageRank diverged from cold recompute"
     )
 
+    # incremental triangle maintenance on the same delta split:
+    # edge-iterator work over the 1/64 delta vs the full recount
+    from llama_ray.algos.triangles import triangle_count_delta
+    from llama_ray.graph import canonical_undirected as _canon_u
+
+    g1c_d = _canon_u(g1d)
+    ep = g1c_d.edges.to_pandas()
+    elo = ep["src"].to_numpy().astype(np.int64)
+    ehi = ep["dst"].to_numpy().astype(np.int64)
+    ids_l, ids_h = g1c_d.ids[elo], g1c_d.ids[ehi]
+    from llama_ray.data_ops.dedup import _mix64 as _mx3
+
+    dmask = (
+        _mx3(ids_l.astype(np.uint64) * _G2 ^ ids_h.astype(np.uint64)) % np.uint64(64)
+    ) == 0
+    # prewarm the undirected pool: in a snapshot system it is the
+    # resident graph state (the same warm basis as the PR comparison)
+    from llama_ray.engine.bsp import shared_pool as _sp
+
+    _pool_d = _sp(g1c_d, view="undirected")
+    ray.get([a_.prepare_walks.remote(False) for a_ in _pool_d.actors])
+    t0 = time.perf_counter()
+    tc_delta = triangle_count_delta(g1c_d, elo[dmask], ehi[dmask])
+    timings["snapshot_delta_tc_incremental"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tc_full_recount = triangle_count(g1c_d)
+    timings["snapshot_delta_tc_recount"] = time.perf_counter() - t0
+    delta_edge_count = int(dmask.sum())
+
     # BPE merge rounds over the corpus word-frequency table
     from llama_ray.data_ops.text import bpe_merges
     from ray.data import read_parquet as _rp
@@ -599,6 +628,9 @@ def run_benchmark() -> dict:
         "partition_imbalance": partition_imbalance,
         "snapshot_warm_iters": warm_iters,
         "snapshot_cold_iters": cold_iters,
+        "snapshot_delta_edges": delta_edge_count,
+        "snapshot_tc_delta": int(tc_delta),
+        "snapshot_tc_full": int(tc_full_recount),
         "bpe_merges": bpe_tbl.num_rows,
         "anf_rounds": anf.rounds,
         "effective_diameter": anf.effective_diameter,
