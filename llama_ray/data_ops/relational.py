@@ -4,10 +4,12 @@ as-of join, and broadcast dimension join.
 Ray Data (2.49) has no native join operator; pipelines that need one
 (fact⋈dimension enrichment, event/state as-of alignment) either fall
 back to the driver or re-implement ad hoc.  This module provides the
-three join shapes a 100-TB pipeline actually uses, each built from the
-engine's proven primitives (ONE range sort + per-block complete-run
-work + a bounded boundary pass — the same skeleton as
-``curation.topk_per_group`` and the dedup verify join):
+join and window shapes a 100-TB pipeline actually uses, each built
+from the engine's proven primitives (ONE range sort + per-block
+complete-run work + a bounded boundary pass — the same skeleton as
+``curation.topk_per_group`` and the dedup verify join), plus
+``interval_join`` (broadcast range join) and ``sliding_window_agg``
+(distributed RANGE-frame windowed aggregate):
 
 * ``sort_merge_join`` — general equi-join (inner / left / full outer /
   semi / anti) of two Datasets.  Both sides are projected onto one union schema with a
@@ -494,6 +496,103 @@ def broadcast_join(
     return big.map_batches(stage, batch_format="pyarrow")
 
 
+# ------------------------------------------------------- interval join
+
+
+def interval_join(
+    big: rd.Dataset,
+    intervals: pa.Table,
+    *,
+    on: str,
+    start_col: str,
+    end_col: str,
+    value_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Range join: every big-side row matched to EVERY interval whose
+    half-open ``[start, end)`` contains its ``on`` value (inner join —
+    rows covered by no interval drop; a point under k overlapping
+    intervals emits k rows).
+
+    The interval side is the broadcast side (the realistic 100-TB
+    shape: promo windows, IP-geo ranges, rate tables, incident
+    windows).  Overlap is handled exactly with a staircase
+    decomposition built ONCE on the driver: the interval endpoints cut
+    the line into elementary segments, each segment's covering-interval
+    list is laid out as one CSR, and the whole index is ``ray.put``
+    once.  Every fact batch then probes with ONE ``searchsorted`` into
+    the segment boundaries and fans out via CSR run arithmetic — no
+    per-row Python, no shuffle of the big side, and cost O(log S +
+    output) per row regardless of how the intervals overlap.  (A
+    naive per-interval scan would be O(I) per row; a non-overlapping
+    assumption would silently drop matches.)
+
+    Index size is O(Σ per-interval segment span) = O(I²) worst case
+    for fully nested intervals — fine for a broadcastable side; a
+    big×big range join should shuffle both sides by coarse range
+    buckets and apply this operator per bucket."""
+    value_cols = (
+        value_cols
+        if value_cols is not None
+        else [n for n in intervals.schema.names if n not in (start_col, end_col)]
+    )
+    s = intervals.column(start_col).combine_chunks().to_numpy(zero_copy_only=False)
+    e = intervals.column(end_col).combine_chunks().to_numpy(zero_copy_only=False)
+    if len(s) and (e <= s).any():
+        raise ValueError("interval_join: every interval needs start < end")
+    bounds = np.unique(np.concatenate([s, e])) if len(s) else np.empty(0, np.int64)
+    # interval i is active on elementary segments [idx(s_i), idx(e_i))
+    lo = np.searchsorted(bounds, s)
+    hi = np.searchsorted(bounds, e)
+    spans = hi - lo
+    total = int(spans.sum())
+    seg_of = (
+        np.repeat(lo, spans)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(spans) - spans, spans)
+    )
+    ivl_of = np.repeat(np.arange(len(s), dtype=np.int64), spans)
+    # CSR over segments; interval order within a segment = interval
+    # row order (stable), making the output deterministic
+    order = np.argsort(seg_of, kind="stable")
+    seg_sorted = seg_of[order]
+    csr_vals = ivl_of[order]
+    nseg = max(len(bounds) - 1, 0)
+    csr_offsets = np.zeros(nseg + 1, np.int64)
+    if total:
+        np.add.at(csr_offsets, seg_sorted + 1, 1)
+        csr_offsets = np.cumsum(csr_offsets)
+    payload = {
+        c: intervals.column(c).combine_chunks() for c in value_cols
+    }
+    state = ray.put((bounds, csr_offsets, csr_vals, payload))
+
+    def stage(b: pa.Table) -> pa.Table:
+        bounds_, offs, vals, pay = ray.get(state)
+        t = b.column(on).combine_chunks().to_numpy(zero_copy_only=False)
+        out_fields = list(b.schema) + [
+            pa.field(c, pay[c].type) for c in value_cols
+        ]
+        out_schema = pa.schema(out_fields)
+        if len(bounds_) < 2 or len(t) == 0:
+            return out_schema.empty_table()
+        seg = np.searchsorted(bounds_, t, side="right") - 1
+        seg_c = np.clip(seg, 0, len(bounds_) - 2)
+        inside = (seg >= 0) & (t < bounds_[-1])
+        counts = np.where(inside, offs[seg_c + 1] - offs[seg_c], 0)
+        tot = int(counts.sum())
+        if tot == 0:
+            return out_schema.empty_table()
+        row_take = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), counts))
+        base = np.cumsum(counts) - counts
+        pos = np.arange(tot, dtype=np.int64) - np.repeat(base, counts)
+        ivl_take = pa.array(vals[np.repeat(offs[seg_c], counts) + pos])
+        cols = [b.column(f.name).take(row_take) for f in b.schema]
+        cols += [pay[c].take(ivl_take) for c in value_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return big.map_batches(stage, batch_format="pyarrow")
+
+
 # ------------------------------------------------- partitioned windows
 
 
@@ -594,5 +693,166 @@ def running_window(
     task = ray.remote(fill_block)
     refs = [
         task.remote(r, *c) for r, c in zip(srt.to_arrow_refs(), carries)
+    ]
+    return rd.from_arrow_refs(refs)
+
+
+# ------------------------------------------- range-frame sliding window
+
+
+def sliding_window_agg(
+    ds: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str,
+    val_col: str,
+    window: int,
+    tie_col: str,
+    out_cnt: str = "w_cnt",
+    out_sum: str = "w_sum",
+) -> rd.Dataset:
+    """Time-windowed aggregate: for every row, COUNT and SUM of the
+    same-``by`` rows whose ``ts`` lies in ``[ts − window, ts]`` — SQL's
+    ``COUNT/SUM(val) OVER (PARTITION BY by ORDER BY ts RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW)``, equal-``ts`` peer rows
+    included on BOTH sides of the current row exactly as the RANGE
+    frame demands.
+
+    Plan: ONE range sort by (by, ts, tie), then per block a fully
+    vectorized windowed scan — per-partition runs get a disjoint
+    integer offset so a single global ``searchsorted`` resolves every
+    row's window bounds at once, and window sums come from one prefix
+    array.  Two bounded carries stitch the block edges:
+
+    * backward: each block ships its trailing partition's rows inside
+      ``window`` of the block's last ts (only those can matter to later
+      rows); the driver chains them per continuing partition in an
+      O(num_blocks) scan (``check_boundary_size``-guarded — a window
+      denser than a block is the documented degradation).
+    * forward: equal-``ts`` peers that spill into later blocks (the
+      RANGE frame includes them) are reduced to one (count, sum) pair
+      per block head and chained in a reverse driver scan — O(blocks)
+      scalars, never rows.
+
+    ``val_col`` should be integer (the engine's micro-unit convention)
+    so sums are bit-exact in any layout."""
+    _, ds = _as_arrow(ds)
+    srt = ds.sort([by, ts_col, tie_col]).materialize()
+    schema = srt.schema().base_schema
+    if not pa.types.is_integer(schema.field(ts_col).type):
+        raise ValueError("sliding_window_agg needs an integer ts column")
+    window = int(window)
+
+    def summarize(tbl: pa.Table):
+        if tbl.num_rows == 0 or by not in tbl.schema.names:
+            return None
+        b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch_to_numpy(tbl, ts_col)
+        v = batch_to_numpy(tbl, val_col)
+        tail = (b == b[-1]) & (t > t[-1] - window)
+        lead = (b == b[0]) & (t == t[0])
+        single = bool((b == b[0]).all() and (t == t[0]).all())
+        return (
+            b[0].item() if hasattr(b[0], "item") else b[0],
+            int(t[0]),
+            b[-1].item() if hasattr(b[-1], "item") else b[-1],
+            int(t[-1]),
+            t[tail].copy(),
+            v[tail].copy(),
+            int(lead.sum()),
+            int(v[lead].sum()),
+            single,
+        )
+
+    summaries = per_block_results(srt, summarize)
+
+    # backward chain: carry-in rows per block (trailing same-partition
+    # rows of earlier blocks still inside the window)
+    back: list[tuple] = []
+    buf_by, buf_ts, buf_val = None, np.empty(0, np.int64), np.empty(0, np.int64)
+    for s in summaries:
+        if s is None:
+            back.append((None, buf_ts[:0], buf_val[:0]))
+            continue
+        first_by, _first_ts, last_by, last_ts, tts, tvs, _lc, _ls, _single = s
+        if buf_by is not None and buf_by == first_by:
+            back.append((buf_by, buf_ts, buf_val))
+        else:
+            back.append((None, buf_ts[:0], buf_val[:0]))
+        if buf_by is not None and buf_by == last_by:
+            buf_ts = np.concatenate([buf_ts, tts.astype(np.int64)])
+            buf_val = np.concatenate([buf_val, tvs.astype(np.int64)])
+        else:
+            buf_ts = tts.astype(np.int64)
+            buf_val = tvs.astype(np.int64)
+        buf_by = last_by
+        keep = buf_ts > last_ts - window
+        buf_ts, buf_val = buf_ts[keep], buf_val[keep]
+        check_boundary_size(len(buf_ts), "sliding_window_agg")
+
+    # forward chain (reverse): equal-ts peers at the head of the suffix
+    fwd: list[tuple] = [()] * len(summaries)
+    lead = None  # (by, ts, cnt, sum) of the next blocks' leading peers
+    for i in range(len(summaries) - 1, -1, -1):
+        s = summaries[i]
+        if s is None:
+            fwd[i] = (0, 0)
+            continue
+        first_by, first_ts, last_by, last_ts, _t, _v, lc, ls, single = s
+        if lead is not None and lead[0] == last_by and lead[1] == last_ts:
+            fwd[i] = (lead[2], lead[3])
+        else:
+            fwd[i] = (0, 0)
+        cnt, tot = lc, ls
+        if single and lead is not None and lead[0] == first_by and lead[1] == first_ts:
+            cnt += lead[2]
+            tot += lead[3]
+        lead = (first_by, first_ts, cnt, tot)
+
+    out_schema = pa.schema(
+        [*schema, pa.field(out_cnt, pa.int64()), pa.field(out_sum, pa.int64())]
+    )
+
+    def fill_block(
+        tbl: pa.Table, c_by, c_ts, c_val, f_cnt: int, f_sum: int
+    ) -> pa.Table:
+        if tbl.num_rows == 0 or by not in tbl.schema.names:
+            return out_schema.empty_table()
+        b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
+        t = batch_to_numpy(tbl, ts_col).astype(np.int64)
+        v = batch_to_numpy(tbl, val_col).astype(np.int64)
+        m = len(b)
+        new = np.ones(m, bool)
+        new[1:] = b[1:] != b[:-1]
+        run_id = np.cumsum(new) - 1
+        # disjoint per-run offsets → ONE global searchsorted resolves
+        # every row's [ts − window, ts] bounds
+        span = np.int64(int(t.max()) - int(t.min()) + window + 2)
+        adj = run_id * span + (t - t.min())
+        lo = np.searchsorted(adj, run_id * span + (t - t.min() - window), side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cnt = (hi - lo).astype(np.int64)
+        tot = cs[hi] - cs[lo]
+        first0 = b[0].item() if hasattr(b[0], "item") else b[0]
+        if c_by is not None and c_by == first0 and len(c_ts):
+            first_run = run_id == 0
+            idx = np.searchsorted(c_ts, t[first_run] - window, side="left")
+            suf = np.concatenate([np.cumsum(c_val[::-1])[::-1], [0]])
+            cnt[first_run] += len(c_ts) - idx
+            tot[first_run] += suf[idx]
+        if f_cnt:
+            peers = (b == b[-1]) & (t == t[-1])
+            cnt[peers] += f_cnt
+            tot[peers] += f_sum
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(cnt))
+        cols.append(pa.array(tot))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill_block)
+    refs = [
+        task.remote(r, cb, cts, cv, fc, fs)
+        for r, (cb, cts, cv), (fc, fs) in zip(srt.to_arrow_refs(), back, fwd)
     ]
     return rd.from_arrow_refs(refs)

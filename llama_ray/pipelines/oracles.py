@@ -2927,6 +2927,36 @@ SELECT event_id, user_id, ts_u,
 FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_u, event_id)"""
 
 
+def events_promo_windows_sql(k: int = 50, window_us: int = 1_800_000_000) -> str:
+    """Mirror of queries.q_events_promo_windows (range join against
+    the top-k anchor windows; integer micro-units, deterministic
+    anchor tie order)."""
+    return f"""WITH t AS (
+  SELECT event_id, epoch_us(ts) AS ts_u,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events),
+a AS (SELECT event_id AS anchor_id, ts_u AS s FROM t
+      ORDER BY val_u DESC, event_id LIMIT {k})
+SELECT a.anchor_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(t.val_u) AS BIGINT) AS value_u
+FROM a JOIN t ON t.ts_u >= a.s AND t.ts_u < a.s + {window_us}
+GROUP BY a.anchor_id"""
+
+
+def events_sliding_window_sql(window_us: int = 21_600_000_000) -> str:
+    """Mirror of queries.q_events_sliding_window (RANGE frame — the
+    peer-inclusive windowed aggregate; integer micro-units)."""
+    return f"""WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_u,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events)
+SELECT event_id, user_id, ts_u,
+       CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
+       CAST(SUM(val_u) OVER w AS BIGINT) AS w_sum_u
+FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_u
+  RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)"""
+
+
 def revenue_by_nation_sql() -> str:
     """Mirror of queries.q_revenue_by_nation (integer micro-units;
     the per-row double product is IEEE-identical on both sides)."""

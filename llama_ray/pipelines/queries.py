@@ -2138,6 +2138,131 @@ def q_events_running_total(sf_dir: str):
     return win.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_promo_windows(sf_dir: str, *, k: int = 50, window_us: int = 1_800_000_000):
+    """Range join: the 50 highest-value events anchor 30-minute
+    "incident windows" [ts, ts+30min); every event whose ts falls in a
+    window attributes to that anchor (overlapping windows each match —
+    a point under two windows counts twice, the honest range-join
+    semantics).  Per anchor: covered-event count + total value.
+
+    The anchor side is tiny → ``interval_join`` broadcasts a staircase
+    CSR index built once; the event stream is probed with one
+    searchsorted per batch and never shuffled.  Values quantized to
+    integer micro-units before any sum (bit-exact in every layout);
+    anchors ranked by (val_u desc, event_id) so ties are deterministic."""
+    from ..common import distributed_topk
+    from ..data_ops.relational import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = batch_to_numpy(b, "value")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "ts_u": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    t = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    top = distributed_topk(
+        t, [("val_u", "descending"), ("event_id", "ascending")], k
+    )
+    anchors = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow")]
+    )
+    s = anchors.column("ts_u").combine_chunks().to_numpy(zero_copy_only=False)
+    intervals = pa.table(
+        {
+            "anchor_id": anchors.column("event_id"),
+            "w_start": pa.array(s),
+            "w_end": pa.array(s + window_us),
+        }
+    )
+    joined = interval_join(
+        t, intervals, on="ts_u", start_col="w_start", end_col="w_end",
+        value_cols=["anchor_id"],
+    )
+
+    def partial(b: pa.Table) -> dict:
+        a = batch_to_numpy(b, "anchor_id")
+        v = batch_to_numpy(b, "val_u")
+        u, inv = np.unique(a, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, v)
+        return {
+            "anchor_id": u,
+            "n_events": np.bincount(inv).astype(np.int64),
+            "value_u": acc,
+        }
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("anchor_id")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("value_u", alias_name="value_u"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "anchor_id": b.column("anchor_id").cast(pa.int64()),
+                "n_events": b.column("n_events").cast(pa.int64()),
+                "value_u": b.column("value_u").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_sliding_window(sf_dir: str, *, window_us: int = 21_600_000_000):
+    """Time-windowed aggregate: per event, the count and value total of
+    the same user's events in the trailing 6 hours — ``COUNT/SUM(val)
+    OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN 6h PRECEDING
+    AND CURRENT ROW)`` as ONE distributed pass (range sort + vectorized
+    per-block windowed scan + bounded backward/forward carries; see
+    ``data_ops.relational.sliding_window_agg``).  Values quantized to
+    integer micro-units so sums are bit-exact in any block layout."""
+    from ..data_ops.relational import sliding_window_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = batch_to_numpy(b, "value")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    win = sliding_window_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id",
+        ts_col="ts_u",
+        val_col="val_u",
+        window=window_us,
+        tie_col="event_id",
+        out_cnt="w_cnt",
+        out_sum="w_sum_u",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts_u"),
+                "w_cnt": b.column("w_cnt"),
+                "w_sum_u": b.column("w_sum_u"),
+            }
+        )
+
+    return win.map_batches(finish, batch_format="pyarrow")
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-join relational pipeline (TPC-H Q5 shape): revenue per
     customer nation = lineitem ⋈ orders (fact-fact, the distributed

@@ -351,3 +351,133 @@ def test_sort_merge_join_full_outer_matches_pandas(ray_session):
             how="outer",
         ).to_pandas()
         _assert_frame_match(out, exp)
+
+
+# ----------------------------------------------------- interval join
+
+
+def _brute_interval(points: pd.DataFrame, ivls: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, p in points.iterrows():
+        for _, i in ivls.iterrows():
+            if i["s"] <= p["t"] < i["e"]:
+                rows.append({**p.to_dict(), "ivl_id": i["ivl_id"], "tag": i["tag"]})
+    cols = [*points.columns, "ivl_id", "tag"]
+    return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+
+def test_interval_join_overlapping_nested_matches_brute_force(ray_session):
+    from llama_ray.data_ops.relational import interval_join
+
+    rng = np.random.default_rng(5)
+    P = pd.DataFrame(
+        {
+            "pid": np.arange(400),
+            "t": rng.integers(-20, 220, 400).astype(np.int64),
+        }
+    )
+    # overlapping, nested, duplicate, and point-adjacent intervals
+    s = np.array([0, 10, 10, 15, 50, 50, 60, 100, 199, -5], np.int64)
+    e = np.array([100, 30, 30, 18, 70, 200, 61, 101, 200, 0], np.int64)
+    ivls = pd.DataFrame(
+        {"s": s, "e": e, "ivl_id": np.arange(len(s), dtype=np.int64),
+         "tag": [f"i{j}" for j in range(len(s))]}
+    )
+    exp = _brute_interval(P, ivls)
+    itbl = pa.table(
+        {"w_s": s, "w_e": e, "ivl_id": ivls["ivl_id"].to_numpy(),
+         "tag": ivls["tag"].tolist()}
+    )
+    for nb in (1, 7, 31):
+        out = interval_join(
+            rd.from_pandas(P).repartition(nb), itbl,
+            on="t", start_col="w_s", end_col="w_e",
+        ).to_pandas()
+        _assert_frame_match(out, exp)
+
+
+def test_interval_join_empty_and_invalid(ray_session):
+    import pytest
+
+    from llama_ray.data_ops.relational import interval_join
+
+    P = pd.DataFrame({"pid": np.arange(5), "t": np.arange(5, dtype=np.int64)})
+    empty = pa.table(
+        {"w_s": pa.array([], pa.int64()), "w_e": pa.array([], pa.int64()),
+         "ivl_id": pa.array([], pa.int64())}
+    )
+    out = interval_join(
+        rd.from_pandas(P), empty, on="t", start_col="w_s", end_col="w_e"
+    ).to_pandas()
+    assert len(out) == 0
+    bad = pa.table(
+        {"w_s": pa.array([3], pa.int64()), "w_e": pa.array([3], pa.int64()),
+         "ivl_id": pa.array([0], pa.int64())}
+    )
+    with pytest.raises(ValueError):
+        interval_join(rd.from_pandas(P), bad, on="t", start_col="w_s", end_col="w_e")
+
+
+# --------------------------------------------- range-frame sliding window
+
+
+def _brute_sliding(df: pd.DataFrame, W: int) -> pd.DataFrame:
+    out = df.copy()
+    cnt, tot = [], []
+    for _, r in df.iterrows():
+        m = (df["u"] == r["u"]) & (df["t"] >= r["t"] - W) & (df["t"] <= r["t"])
+        cnt.append(int(m.sum()))
+        tot.append(int(df.loc[m, "v"].sum()))
+    out["w_cnt"] = np.array(cnt, np.int64)
+    out["w_sum"] = np.array(tot, np.int64)
+    return out
+
+
+def test_sliding_window_agg_matches_brute_force_layouts(ray_session):
+    from llama_ray.data_ops.relational import sliding_window_agg
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "u": rng.integers(0, 12, n).astype(np.int64),
+            "t": rng.integers(0, 500, n).astype(np.int64),
+            "v": rng.integers(-5, 50, n).astype(np.int64),
+        }
+    )
+    # planted equal-ts peer pile-up (forces forward-peer handling when
+    # the sort splits it across blocks)
+    df.loc[df.index[:40], ["u", "t"]] = [3, 250]
+    exp = _brute_sliding(df, 60)
+    for nb in (1, 9, 64):
+        out = sliding_window_agg(
+            rd.from_pandas(df).repartition(nb),
+            by="u", ts_col="t", val_col="v", window=60, tie_col="rid",
+            out_cnt="w_cnt", out_sum="w_sum",
+        ).to_pandas()
+        _assert_frame_match(out, exp)
+
+
+def test_sliding_window_agg_window_wider_than_blocks(ray_session):
+    """One user's run spans many blocks and the window covers all of
+    them — the backward carry must chain across every boundary."""
+    from llama_ray.data_ops.relational import sliding_window_agg
+
+    n = 300
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "u": np.zeros(n, np.int64),
+            "t": np.arange(n, dtype=np.int64),
+            "v": np.ones(n, np.int64),
+        }
+    )
+    exp = _brute_sliding(df, 10_000)
+    out = sliding_window_agg(
+        rd.from_pandas(df).repartition(25),
+        by="u", ts_col="t", val_col="v", window=10_000, tie_col="rid",
+        out_cnt="w_cnt", out_sum="w_sum",
+    ).to_pandas()
+    _assert_frame_match(out, exp)
+    assert (exp["w_cnt"].to_numpy() == np.arange(1, n + 1)).all()
