@@ -1100,6 +1100,27 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def scc_condensation_sql() -> str:
+    """Mirror of queries.q_scc_condensation: SCC labels from the same
+    mutual-reachability CTE as scc_sql, then the distinct
+    inter-component edge pairs."""
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+reach AS (
+  SELECT id AS a, id AS b FROM v
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+comp AS MATERIALIZED (
+  SELECT r1.a AS vertex, MIN(r1.b) AS component
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a)
+SELECT DISTINCT CAST(cs.component AS BIGINT) AS comp_src,
+       CAST(cd.component AS BIGINT) AS comp_dst
+FROM e JOIN comp cs ON cs.vertex = e.src
+       JOIN comp cd ON cd.vertex = e.dst
+WHERE cs.component <> cd.component"""
+
+
 def doc_language_id_sql() -> str:
     """Mirror of data_ops.text.LanguageId — the same RE2 token counts
     over the same double-space-normalized head, the same first-wins
@@ -3009,6 +3030,27 @@ SELECT source_a, source_b, shared,
 FROM p JOIN nsrc na ON na.source = p.source_a JOIN nsrc nb ON nb.source = p.source_b
 WHERE shared >= {min_shared}
 ORDER BY source_a, source_b"""
+
+
+def top_unshipped_sql(k: int = 10, cutoff: str = "1998-07-01") -> str:
+    """Mirror of queries.q_top_unshipped (TPC-H Q3 shape; integer
+    micro-units, (revenue desc, orderkey) tie order)."""
+    return f"""WITH l AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000 + 0.5) AS BIGINT) AS rev_u
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'),
+o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_u, o_orderpriority
+  FROM orders
+  SEMI JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+    ON c.c_custkey = orders.o_custkey
+  WHERE o_orderdate < TIMESTAMP '{cutoff}')
+SELECT l.l_orderkey, CAST(SUM(l.rev_u) AS BIGINT) AS revenue_u,
+       o.o_date_u, o.o_orderpriority
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 3, 4
+ORDER BY revenue_u DESC, l_orderkey
+LIMIT {k}"""
 
 
 def customers_no_orders_sql() -> str:

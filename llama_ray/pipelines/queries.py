@@ -445,6 +445,44 @@ def q_scc(sf_dir: str):
     return pa.table({"vertex": g.ids, "component": res.state["label"]})
 
 
+def q_scc_condensation(sf_dir: str):
+    """Condensation DAG: the distinct inter-component edges of the SCC
+    partition (component = min original id, reference semantics).  The
+    O(V) label array broadcasts once (``ray.put``); every edge block
+    maps endpoints through it and drops intra-component edges; the
+    distinct pairs come from the engine's sort + run-dedup (no hash
+    exchange).  The canonical "collapse the cycles, keep the DAG"
+    pre-pass for reachability/layering at scale."""
+    from ..algos.components import strongly_connected_components
+
+    g = _cached_tpch_graph(sf_dir)
+    res = strongly_connected_components(g)
+    lab_ref = ray.put(res.state["label"])
+
+    def to_comp(b: pa.Table):
+        lab = ray.get(lab_ref)
+        src = batch_to_numpy(b, "src")
+        dst = batch_to_numpy(b, "dst")
+        ls, ld = lab[src], lab[dst]
+        keep = ls != ld
+        return {
+            "src": ls[keep].astype(np.int64),
+            "dst": ld[keep].astype(np.int64),
+        }
+
+    dd = dedup_edges(g.edges.map_batches(to_comp, batch_format="pyarrow"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "comp_src": b.column("src").cast(pa.int64()),
+                "comp_dst": b.column("dst").cast(pa.int64()),
+            }
+        )
+
+    return dd.map_batches(fin, batch_format="pyarrow")
+
+
 def q_triangle_count(sf_dir: str):
     g = _cached_tpch_graph(sf_dir)
     t = _triangle_count(g)
@@ -2354,6 +2392,85 @@ def q_source_overlap(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["source", "text"])
     return source_overlap(docs, n=3, max_df=64, min_shared=1)
+
+
+def q_top_unshipped(sf_dir: str, *, k: int = 10, cutoff: str = "1998-07-01"):
+    """TPC-H Q3 shape: the k highest-revenue orders placed before the
+    cutoff by BUILDING-segment customers, over lineitems shipped after
+    it.  Three distributed primitives compose: orders semi-join the
+    segment's customers (existence only — customer payload never rides
+    the sort), lineitem ⋈ orders through the fact sort-merge join, and
+    the per-order rollup is a composite-key groupby followed by the
+    exact partial top-k merge.  Revenue floor-quantized to micro-units
+    per row (bit-exact in every layout); ties → smaller orderkey."""
+    from ..common import distributed_topk
+    from ..data_ops.relational import sort_merge_join
+
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def bkeys(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"c_custkey": t.column("c_custkey")})
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def oprep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = b.append_column("o_date_u", d)
+        return t.filter(pc.less(t.column("o_date_u"), cut)).drop_columns(
+            ["o_orderdate"]
+        )
+
+    open_orders = sort_merge_join(
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        cust.map_batches(bkeys, batch_format="pyarrow"),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="semi",
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def lprep(b: pa.Table) -> pa.Table:
+        s = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = b.filter(pc.greater(s, cut))
+        p = batch_to_numpy(t, "l_extendedprice")
+        d = batch_to_numpy(t, "l_discount")
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_u": np.floor(p * (1.0 - d) * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    joined = sort_merge_join(
+        li.map_batches(lprep, batch_format="pyarrow"),
+        open_orders.select_columns(["o_orderkey", "o_date_u", "o_orderpriority"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="inner",
+    )
+    agg = joined.groupby(["l_orderkey", "o_date_u", "o_orderpriority"]).aggregate(
+        Sum("rev_u", alias_name="revenue_u")
+    )
+    top = distributed_topk(
+        agg, [("revenue_u", "descending"), ("l_orderkey", "ascending")], k
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "revenue_u": b.column("revenue_u").cast(pa.int64()),
+                "o_date_u": b.column("o_date_u").cast(pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+
+    return top.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 def q_customers_no_orders(sf_dir: str):
