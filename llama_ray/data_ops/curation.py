@@ -71,6 +71,83 @@ def repetition_ratio(
     return docs.map_batches(stage, batch_format="pyarrow")
 
 
+# ------------------------------------------------- composite rule filter
+
+GOPHER_STOP = r"\b(the|and|of|to|in|is|that|with|for)\b"
+
+
+def gopher_filter(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    min_stop: int = 2,
+    sym_pct: int = 10,
+    rep_pct: int = 20,
+    rep_n: int = 2,
+) -> rd.Dataset:
+    """Gopher/C4-style composite document filter: per doc a reason
+    bitmask over five cheap quality rules and the resulting keep flag.
+
+    Every signal is integer and every rule an integer
+    cross-multiplication, so the result is bit-exact in any layout and
+    in SQL (no float ratios):
+
+    * bit 1 — word count outside [min_words, max_words]
+      (words = ``\\S+`` runs);
+    * bit 2 — mean word length outside [min_mwl, max_mwl]
+      (``min_mwl·words ≤ non-ws chars ≤ max_mwl·words``);
+    * bit 4 — fewer than ``min_stop`` English stop-word hits;
+    * bit 8 — symbol chars exceed ``sym_pct``% of characters;
+    * bit 16 — duplicate word-``rep_n``-gram fraction exceeds
+      ``rep_pct``% (the repetition_ratio gram space; empty docs pass
+      vacuously — they already fail bit 1).
+
+    One ``map_batches`` pass: four Arrow RE2 kernels + one buffer-roll
+    gram pass per batch, no shuffle, no per-row Python."""
+    import pyarrow.compute as pc
+
+    def stage(batch: pa.Table) -> dict:
+        col = batch.column(text_col)
+        lower = pc.utf8_lower(col)
+        n_words = pc.count_substring_regex(col, r"\S+").to_numpy(zero_copy_only=False)
+        n_wchars = pc.count_substring_regex(col, r"\S").to_numpy(zero_copy_only=False)
+        n_stop = pc.count_substring_regex(lower, GOPHER_STOP).to_numpy(
+            zero_copy_only=False
+        )
+        n_sym = pc.count_substring_regex(col, r"[^\p{L}\p{N}_\s]").to_numpy(
+            zero_copy_only=False
+        )
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        starts, lens, per_doc, tdata = _token_matrix(col)
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        offs = np.concatenate([[0], np.cumsum(per_doc)])
+        g, counts = _rolled_windows(th, offs, rep_n, _GOLD)
+        _u, ucounts = _segment_unique(_mix64(g), counts)
+        total = counts.astype(np.int64)
+        distinct = ucounts.astype(np.int64)
+        mask = np.zeros(len(n_words), np.int64)
+        mask += ((n_words < min_words) | (n_words > max_words)) * 1
+        mask += (
+            (n_wchars < min_mwl * n_words) | (n_wchars > max_mwl * n_words)
+        ) * 2
+        mask += (n_stop < min_stop) * 4
+        mask += (100 * n_sym > sym_pct * n_chars) * 8
+        mask += (100 * (total - distinct) > rep_pct * total) * 16
+        return {
+            "doc_id": batch_to_numpy(batch, id_col),
+            "n_words": n_words.astype(np.int64),
+            "reason_mask": mask,
+            "keep": (mask == 0).astype(np.int64),
+        }
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- per-group top-k
 
 

@@ -2552,6 +2552,62 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def doc_gopher_filter_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3,
+    max_mwl: int = 10,
+    min_stop: int = 2,
+    sym_pct: int = 10,
+    rep_pct: int = 20,
+    n: int = 2,
+) -> str:
+    """Mirror of data_ops.curation.gopher_filter: the same RE2 counts,
+    the same hashed-gram repetition space (doc_repetition's CTEs), the
+    same integer cross-multiplied rules."""
+    gold = 0x9E3779B97F4A7C15
+    stop = r"\b(the|and|of|to|in|is|that|with|for)\b"
+    return f"""WITH f AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\\S+')) AS n_words,
+    length(regexp_extract_all(text, '\\S')) AS n_wchars,
+    length(regexp_extract_all(lower(text), '{stop}')) AS n_stop,
+    length(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS n_sym,
+    length(text) AS n_chars
+  FROM documents),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+rep AS (SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT g) AS nd FROM grams GROUP BY doc_id),
+m AS (
+  SELECT f.doc_id, f.n_words,
+    (CASE WHEN n_words < {min_words} OR n_words > {max_words} THEN 1 ELSE 0 END
+   + CASE WHEN n_wchars < {min_mwl} * n_words OR n_wchars > {max_mwl} * n_words THEN 2 ELSE 0 END
+   + CASE WHEN n_stop < {min_stop} THEN 4 ELSE 0 END
+   + CASE WHEN 100 * n_sym > {sym_pct} * n_chars THEN 8 ELSE 0 END
+   + CASE WHEN 100 * (COALESCE(ng, 0) - COALESCE(nd, 0)) > {rep_pct} * COALESCE(ng, 0) THEN 16 ELSE 0 END
+    ) AS mask
+  FROM f LEFT JOIN rep ON rep.doc_id = f.doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(mask AS BIGINT) AS reason_mask,
+       CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m"""
+
+
 def dag_layers_sql() -> str:
     """Mirror of algos.dag.dag_layers over the canonical acyclic
     orientation (a < b): longest-path level per vertex via monotone

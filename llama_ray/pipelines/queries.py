@@ -2383,6 +2383,17 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_doc_gopher_filter(sf_dir: str):
+    """Composite Gopher/C4-style quality filter: per doc the 5-rule
+    reason bitmask (word count, mean word length, stop-word floor,
+    symbol ratio, 2-gram repetition) and keep flag — all-integer rules,
+    one map_batches pass (see ``data_ops.curation.gopher_filter``)."""
+    from ..data_ops.curation import gopher_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_filter(docs)
+
+
 def q_source_overlap(sf_dir: str):
     """Pairwise source n-gram overlap matrix (corpus leakage / fork
     detection): shared distinct word-3-gram hashes + Jaccard per source

@@ -1549,3 +1549,37 @@ def test_inverted_index_search_matches_brute_force():
         assert idx.search(["alpha", "delta"], mode="or").tolist() == [
             i for i, s in enumerate(toksets) if s & {"alpha", "delta"}
         ]
+
+
+def test_gopher_filter_rule_bits(ray_session):
+    """Each composite-filter rule trips on a doc crafted to fail
+    exactly that rule (plus the clean doc that passes all five)."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.curation import gopher_filter
+
+    good = " ".join(f"the word{i} is fine{i}" for i in range(20))
+    docs = [
+        (0, good),  # passes everything
+        (1, "the and of to in is that with for short"),  # too few words → bit 1
+        (2, ("a " * 80 + "the and of to in is that with for").strip()),  # mwl < 3 → bit 2
+        (3, ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 8).strip()),  # no stopwords → bit 4
+        (4, (("w@rd# " * 10 + "the and is that with for of to in ") * 6).strip()),  # symbols > 10% → bit 8
+        (5, ("the cat sat " * 40 + "and of to in is that with for").strip()),  # repeated 2-grams → bit 16
+        (6, ""),  # empty → fails word count, rep rule passes vacuously
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs]).repartition(3)
+    out = (
+        gopher_filter(ds, min_words=20, max_words=1000)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "reason_mask"] == 0 and out.loc[0, "keep"] == 1
+    assert out.loc[1, "reason_mask"] & 1
+    assert out.loc[2, "reason_mask"] & 2
+    assert out.loc[3, "reason_mask"] & 4
+    assert out.loc[4, "reason_mask"] & 8
+    assert out.loc[5, "reason_mask"] & 16
+    assert out.loc[6, "reason_mask"] & 1 and not (out.loc[6, "reason_mask"] & 16)
+    assert (out.loc[1:, "keep"] == 0).all()
