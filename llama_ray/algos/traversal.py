@@ -177,6 +177,47 @@ def bfs(graph: Graph, root_id: int, **kwargs) -> SuperstepResult:
     return sssp(graph, root_id, weighted=False, **kwargs)
 
 
+def bfs_path_counts(graph: Graph, root_id: int, *, max_depth: int = 10_000):
+    """Distance AND number of distinct shortest paths from ``root_id``
+    (the Brandes forward pass, single source): level-synchronous BFS
+    where each newly reached vertex's σ is the sum of its
+    previous-level in-neighbors' σ — one ``gather_sum`` over the
+    frontier-masked σ vector per level on the cached forward pool.
+
+    Returns ``(dist, sigma)`` int64 arrays in dense vertex order
+    (dist = −1 / sigma = 0 for unreached).  σ accumulates in float64
+    inside the gather; values are integer-exact below 2⁵³ and the
+    function raises beyond that (path counts grow combinatorially on
+    dense cyclic graphs — callers wanting only distances should use
+    :func:`bfs`)."""
+    from ..engine.bsp import shared_pool
+
+    n = graph.num_vertices
+    s = int(np.searchsorted(graph.ids, root_id))
+    if s >= n or graph.ids[s] != root_id:
+        raise KeyError(f"root vertex {root_id} not in graph")
+    pool = shared_pool(graph)
+    dist = np.full(n, -1, np.int64)
+    sigma = np.zeros(n, np.int64)
+    dist[s] = 0
+    sigma[s] = 1
+    frontier = np.zeros(n, bool)
+    frontier[s] = True
+    for lvl in range(1, max_depth + 1):
+        g = pool.gather_sum(np.where(frontier, sigma, 0).astype(np.float64))
+        new = (g > 0) & (dist < 0)
+        if not new.any():
+            break
+        if g[new].max() >= 2.0**53:
+            raise OverflowError(
+                "bfs_path_counts: shortest-path counts exceed 2^53"
+            )
+        dist[new] = lvl
+        sigma[new] = np.rint(g[new]).astype(np.int64)
+        frontier = new
+    return dist, sigma
+
+
 def _smallest_id_source_dists(graph: Graph, k: int):
     """Yield ``(dense_source, dist)`` for the ``k`` smallest-id
     vertices: directed level-synchronous BFS over out-edges (the same

@@ -712,6 +712,34 @@ r(node, dist) AS (
 SELECT node AS vertex, MIN(dist) AS dist FROM r GROUP BY node"""
 
 
+def path_counts_sql(root: int = BFS_ROOT, rounds: int = 16) -> str:
+    """Mirror of queries.q_path_counts: unrolled level-synchronous
+    rounds; each round sums the previous level's σ into the newly
+    reached vertices (the sssp_weighted_sql unroll pattern)."""
+    steps = [
+        f"p0 AS MATERIALIZED (SELECT id, CASE WHEN id = {root} THEN 0 ELSE -1 END AS dist, "
+        f"CASE WHEN id = {root} THEN 1 ELSE 0 END AS cnt FROM v)"
+    ]
+    for k in range(rounds):
+        steps.append(
+            f"""p{k + 1} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN p.dist >= 0 THEN p.dist
+              WHEN m.s IS NOT NULL THEN {k + 1} ELSE -1 END AS dist,
+         CASE WHEN p.dist >= 0 THEN p.cnt ELSE COALESCE(m.s, 0) END AS cnt
+  FROM p{k} p LEFT JOIN (
+    SELECT e.dst AS id, SUM(q.cnt) AS s
+    FROM e JOIN p{k} q ON q.id = e.src AND q.dist = {k}
+    GROUP BY e.dst) m ON m.id = p.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex, CAST(dist AS BIGINT) AS dist,
+       CAST(cnt AS BIGINT) AS n_paths
+FROM p{rounds} WHERE dist >= 0"""
+
+
 def sssp_weighted_sql(root: int = BFS_ROOT, rounds: int = 12) -> str:
     """Unrolled Bellman-Ford over duplicate-summed weights (the
     engine's ``dedup_edges(weights='sum')`` graph). 12 rounds ≫ the

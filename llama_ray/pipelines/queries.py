@@ -499,6 +499,26 @@ def q_bfs(sf_dir: str):
     )
 
 
+def q_path_counts(sf_dir: str):
+    """Shortest-path counting from the BFS root (the Brandes σ forward
+    pass as a standalone query): per reached vertex its BFS distance
+    and the number of distinct shortest paths from the root — one
+    frontier-masked ``gather_sum`` per level on the shared forward
+    pool (see ``algos.traversal.bfs_path_counts``)."""
+    from ..algos.traversal import bfs_path_counts
+
+    g = _cached_tpch_graph(sf_dir)
+    dist, sigma = bfs_path_counts(g, BFS_ROOT)
+    m = dist >= 0
+    return pa.table(
+        {
+            "vertex": pa.array(np.asarray(g.ids)[m], pa.int64()),
+            "dist": pa.array(dist[m]),
+            "n_paths": pa.array(sigma[m]),
+        }
+    )
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted SSSP over summed duplicate weights (DuckDB recursive
     oracle + numpy Bellman-Ford in tests)."""

@@ -1155,3 +1155,43 @@ def test_triangle_count_delta_matches_recount():
         assert triangle_count(gb) + delta == tc_full, frac
     # empty delta
     assert triangle_count_delta(g1, np.empty(0, np.int64), np.empty(0, np.int64)) == 0
+
+
+def test_bfs_path_counts_matches_reference():
+    """σ from the distributed forward pass equals a per-level python
+    reference (deduped edges; diamond multiplicities compound)."""
+    from collections import defaultdict
+
+    from llama_ray.algos.traversal import bfs_path_counts
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    # planted double-diamond: 50→{51,52}→53→{54,55}→56 gives σ(56)=4
+    src = np.concatenate([src, [50, 50, 51, 52, 53, 53, 54, 55]])
+    dst = np.concatenate([dst, [51, 52, 53, 53, 54, 55, 56, 56]])
+    g = build_graph(dedup_edges(edges_ds(src, dst)))
+    ids = np.asarray(g.ids)
+    root = int(ids[0])
+    dist, sigma = bfs_path_counts(g, root)
+
+    adj = defaultdict(set)
+    for a, b in zip(src, dst):
+        adj[int(a)].add(int(b))
+    rd_, rs = {root: 0}, {root: 1}
+    frontier = [root]
+    lvl = 0
+    while frontier:
+        lvl += 1
+        nxt = defaultdict(int)
+        for u in frontier:
+            for w in adj[u]:
+                if w not in rd_:
+                    nxt[w] += rs[u]
+        for w, c in nxt.items():
+            rd_[w], rs[w] = lvl, c
+        frontier = list(nxt)
+    exp_d = np.array([rd_.get(int(i), -1) for i in ids])
+    exp_s = np.array([rs.get(int(i), 0) for i in ids])
+    assert np.array_equal(dist, exp_d)
+    assert np.array_equal(sigma, exp_s)
