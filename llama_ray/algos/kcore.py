@@ -93,6 +93,56 @@ def core_numbers(
     def init_state():
         return {"core": deg.copy()}
 
+    return _core_loop(graph, gat, init_state, max_iters, checkpoint_dir, resume, num_edges2)
+
+
+def onion_layers(graph: Graph, *, max_rounds: int | None = None):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
+    Rep. 2016): the k-core peeling refined by *wave* — per round, peel
+    simultaneously every alive vertex whose remaining degree is ≤ the
+    current shell value k (k = max(k, min alive degree), so shells are
+    nondecreasing); a vertex's layer is the 1-based round it leaves in,
+    its core the shell value at that moment.  Layers order vertices
+    *within* each k-shell by how deep they sit (the paper's structural
+    centrality signal beyond coreness).
+
+    One ``gather_sum`` of the alive mask per round on the shared
+    undirected pool — O(V) driver state, edge work proportional to the
+    shrinking alive subgraph's neighborhood.  Pass a canonical
+    undirected graph (same contract as :func:`core_numbers`).
+
+    Returns ``(layer, core)`` int64 arrays in dense vertex order.
+    ``core`` equals :func:`core_numbers` exactly (tested)."""
+    n = graph.num_vertices
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    from ..engine.bsp import shared_pool
+
+    gat = shared_pool(graph, view="undirected")
+    layer = np.zeros(n, np.int64)
+    core = np.zeros(n, np.int64)
+    alive = np.ones(n, bool)
+    k = 0
+    rounds = 0
+    cap = max_rounds if max_rounds is not None else n + 1
+    try:
+        while alive.any():
+            rounds += 1
+            if rounds > cap:
+                raise RuntimeError("onion_layers exceeded max_rounds")
+            deg = np.rint(gat.gather_sum(alive.astype(np.float64))).astype(np.int64)
+            k = max(k, int(deg[alive].min()))
+            peel = alive & (deg <= k)
+            layer[peel] = rounds
+            core[peel] = k
+            alive &= ~peel
+    finally:
+        gat.shutdown()
+    return layer, core
+
+
+def _core_loop(graph, gat, init_state, max_iters, checkpoint_dir, resume, num_edges2):
+
     def step(state, k):
         h = gat.gather_hindex(state["core"])
         # monotone by theory; the minimum guards against ever reporting

@@ -1128,6 +1128,54 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def onion_sql() -> str:
+    """Mirror of algos.kcore.onion_layers: wave peeling on the
+    canonical undirected simple graph as a state-carrying recursive
+    CTE (the coloring_sql pattern — edges carried in-state and
+    shrinking, a kind-2 control row carries (k, round))."""
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+cu AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+ud AS (SELECT a, b FROM (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu)),
+st(kind, a, b, layer, core) AS (
+  SELECT * FROM (
+    SELECT 0 AS kind, a, b, CAST(NULL AS BIGINT) AS layer, CAST(NULL AS BIGINT) AS core FROM ud
+    UNION ALL
+    SELECT 1, id, NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v
+    UNION ALL
+    SELECT 2, 0, 0, NULL, NULL)
+  UNION ALL
+  SELECT * FROM (
+    WITH prev_e AS MATERIALIZED (SELECT a, b FROM st WHERE kind = 0),
+         prev_v AS MATERIALIZED (SELECT a AS id, layer, core FROM st WHERE kind = 1),
+         prev_k AS MATERIALIZED (SELECT a AS k, b AS rnd FROM st WHERE kind = 2),
+         alive AS MATERIALIZED (SELECT id FROM prev_v WHERE layer IS NULL),
+         dg AS MATERIALIZED (
+           SELECT alive.id, COALESCE(c.cnt, 0) AS d
+           FROM alive LEFT JOIN
+             (SELECT a, COUNT(*) AS cnt FROM prev_e GROUP BY a) c ON c.a = alive.id),
+         nk AS MATERIALIZED (
+           SELECT GREATEST((SELECT k FROM prev_k), (SELECT MIN(d) FROM dg)) AS k,
+                  (SELECT rnd FROM prev_k) + 1 AS rnd),
+         peel AS MATERIALIZED (SELECT dg.id FROM dg, nk WHERE dg.d <= nk.k)
+    SELECT 0 AS kind, pe.a, pe.b, CAST(NULL AS BIGINT) AS layer, CAST(NULL AS BIGINT) AS core
+    FROM prev_e pe
+    WHERE pe.a NOT IN (SELECT id FROM peel) AND pe.b NOT IN (SELECT id FROM peel)
+    UNION ALL
+    SELECT 1, v0.id, NULL,
+           COALESCE(v0.layer, CASE WHEN p.id IS NOT NULL THEN nk.rnd END),
+           COALESCE(v0.core, CASE WHEN p.id IS NOT NULL THEN nk.k END)
+    FROM prev_v v0 LEFT JOIN peel p ON p.id = v0.id CROSS JOIN nk
+    UNION ALL
+    SELECT 2, nk.k, nk.rnd, NULL, NULL FROM nk)
+  WHERE EXISTS (SELECT 1 FROM st WHERE kind = 1 AND layer IS NULL)
+)
+SELECT a AS vertex, CAST(MAX(layer) AS BIGINT) AS layer,
+       CAST(MAX(core) AS BIGINT) AS core
+FROM st WHERE kind = 1 GROUP BY a"""
+
+
 def scc_condensation_sql() -> str:
     """Mirror of queries.q_scc_condensation: SCC labels from the same
     mutual-reachability CTE as scc_sql, then the distinct

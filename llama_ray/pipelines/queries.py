@@ -434,6 +434,20 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_onion(sf_dir: str):
+    """Onion decomposition over the canonical undirected simple graph:
+    per vertex the 1-based peeling-wave index (layer) and the shell
+    value at peel time (core — equal to k-core coreness by
+    construction; see :func:`llama_ray.algos.kcore.onion_layers`)."""
+    from ..algos.kcore import onion_layers
+
+    g = _cached_canonical_graph(sf_dir)
+    layer, core = onion_layers(g)
+    return pa.table(
+        {"vertex": g.ids, "layer": pa.array(layer), "core": pa.array(core)}
+    )
+
+
 def q_scc(sf_dir: str):
     """True strongly connected components (trim + forward-backward
     coloring; no SQL oracle — verified against an iterative Tarjan in

@@ -1195,3 +1195,45 @@ def test_bfs_path_counts_matches_reference():
     exp_s = np.array([rs.get(int(i), 0) for i in ids])
     assert np.array_equal(dist, exp_d)
     assert np.array_equal(sigma, exp_s)
+
+
+def test_onion_layers_matches_peeling_reference():
+    """Onion layers vs a python wave-peel; core must equal the
+    H-index core_numbers fixpoint on every fixture."""
+    from llama_ray.algos.kcore import core_numbers, onion_layers
+    from llama_ray.graph import canonical_undirected
+
+    def ref_onion(src, dst, ids):
+        import collections
+
+        nbr = collections.defaultdict(set)
+        for a, b in zip(src, dst):
+            if a != b:
+                nbr[a].add(b)
+                nbr[b].add(a)
+        alive = set(int(i) for i in ids)
+        layer, core = {}, {}
+        k, rnd = 0, 0
+        while alive:
+            rnd += 1
+            deg = {v: len(nbr[v] & alive) for v in alive}
+            k = max(k, min(deg.values()))
+            peel = {v for v in alive if deg[v] <= k}
+            for v in peel:
+                layer[v], core[v] = rnd, k
+            alive -= peel
+        return layer, core
+
+    rng = np.random.default_rng(31)
+    cases = list(FIXTURES.values()) + [
+        (rng.integers(0, 50, 300).tolist(), rng.integers(0, 50, 300).tolist())
+    ]
+    for src, dst in cases:
+        src, dst = np.array(src), np.array(dst)
+        g = canonical_undirected(build_graph(dedup_edges(edges_ds(src, dst))))
+        layer, core = onion_layers(g)
+        ref_l, ref_c = ref_onion(src, dst, np.asarray(g.ids))
+        ids = np.asarray(g.ids)
+        assert np.array_equal(layer, np.array([ref_l[int(i)] for i in ids]))
+        assert np.array_equal(core, np.array([ref_c[int(i)] for i in ids]))
+        assert np.array_equal(core, core_numbers(g).state["core"])
