@@ -684,6 +684,124 @@ def kmeans_quantized(
     return emb.map_batches(assign, batch_format="pyarrow")
 
 
+def pq_encode(
+    emb: rd.Dataset,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011): split
+    every vector into ``m`` contiguous subspaces and learn an
+    independent ``k``-codeword quantized-Lloyd codebook per subspace
+    (:func:`kmeans_quantized` arithmetic — int64 dots, smallest-id
+    seeds, floor-mean updates — so the whole training + encode is
+    bit-exact in any block layout and in SQL).  PQ codes compress a
+    d-dim float vector to ``m`` bytes-ish codes for asymmetric-distance
+    ANN; this is the codebook/encode stage.
+
+    One pass per Lloyd iteration: a (m·k×d/m) codebook broadcast, per
+    block one int64 matmul per subspace + per-code ``reduceat``
+    partials, O(m·k·d) driver reduce; the corpus never shuffles.
+
+    Returns long-form rows ``(vec_id, subspace, code_id, score)`` —
+    ``code_id`` = the founding seed's ``vec_id`` (the
+    :func:`kmeans_quantized` convention), ``score`` the winning int64
+    subspace dot."""
+    from ..common import per_block_results
+
+    seeds_tbl = (
+        emb.select_columns([id_col, vec_col]).sort(id_col).limit(k).to_pandas()
+    )
+    if len(seeds_tbl) == 0:
+        raise ValueError("pq_encode: empty embedding dataset")
+    seed_ids = seeds_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(seed_ids)
+    seed_ids = seed_ids[order]
+    sm = np.stack(
+        [np.asarray(v, np.float64) for v in seeds_tbl[vec_col].to_numpy()[order]]
+    )
+    d = sm.shape[1]
+    if d % m:
+        raise ValueError(f"pq_encode: dim {d} not divisible by m={m}")
+    sd = d // m
+    # C[s] : (k, sd) codebook of subspace s
+    C = np.floor(sm * scale + 0.5).astype(np.int64).reshape(k, m, sd).transpose(1, 0, 2).copy()
+
+    emb = emb.select_columns([id_col, vec_col])
+    if not _is_materialized(emb):
+        emb = emb.materialize()
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(tbl: pa.Table):
+            if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+                return None
+            n = tbl.num_rows
+            qv = np.floor(_as_matrix(tbl, vec_col, n) * scale + 0.5).astype(np.int64)
+            cb = ray.get(c_ref)
+            S = np.zeros((m, k, sd), np.int64)
+            cnt = np.zeros((m, k), np.int64)
+            for s in range(m):
+                sub = qv[:, s * sd : (s + 1) * sd]
+                A = np.argmax(sub @ cb[s].T, axis=1)  # first max = low id
+                o = np.argsort(A, kind="stable")
+                As = A[o]
+                first = np.ones(n, bool)
+                first[1:] = As[1:] != As[:-1]
+                starts = np.flatnonzero(first)
+                S[s, As[starts]] = np.add.reduceat(sub[o], starts, axis=0)
+                cnt[s] = np.bincount(A, minlength=k)
+            return S, cnt
+
+        S = np.zeros((m, k, sd), np.int64)
+        cnt = np.zeros((m, k), np.int64)
+        for p in per_block_results(emb, partial):
+            if p is not None:
+                S += p[0]
+                cnt += p[1]
+        nz = cnt > 0
+        C = np.where(
+            nz[:, :, None], S // np.maximum(cnt, 1)[:, :, None], C
+        )
+
+    c_ref = ray.put((seed_ids, C))
+
+    def encode(batch: pa.Table) -> dict:
+        n = batch.num_rows
+        if n == 0 or vec_col not in batch.schema.names:
+            return {
+                "vec_id": np.empty(0, np.int64),
+                "subspace": np.empty(0, np.int64),
+                "code_id": np.empty(0, np.int64),
+                "score": np.empty(0, np.int64),
+            }
+        sids, cb = ray.get(c_ref)
+        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
+        ids = batch_to_numpy(batch, id_col).astype(np.int64)
+        out_id, out_sp, out_code, out_sc = [], [], [], []
+        for s in range(m):
+            sub = qv[:, s * sd : (s + 1) * sd]
+            scores = sub @ cb[s].T
+            best = np.argmax(scores, axis=1)
+            out_id.append(ids)
+            out_sp.append(np.full(n, s, np.int64))
+            out_code.append(sids[best])
+            out_sc.append(scores[np.arange(n), best])
+        return {
+            "vec_id": np.concatenate(out_id),
+            "subspace": np.concatenate(out_sp),
+            "code_id": np.concatenate(out_code),
+            "score": np.concatenate(out_sc),
+        }
+
+    return emb.map_batches(encode, batch_format="pyarrow")
+
+
 # ---------------------------------------------- quantized Gram / PCA
 
 

@@ -1070,6 +1070,51 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, clus
 WHERE rn = 1"""
 
 
+def pq_encode_sql(m: int = 4, k: int = 16, dim: int = 64, scale: int = 1 << 16) -> str:
+    """Mirror of data_ops.ann.pq_encode (one Lloyd iteration per
+    subspace codebook, then encode): the kmeans_quantized_sql integer
+    pipeline lifted to a (subspace, code) key via list_slice."""
+    q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT))"
+    sd = dim // m
+    M = 1 << 20
+    return f"""WITH s AS (
+  SELECT vec_id AS code_id, {q} AS qs
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+v AS (SELECT vec_id, {q} AS qv FROM embeddings),
+sub AS (SELECT unnest(range({m})) AS sp),
+vs AS (SELECT vec_id, sp, list_slice(qv, sp*{sd}+1, (sp+1)*{sd}) AS q
+       FROM v CROSS JOIN sub),
+ss AS (SELECT code_id, sp, list_slice(qs, sp*{sd}+1, (sp+1)*{sd}) AS q
+       FROM s CROSS JOIN sub),
+d0 AS (
+  SELECT vs.vec_id, vs.sp, ss.code_id, vs.q AS qv,
+         CAST(list_sum(list_transform(list_zip(vs.q, ss.q), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM vs JOIN ss ON ss.sp = vs.sp),
+a0 AS (
+  SELECT vec_id, sp, code_id, qv
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp ORDER BY score DESC, code_id ASC) AS rn FROM d0)
+  WHERE rn = 1),
+e AS (
+  SELECT sp, code_id, unnest(qv) AS val, unnest(range(1, len(qv)+1)) AS dim
+  FROM a0),
+g AS (
+  SELECT sp, code_id, dim, CAST(SUM(val) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2, 3),
+c1 AS (
+  SELECT sp, code_id, list((sv + n*{M}) // n - {M} ORDER BY dim) AS cv
+  FROM g GROUP BY sp, code_id),
+cf AS (
+  SELECT ss.sp, ss.code_id, COALESCE(c1.cv, ss.q) AS cv
+  FROM ss LEFT JOIN c1 USING (sp, code_id)),
+d1 AS (
+  SELECT vs.vec_id, vs.sp, cf.code_id,
+         CAST(list_sum(list_transform(list_zip(vs.q, cf.cv), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM vs JOIN cf ON cf.sp = vs.sp)
+SELECT vec_id, CAST(sp AS BIGINT) AS subspace, code_id, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp ORDER BY score DESC, code_id ASC) AS rn FROM d1)
+WHERE rn = 1"""
+
+
 def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:
     """Exact cosine all-pairs ≥ τ (mirrors data_ops.ann.cosine_pairs;
     DOUBLE casts so DuckDB and the numpy matmul agree to ≫5 decimals)."""

@@ -1290,6 +1290,21 @@ def q_vec_kmeans(sf_dir: str):
     return kmeans_quantized(emb, k=8, iters=1)
 
 
+def q_vec_pq(sf_dir: str):
+    """Product quantization codebooks + encode (Jégou et al. 2011):
+    4 subspaces × 16 integer-exact Lloyd codewords over the embedding
+    column, long-form (vec_id, subspace, code_id, score) — the ANN
+    compression stage with a full DuckDB oracle (see
+    ``data_ops.ann.pq_encode``)."""
+    from ..data_ops.ann import pq_encode
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return pq_encode(emb, m=4, k=16, iters=1)
+
+
 def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k: broadcast the query matrix, per-batch
     float64 matmul + per-batch top-k partials, final top-k on the

@@ -1583,3 +1583,48 @@ def test_gopher_filter_rule_bits(ray_session):
     assert out.loc[5, "reason_mask"] & 16
     assert out.loc[6, "reason_mask"] & 1 and not (out.loc[6, "reason_mask"] & 16)
     assert (out.loc[1:, "keep"] == 0).all()
+
+
+def test_pq_encode_matches_numpy_lloyd_any_layout(ray_session):
+    """PQ codes equal a dense-numpy per-subspace Lloyd reference and
+    are identical across block layouts."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.ann import pq_encode
+
+    rng = np.random.default_rng(7)
+    n, d, m, k, scale = 90, 16, 4, 5, 1 << 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [{"vec_id": int(i), "embedding": vecs[i].tolist()} for i in range(n)]
+
+    qv = np.floor(vecs.astype(np.float64) * scale + 0.5).astype(np.int64)
+    sd = d // m
+    exp = {}
+    for s in range(m):
+        sub = qv[:, s * sd : (s + 1) * sd]
+        C = sub[:k].copy()  # k smallest ids = 0..k-1
+        A = np.argmax(sub @ C.T, axis=1)
+        for j in range(k):
+            mbr = sub[A == j]
+            if len(mbr):
+                C[j] = mbr.sum(axis=0) // len(mbr)
+        sc = sub @ C.T
+        A = np.argmax(sc, axis=1)
+        for i in range(n):
+            exp[(i, s)] = (int(A[i]), int(sc[i, A[i]]))
+
+    base = None
+    for nb in (1, 7, 13):
+        out = (
+            pq_encode(rd.from_items(rows).repartition(nb), m=m, k=k, iters=1)
+            .to_pandas()
+            .sort_values(["vec_id", "subspace"])
+            .reset_index(drop=True)
+        )
+        for _, r in out.iterrows():
+            ec, es = exp[(int(r["vec_id"]), int(r["subspace"]))]
+            assert int(r["code_id"]) == ec and int(r["score"]) == es
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base)
