@@ -466,6 +466,25 @@ def run_benchmark() -> dict:
     n_window = _q.q_events_running_total(sf_dir).count()
     timings["window_running_total"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    n_sliding = _q.q_events_sliding_window(sf_dir).count()
+    timings["window_sliding_6h"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_promo = _q.q_events_promo_windows(sf_dir).count()
+    timings["interval_join_promo"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_gopher = _q.q_doc_gopher_filter(sf_dir).count()
+    timings["gopher_filter"] = time.perf_counter() - t0
+
+    from llama_ray.algos.kcore import onion_layers as _onion
+
+    cg_o = _q._cached_canonical_graph(sf_dir)
+    t0 = time.perf_counter()
+    onion_l, _onion_c = _onion(cg_o)
+    timings["onion_layers"] = time.perf_counter() - t0
+
     # snapshot-delta warm-start vs cold recompute (the multi-version
     # analytics win: converge on the base level, resume after a 1/64
     # edge delta). The TPC-H link graph is a depth-7 DAG where any
@@ -604,6 +623,10 @@ def run_benchmark() -> dict:
         "revenue_nations": rev_rows,
         "asof_rows": n_asof,
         "window_rows": n_window,
+        "sliding_rows": n_sliding,
+        "promo_anchors": n_promo,
+        "gopher_docs": n_gopher,
+        "onion_layer_count": int(onion_l.max()) if len(onion_l) else 0,
         "packed_seqs": n_seqs,
         "repo_vertices": n_repo_vertices,
         "repo_edges": n_repo_edges,
