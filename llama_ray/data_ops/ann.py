@@ -711,6 +711,55 @@ def pq_encode(
     ``code_id`` = the founding seed's ``vec_id`` (the
     :func:`kmeans_quantized` convention), ``score`` the winning int64
     subspace dot."""
+    emb, seed_ids, C, sd = _pq_train(
+        emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+
+    c_ref = ray.put((seed_ids, C))
+
+    def encode(batch: pa.Table) -> dict:
+        n = batch.num_rows
+        if n == 0 or vec_col not in batch.schema.names:
+            return {
+                "vec_id": np.empty(0, np.int64),
+                "subspace": np.empty(0, np.int64),
+                "code_id": np.empty(0, np.int64),
+                "score": np.empty(0, np.int64),
+            }
+        sids, cb = ray.get(c_ref)
+        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
+        ids = batch_to_numpy(batch, id_col).astype(np.int64)
+        out_id, out_sp, out_code, out_sc = [], [], [], []
+        for s in range(m):
+            sub = qv[:, s * sd : (s + 1) * sd]
+            scores = sub @ cb[s].T
+            best = np.argmax(scores, axis=1)
+            out_id.append(ids)
+            out_sp.append(np.full(n, s, np.int64))
+            out_code.append(sids[best])
+            out_sc.append(scores[np.arange(n), best])
+        return {
+            "vec_id": np.concatenate(out_id),
+            "subspace": np.concatenate(out_sp),
+            "code_id": np.concatenate(out_code),
+            "score": np.concatenate(out_sc),
+        }
+
+    return emb.map_batches(encode, batch_format="pyarrow")
+
+
+def _pq_train(
+    emb: rd.Dataset,
+    *,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+):
+    """Shared PQ codebook training (see :func:`pq_encode`): returns
+    ``(materialized emb, sorted seed ids, C[m, k, sd], sd)``."""
     from ..common import per_block_results
 
     seeds_tbl = (
@@ -769,37 +818,98 @@ def pq_encode(
             nz[:, :, None], S // np.maximum(cnt, 1)[:, :, None], C
         )
 
-    c_ref = ray.put((seed_ids, C))
+    return emb, seed_ids, C, sd
 
-    def encode(batch: pa.Table) -> dict:
-        n = batch.num_rows
-        if n == 0 or vec_col not in batch.schema.names:
-            return {
-                "vec_id": np.empty(0, np.int64),
-                "subspace": np.empty(0, np.int64),
-                "code_id": np.empty(0, np.int64),
-                "score": np.empty(0, np.int64),
-            }
-        sids, cb = ray.get(c_ref)
-        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
-        ids = batch_to_numpy(batch, id_col).astype(np.int64)
-        out_id, out_sp, out_code, out_sc = [], [], [], []
+
+def knn_pq(
+    emb: rd.Dataset,
+    *,
+    num_queries: int = 8,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> "pa.Table":
+    """PQ asymmetric-distance k-NN (the ADC search of Jégou et al.
+    2011): the ``num_queries`` smallest-id vectors each rank the whole
+    corpus by the PQ-compressed inner product Σ_s ⟨q_s, codeword(x,s)⟩
+    and keep the ``topk`` (score desc, vec_id asc — self included).
+
+    All integer: codebooks from :func:`_pq_train`, the per-query
+    (m×k) LUT is built once on the driver and broadcast; each corpus
+    batch encodes its codes (one int64 matmul per subspace) and scores
+    ALL queries with one LUT gather — compressed-domain search, no
+    shuffle, per-batch top-k partials merged on the driver (O(nq·topk)
+    rows ever collected)."""
+    from ..common import per_block_results
+
+    emb, seed_ids, C, sd = _pq_train(
+        emb, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    q_tbl = (
+        emb.select_columns([id_col, vec_col]).sort(id_col).limit(num_queries).to_pandas()
+    )
+    q_ids = q_tbl[id_col].to_numpy().astype(np.int64)
+    qorder = np.argsort(q_ids)
+    q_ids = q_ids[qorder]
+    qm = np.stack(
+        [np.asarray(v, np.float64) for v in q_tbl[vec_col].to_numpy()[qorder]]
+    )
+    qq = np.floor(qm * scale + 0.5).astype(np.int64)
+    nq = len(q_ids)
+    # LUT[q, s, j] = <query q's subvector s, codeword j of subspace s>
+    lut = np.stack(
+        [qq[:, s * sd : (s + 1) * sd] @ C[s].T for s in range(m)], axis=1
+    )
+    state = ray.put((lut, C))
+
+    def part(tbl: pa.Table):
+        if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+            return None
+        n = tbl.num_rows
+        lut_, cb = ray.get(state)
+        qv = np.floor(_as_matrix(tbl, vec_col, n) * scale + 0.5).astype(np.int64)
+        ids = batch_to_numpy(tbl, id_col).astype(np.int64)
+        scores = np.zeros((nq, n), np.int64)
         for s in range(m):
-            sub = qv[:, s * sd : (s + 1) * sd]
-            scores = sub @ cb[s].T
-            best = np.argmax(scores, axis=1)
-            out_id.append(ids)
-            out_sp.append(np.full(n, s, np.int64))
-            out_code.append(sids[best])
-            out_sc.append(scores[np.arange(n), best])
-        return {
-            "vec_id": np.concatenate(out_id),
-            "subspace": np.concatenate(out_sp),
-            "code_id": np.concatenate(out_code),
-            "score": np.concatenate(out_sc),
-        }
+            codes = np.argmax(qv[:, s * sd : (s + 1) * sd] @ cb[s].T, axis=1)
+            scores += lut_[:, s, codes]
+        kk = min(topk, n)
+        # per-query local top-k: (score desc, vec_id asc)
+        out = []
+        for qi in range(nq):
+            o = np.lexsort((ids, -scores[qi]))[:kk]
+            out.append((ids[o], scores[qi][o]))
+        return out
 
-    return emb.map_batches(encode, batch_format="pyarrow")
+    best_ids = [np.empty(0, np.int64)] * nq
+    best_sc = [np.empty(0, np.int64)] * nq
+    for p in per_block_results(emb, part):
+        if p is None:
+            continue
+        for qi, (pi, ps) in enumerate(p):
+            ci = np.concatenate([best_ids[qi], pi])
+            cs = np.concatenate([best_sc[qi], ps])
+            o = np.lexsort((ci, -cs))[:topk]
+            best_ids[qi], best_sc[qi] = ci[o], cs[o]
+    cols = {"query_id": [], "rank": [], "vec_id": [], "score": []}
+    for qi in range(nq):
+        for r in range(len(best_ids[qi])):
+            cols["query_id"].append(int(q_ids[qi]))
+            cols["rank"].append(r + 1)
+            cols["vec_id"].append(int(best_ids[qi][r]))
+            cols["score"].append(int(best_sc[qi][r]))
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "rank": pa.array(cols["rank"], pa.int64()),
+            "vec_id": pa.array(cols["vec_id"], pa.int64()),
+            "score": pa.array(cols["score"], pa.int64()),
+        }
+    )
 
 
 # ---------------------------------------------- quantized Gram / PCA

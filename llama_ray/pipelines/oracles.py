@@ -1070,14 +1070,14 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, clus
 WHERE rn = 1"""
 
 
-def pq_encode_sql(m: int = 4, k: int = 16, dim: int = 64, scale: int = 1 << 16) -> str:
-    """Mirror of data_ops.ann.pq_encode (one Lloyd iteration per
-    subspace codebook, then encode): the kmeans_quantized_sql integer
-    pipeline lifted to a (subspace, code) key via list_slice."""
+def _pq_ctes(m: int, k: int, dim: int, scale: int) -> str:
+    """Shared CTE prefix of the PQ oracles: quantize, slice into
+    subspaces, one Lloyd round per (subspace, code), final codebook
+    ``cf`` and reassignment scores ``d1``."""
     q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT))"
     sd = dim // m
     M = 1 << 20
-    return f"""WITH s AS (
+    return f"""s AS (
   SELECT vec_id AS code_id, {q} AS qs
   FROM embeddings ORDER BY vec_id LIMIT {k}),
 v AS (SELECT vec_id, {q} AS qv FROM embeddings),
@@ -1109,10 +1109,45 @@ cf AS (
 d1 AS (
   SELECT vs.vec_id, vs.sp, cf.code_id,
          CAST(list_sum(list_transform(list_zip(vs.q, cf.cv), p -> p[1] * p[2])) AS BIGINT) AS score
-  FROM vs JOIN cf ON cf.sp = vs.sp)
+  FROM vs JOIN cf ON cf.sp = vs.sp)"""
+
+
+def pq_encode_sql(m: int = 4, k: int = 16, dim: int = 64, scale: int = 1 << 16) -> str:
+    """Mirror of data_ops.ann.pq_encode (one Lloyd iteration per
+    subspace codebook, then encode): the kmeans_quantized_sql integer
+    pipeline lifted to a (subspace, code) key via list_slice."""
+    return f"""WITH {_pq_ctes(m, k, dim, scale)}
 SELECT vec_id, CAST(sp AS BIGINT) AS subspace, code_id, score
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp ORDER BY score DESC, code_id ASC) AS rn FROM d1)
 WHERE rn = 1"""
+
+
+def knn_pq_sql(
+    nq: int = 8, topk: int = 10, m: int = 4, k: int = 16,
+    dim: int = 64, scale: int = 1 << 16,
+) -> str:
+    """Mirror of data_ops.ann.knn_pq: asymmetric-distance search —
+    every corpus vector's final PQ codes scored against the nq
+    smallest-id query vectors via Σ_s ⟨q_s, codeword⟩, top-k per query
+    by (score desc, vec_id)."""
+    return f"""WITH {_pq_ctes(m, k, dim, scale)},
+codes AS (
+  SELECT vec_id, sp, code_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp ORDER BY score DESC, code_id ASC) AS rn FROM d1)
+  WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq}),
+qvs AS (SELECT vs.vec_id AS query_id, vs.sp, vs.q
+        FROM vs JOIN qs ON qs.query_id = vs.vec_id),
+adc AS (
+  SELECT qvs.query_id, c.vec_id,
+         CAST(SUM(list_sum(list_transform(list_zip(qvs.q, cf.cv), p -> p[1] * p[2]))) AS BIGINT) AS score
+  FROM codes c
+  JOIN cf ON cf.sp = c.sp AND cf.code_id = c.code_id
+  JOIN qvs ON qvs.sp = c.sp
+  GROUP BY 1, 2)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank FROM adc)
+WHERE rank <= {topk}"""
 
 
 def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:

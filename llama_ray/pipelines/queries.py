@@ -1305,6 +1305,21 @@ def q_vec_pq(sf_dir: str):
     return pq_encode(emb, m=4, k=16, iters=1)
 
 
+def q_knn_pq(sf_dir: str):
+    """PQ asymmetric-distance k-NN: the 8 smallest-id vectors rank the
+    corpus by the compressed inner product Σ_s ⟨q_s, codeword(x, s)⟩
+    (top-10, score desc / vec_id asc) — compressed-domain search over
+    the vec_pq codebooks, integer-exact (see
+    ``data_ops.ann.knn_pq``)."""
+    from ..data_ops.ann import knn_pq
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return knn_pq(emb, num_queries=8, topk=10, m=4, k=16, iters=1)
+
+
 def q_knn_cosine(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     """Brute-force cosine top-k: broadcast the query matrix, per-batch
     float64 matmul + per-batch top-k partials, final top-k on the

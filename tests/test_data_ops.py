@@ -1628,3 +1628,54 @@ def test_pq_encode_matches_numpy_lloyd_any_layout(ray_session):
             base = out
         else:
             assert out.equals(base)
+
+
+def test_knn_pq_matches_dense_adc_any_layout(ray_session):
+    """ADC top-k equals a dense numpy replay (train → encode → LUT →
+    rank) and is identical across block layouts — exercises the
+    per-block top-k partial merge."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.ann import knn_pq
+
+    rng = np.random.default_rng(13)
+    n, d, m, k, nq, topk, scale = 120, 16, 4, 6, 5, 7, 1 << 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [{"vec_id": int(i), "embedding": vecs[i].tolist()} for i in range(n)]
+
+    qv = np.floor(vecs.astype(np.float64) * scale + 0.5).astype(np.int64)
+    sd = d // m
+    C = qv[:k].reshape(k, m, sd).transpose(1, 0, 2).copy()
+    for s in range(m):
+        sub = qv[:, s * sd : (s + 1) * sd]
+        A = np.argmax(sub @ C[s].T, axis=1)
+        for j in range(k):
+            mbr = sub[A == j]
+            if len(mbr):
+                C[s, j] = mbr.sum(axis=0) // len(mbr)
+    codes = np.stack(
+        [np.argmax(qv[:, s * sd : (s + 1) * sd] @ C[s].T, axis=1) for s in range(m)],
+        axis=1,
+    )
+    exp = {}
+    for q in range(nq):
+        sc = np.zeros(n, np.int64)
+        for s in range(m):
+            lut = qv[q, s * sd : (s + 1) * sd] @ C[s].T
+            sc += lut[codes[:, s]]
+        o = np.lexsort((np.arange(n), -sc))[:topk]
+        exp[q] = [(int(i), int(sc[i])) for i in o]
+
+    base = None
+    for nb in (1, 7, 17):
+        out = knn_pq(
+            rd.from_items(rows).repartition(nb),
+            num_queries=nq, topk=topk, m=m, k=k, iters=1,
+        ).to_pandas()
+        for q in range(nq):
+            got = out[out["query_id"] == q].sort_values("rank")
+            assert [(int(r["vec_id"]), int(r["score"])) for _, r in got.iterrows()] == exp[q]
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base)
