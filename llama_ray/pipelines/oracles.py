@@ -3160,6 +3160,42 @@ SELECT event_id, user_id, ts_u,
 FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_u, event_id)"""
 
 
+def events_hourly_anomaly_sql() -> str:
+    """Mirror of queries.q_events_hourly_anomaly (identical double
+    expression tree over identical integer moments; 3σ flag)."""
+    return """WITH t AS (
+  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws
+  FROM events),
+b AS (SELECT event_type, ws, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h,
+             CAST(SUM(n) AS BIGINT) AS sn, CAST(SUM(n*n) AS BIGINT) AS ssn
+      FROM b GROUP BY 1),
+z AS (SELECT b.event_type, b.ws, b.n,
+             CAST(s.sn AS DOUBLE) / s.h AS mean,
+             (CAST(s.ssn AS DOUBLE) - CAST(s.sn AS DOUBLE) * s.sn / s.h) / s.h AS var
+      FROM b JOIN s USING (event_type))
+SELECT event_type, ws AS window_start, n,
+       ROUND(CASE WHEN var > 0 THEN (n - mean) * (n - mean) / var ELSE 0 END, 6) AS z2,
+       CAST(CASE WHEN var > 0 AND (n - mean) * (n - mean) > 9 * var
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM z"""
+
+
+def events_rollup_sql() -> str:
+    """Mirror of queries.q_events_rollup (ROLLUP grouping sets;
+    sentinels 'ALL'/-1 for the rolled-up keys, integer micro-units)."""
+    return """WITH t AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val_u) AS BIGINT) AS value_u
+FROM t GROUP BY ROLLUP(event_type, day)"""
+
+
 def events_promo_windows_sql(k: int = 50, window_us: int = 1_800_000_000) -> str:
     """Mirror of queries.q_events_promo_windows (range join against
     the top-k anchor windows; integer micro-units, deterministic

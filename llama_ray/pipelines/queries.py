@@ -1095,6 +1095,120 @@ def q_events_hourly(sf_dir: str):
     return agg
 
 
+def q_events_hourly_anomaly(sf_dir: str):
+    """Hourly volume anomaly detection per event type: z² of each
+    tumbling-hour count against its type's mean/variance, flagged at
+    |n − μ| > 3σ.  Distributed work = the (type, hour) base count
+    (per-batch partials + one small groupby); the per-type moments are
+    integer sums over that ≤|types|·|hours| base, and every double is
+    derived by the same expression tree as the SQL twin (single
+    divisions over identical integers → bit-identical, rounded 6)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> dict:
+        ws = (
+            pc.floor_temporal(b.column("ts"), unit="hour")
+            .cast(pa.timestamp("s"))
+            .cast(pa.int64())
+        ).to_numpy(zero_copy_only=False)
+        tbl = pa.table({"event_type": b.column("event_type").combine_chunks(), "ws": ws})
+        k = tbl.group_by(["event_type", "ws"]).aggregate([("ws", "count")])
+        return {
+            "event_type": k.column("event_type").to_numpy(zero_copy_only=False),
+            "ws": k.column("ws").to_numpy(zero_copy_only=False),
+            "n": k.column("ws_count").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+
+    base = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "ws"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    base["n"] = base["n"].astype(np.int64)
+    out_rows = []
+    for et, grp in base.groupby("event_type"):
+        n = grp["n"].to_numpy()
+        h = len(n)
+        sn = int(n.sum())
+        ssn = int((n * n).sum())
+        mean = float(sn) / h
+        var = (float(ssn) - float(sn) * sn / h) / h
+        for ws, ni in zip(grp["ws"].to_numpy(), n):
+            d = ni - mean
+            z2 = d * d / var if var > 0 else 0.0
+            out_rows.append(
+                (
+                    et,
+                    int(ws),
+                    int(ni),
+                    float(np.round(z2, 6)),
+                    1 if (var > 0 and d * d > 9 * var) else 0,
+                )
+            )
+    return pd.DataFrame(
+        out_rows, columns=["event_type", "window_start", "n", "z2", "is_anomaly"]
+    )
+
+
+def q_events_rollup(sf_dir: str):
+    """Grouping-sets aggregate — ``GROUP BY ROLLUP(event_type, day)``:
+    per (type, day), per type, and grand-total event counts + value
+    sums in one pass.  The distributed work is the fine-grained
+    (type, day) base aggregate (per-batch partial combine → one small
+    groupby shuffle, ≤ |types|·|days| rows); the coarser levels are an
+    exact integer driver fold of that base — the correct 100-TB shape
+    (never aggregate the raw stream once per grouping set).  Values in
+    micro-units; NULL group keys as sentinels ('ALL' / -1)."""
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> dict:
+        day = (
+            pc.floor_temporal(b.column("ts"), unit="day")
+            .cast(pa.timestamp("s"))
+            .cast(pa.int64())
+        ).to_numpy(zero_copy_only=False) // 86400
+        et = b.column("event_type").combine_chunks()
+        v = np.floor(batch_to_numpy(b, "value") * 1e6 + 0.5).astype(np.int64)
+        tbl = pa.table({"event_type": et, "day": day, "val_u": v})
+        # in-batch partial combine: ≤ |types|·|days| rows leave
+        import pyarrow.compute as _pc
+
+        keys = tbl.group_by(["event_type", "day"]).aggregate(
+            [("val_u", "sum"), ("val_u", "count")]
+        )
+        return {
+            "event_type": keys.column("event_type").to_numpy(zero_copy_only=False),
+            "day": keys.column("day").to_numpy(zero_copy_only=False),
+            "val_u": keys.column("val_u_sum").to_numpy(zero_copy_only=False),
+            "n": keys.column("val_u_count").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+
+    base = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("val_u", alias_name="value_u"))
+        .to_pandas()
+    )
+    base["n"] = base["n"].astype(np.int64)
+    base["value_u"] = base["value_u"].astype(np.int64)
+    lvl1 = base.groupby("event_type", as_index=False)[["n", "value_u"]].sum()
+    lvl1["day"] = -1
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": [-1],
+            "n": [base["n"].sum()],
+            "value_u": [base["value_u"].sum()],
+        }
+    )
+    out = pd.concat(
+        [base, lvl1[["event_type", "day", "n", "value_u"]], total],
+        ignore_index=True,
+    )
+    return out[["event_type", "day", "n", "value_u"]]
+
+
 def q_doc_minhash_clusters(sf_dir: str):
     """MinHash-LSH near-dup clusters over documents (no SQL oracle —
     sketch-based; verified on constructed near-dups in tests)."""
