@@ -273,6 +273,253 @@ def vocab_topk(docs: rd.Dataset, *, k: int = 100) -> rd.Dataset:
     )
 
 
+def _string_byte_matrix(col, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 matrix padded with 0, per-row byte lengths) of an ASCII
+    string array — one buffer view + one scatter, no per-row Python.
+    Raises on non-ASCII (the edit-distance contract: byte positions =
+    character positions)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, max_len), np.uint8), np.zeros(0, np.int64)
+    arr = col.cast(pa.large_string())
+    offs = np.frombuffer(arr.buffers()[1], np.int64, n + 1, arr.offset * 8)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    w = np.diff(offs)
+    if int(w.sum()) and data[offs[0] : offs[-1]].max() >= 128:
+        raise ValueError("_string_byte_matrix: non-ASCII token")
+    if w.max(initial=0) > max_len:
+        raise ValueError("_string_byte_matrix: token longer than max_len")
+    M = np.zeros((n, max_len), np.uint8)
+    total = int(w.sum())
+    rows = np.repeat(np.arange(n, dtype=np.int64), w)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(w) - w, w)
+    src = np.repeat(offs[:-1], w) + cols
+    M[rows, cols] = data[src]
+    return M, w.astype(np.int64)
+
+
+def _levenshtein_vec(
+    A: np.ndarray, wa: np.ndarray, B: np.ndarray, wb: np.ndarray, max_len: int
+) -> np.ndarray:
+    """Exact Levenshtein distance of n string pairs given as padded
+    byte matrices — the classic two-row DP run simultaneously for ALL
+    pairs (O(max_len²) numpy vector ops per batch, no per-pair
+    Python)."""
+    n = len(wa)
+    dist = wb.astype(np.int32).copy()  # rows with wa == 0
+    prev = np.tile(np.arange(max_len + 1, dtype=np.int32), (n, 1))
+    for i in range(1, max_len + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]
+        cost = (ai != B[:, :max_len]).astype(np.int32)
+        for j in range(1, max_len + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+        done = wa == i
+        if done.any():
+            dist[done] = cur[done, wb[done]]
+        prev = cur
+    return dist
+
+
+def edit_distance_pairs(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 20,
+    max_distance: int = 2,
+) -> rd.Dataset:
+    """String-similarity self-join over the corpus vocabulary: every
+    pair of distinct (lowercased, whitespace) tokens within Levenshtein
+    distance ``max_distance`` (1 or 2) — the SymSpell
+    deletion-neighborhood join (Garbe 2012) used for typo/variant
+    mining in data cleaning.
+
+    Plan: distinct tokens via per-batch ``value_counts`` partials +
+    the sorted run-reduce merge; each token emits its own string plus
+    every ≤``max_distance``-deletion variant (one vectorized
+    byte-matrix slice per deletion position — numpy passes only, no
+    per-token Python); ONE range sort by (variant, token) co-locates
+    candidates, complete runs expand to ordered pairs block-locally
+    (position-within-run arithmetic), the ≤2 boundary runs per block
+    resolve in a driver pass; pairs dedup by the sorted run-reduce and
+    a final vectorized DP verifier keeps pairs with true distance in
+    [1, max_distance] (the deletion neighborhood over-generates — e.g.
+    shared deletions at different positions).
+
+    ASCII corpus contract (byte = char); raises loudly otherwise."""
+    import pyarrow.compute as pc
+
+    from ..common import check_boundary_size, group_sum_sorted, per_block_results
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, _, data = _tokenize_batch(batch.column(text_col), lower=True)
+        vc = pc.value_counts(_tokens_string_array(starts, lens, data))
+        toks = vc.field("values")
+        ln = pc.utf8_length(toks)
+        keep = pc.and_(pc.greater_equal(ln, min_len), pc.less_equal(ln, max_len))
+        toks = toks.filter(keep)
+        return pa.table(
+            {"token": toks, "cnt": pa.array(np.ones(len(toks), np.int64))}
+        )
+
+    vocab = group_sum_sorted(
+        docs.select_columns([text_col]).map_batches(distinct_part, batch_format="pyarrow"),
+        "token",
+        ["cnt"],
+    ).select_columns(["token"])
+
+    if max_distance not in (1, 2):
+        raise ValueError("edit_distance_pairs: max_distance must be 1 or 2")
+
+    def variants(b: pa.Table) -> pa.Table:
+        toks = b.column("token").combine_chunks()
+        n = len(toks)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.string()), "token": toks})
+        M, w = _string_byte_matrix(toks, max_len)
+        pieces = [(M, w, np.arange(n, dtype=np.int64))]
+        frontier = pieces[:]
+        for _d in range(max_distance):
+            nxt = []
+            for Mx, wx, ix in frontier:
+                for p in range(Mx.shape[1]):
+                    sel = wx > p
+                    if not sel.any():
+                        continue
+                    Mp = np.concatenate([Mx[sel, :p], Mx[sel, p + 1 :]], axis=1)
+                    nxt.append((Mp, wx[sel] - 1, ix[sel]))
+            pieces += nxt
+            frontier = nxt
+        # pad every piece to max_len, dedupe (token, variant) rows —
+        # equal chars make many deletion orders collide
+        R = sum(len(px[1]) for px in pieces)
+        V = np.zeros((R, max_len), np.uint8)
+        wv = np.empty(R, np.int64)
+        iv = np.empty(R, np.int64)
+        at = 0
+        for Mx, wx, ix in pieces:
+            r = len(wx)
+            V[at : at + r, : Mx.shape[1]] = Mx
+            wv[at : at + r] = wx
+            iv[at : at + r] = ix
+            at += r
+        key = np.concatenate(
+            [iv.astype("<i8").view(np.uint8).reshape(R, 8), V], axis=1
+        )
+        _u, first = np.unique(
+            np.ascontiguousarray(key).view([("k", f"V{key.shape[1]}")]).ravel(),
+            return_index=True,
+        )
+        V, wv, iv = V[first], wv[first], iv[first]
+        mask = np.arange(max_len)[None, :] < wv[:, None]
+        flat = V[mask]
+        cum = np.concatenate([[0], np.cumsum(wv)]).astype(np.int32)
+        varr = pa.Array.from_buffers(
+            pa.string(),
+            len(wv),
+            [None, pa.py_buffer(cum.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table({"v": varr, "token": toks.take(pa.array(iv))})
+
+    srt = (
+        vocab.map_batches(variants, batch_format="pyarrow")
+        .sort(["v", "token"])
+        .materialize()
+    )
+
+    def run_pairs(tbl: pa.Table) -> pa.Table:
+        """Ordered candidate pairs of complete (and given) v-runs:
+        each row pairs with every earlier row of its run."""
+        empty = pa.table(
+            {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string())}
+        )
+        m = tbl.num_rows
+        if m == 0:
+            return empty
+        v = tbl.column("v").combine_chunks()
+        t = tbl.column("token").combine_chunks()
+        new = np.ones(m, bool)
+        neq = pc.not_equal(v.slice(1), v.slice(0, m - 1))
+        new[1:] = neq.to_numpy(zero_copy_only=False)
+        run_start = np.repeat(
+            np.flatnonzero(new), np.diff(np.append(np.flatnonzero(new), m))
+        )
+        q = np.arange(m, dtype=np.int64) - run_start
+        total = int(q.sum())
+        if total == 0:
+            return empty
+        base = np.cumsum(q) - q
+        pos = np.arange(total, dtype=np.int64) - np.repeat(base, q)
+        partner = np.repeat(run_start, q) + pos
+        selfi = np.repeat(np.arange(m, dtype=np.int64), q)
+        a = t.take(pa.array(partner))
+        bb = t.take(pa.array(selfi))
+        keep = pc.not_equal(a, bb)
+        return pa.table({"tok_a": a.filter(keep), "tok_b": bb.filter(keep)})
+
+    def interior(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return run_pairs(tbl.slice(0, 0))
+        v = tbl.column("v").combine_chunks()
+        first, last = v[0], v[len(v) - 1]
+        inner = pc.and_(pc.not_equal(v, first), pc.not_equal(v, last))
+        return run_pairs(tbl.filter(inner))
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+
+    def edge_runs(tbl: pa.Table):
+        if tbl.num_rows == 0 or "v" not in tbl.schema.names:
+            return None
+        v = tbl.column("v").combine_chunks()
+        m = tbl.filter(
+            pc.or_(pc.equal(v, v[0]), pc.equal(v, v[len(v) - 1]))
+        )
+        return m if m.num_rows else None
+
+    parts = [t for t in per_block_results(srt, edge_runs) if t is not None]
+    if parts:
+        edge = pa.concat_tables(parts)
+        check_boundary_size(edge.num_rows, "edit_distance_pairs")
+        ep = run_pairs(edge)
+        if ep.num_rows:
+            main = main.union(rd.from_arrow(ep))
+
+    # global pair dedup: sorted run-reduce over a composed key
+    def key_part(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(b.column("tok_a"), b.column("tok_b"), "\x00")
+        return pa.table({"k": k, "cnt": pa.array(np.ones(b.num_rows, np.int64))})
+
+    distinct = group_sum_sorted(
+        main.map_batches(key_part, batch_format="pyarrow"), "k", ["cnt"]
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string())}
+        )
+        if b.num_rows == 0:
+            return empty
+        parts_ = pc.split_pattern(b.column("k"), "\x00")
+        a = pc.list_element(parts_, 0).combine_chunks()
+        c = pc.list_element(parts_, 1).combine_chunks()
+        A, wa = _string_byte_matrix(a, max_len)
+        B, wb = _string_byte_matrix(c, max_len)
+        d = _levenshtein_vec(A, wa.astype(np.int32), B, wb.astype(np.int32), max_len)
+        keep = pa.array((d >= 1) & (d <= max_distance))
+        return pa.table({"tok_a": a.filter(keep), "tok_b": c.filter(keep)})
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
 def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     """Exact discrete quantiles of an integer column via the histogram
     method: per-batch value_counts → one ``groupby(value).sum``

@@ -2708,6 +2708,36 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def vocab_edit_pairs_sql(min_len: int = 2, max_len: int = 20, max_distance: int = 2) -> str:
+    """Mirror of data_ops.text.edit_distance_pairs: the same ≤2-deletion
+    neighborhood (self, every single deletion, every deletion pair)
+    self-joined, verified with DuckDB's levenshtein."""
+    d2 = (
+        """
+  UNION ALL
+  SELECT tok, substr(tok, 1, i) || substr(tok, i + 2, j - i - 1) || substr(tok, j + 2) AS v
+  FROM pos2"""
+        if max_distance >= 2
+        else ""
+    )
+    return f"""WITH toks0 AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT tok FROM toks0 WHERE len(tok) BETWEEN {min_len} AND {max_len}),
+pos AS (SELECT tok, unnest(range(len(tok))) AS i FROM toks),
+pos2 AS (SELECT tok, i, j FROM (
+  SELECT tok, i, unnest(range(len(tok))) AS j FROM pos) WHERE j > i),
+var AS MATERIALIZED (
+  SELECT tok, tok AS v FROM toks
+  UNION ALL
+  SELECT tok, substr(tok, 1, i) || substr(tok, i + 2) AS v FROM pos{d2}),
+p AS (SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      FROM var a JOIN var b ON a.v = b.v AND a.tok < b.tok)
+SELECT tok_a, tok_b FROM p
+WHERE levenshtein(tok_a, tok_b) BETWEEN 1 AND {max_distance}"""
+
+
 def doc_gopher_filter_sql(
     min_words: int = 50,
     max_words: int = 100_000,

@@ -2561,6 +2561,22 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_vocab_edit_pairs(sf_dir: str):
+    """String-similarity self-join: all distinct vocabulary token
+    pairs within Levenshtein distance 2 (SymSpell depth-2
+    deletion-neighborhood join — typo/variant mining; see
+    ``data_ops.text.edit_distance_pairs``)."""
+    from ..data_ops.text import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["text"])
+    res = edit_distance_pairs(docs, min_len=2, max_distance=2).materialize()
+    if res.count() == 0:  # keep the schema on an empty result
+        return pa.table(
+            {"tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string())}
+        )
+    return res
+
+
 def q_doc_gopher_filter(sf_dir: str):
     """Composite Gopher/C4-style quality filter: per doc the 5-rule
     reason bitmask (word count, mean word length, stop-word floor,

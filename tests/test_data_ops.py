@@ -1679,3 +1679,44 @@ def test_knn_pq_matches_dense_adc_any_layout(ray_session):
             base = out
         else:
             assert out.equals(base)
+
+
+def test_edit_distance_pairs_matches_brute_force(ray_session):
+    """Deletion-neighborhood join vs brute-force Levenshtein over the
+    corpus vocabulary, at distance 1 and 2, across layouts."""
+    import itertools
+
+    import ray.data as rd
+
+    from llama_ray.data_ops.text import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j] + [0] * len(a)
+            for i, ca in enumerate(a, 1):
+                cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    docs = [
+        "the cat sat cart cast cats bat bath abc cab acb",
+        "word wordy sword words ward work fork form farm xy",
+        "hello hallo hell help helm held wordx the cat aaaa aab",
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    toks = sorted({t for d in docs for t in d.lower().split() if 2 <= len(t) <= 20})
+    for dist in (1, 2):
+        exp = sorted(
+            (a, b)
+            for a, b in itertools.combinations(toks, 2)
+            if 1 <= lev(a, b) <= dist
+        )
+        for nb in (1, 3):
+            out = edit_distance_pairs(
+                ds.repartition(nb), min_len=2, max_distance=dist
+            ).to_pandas()
+            got = sorted(zip(out["tok_a"], out["tok_b"]))
+            assert got == exp, (dist, nb)
