@@ -697,6 +697,61 @@ def running_window(
     return rd.from_arrow_refs(refs)
 
 
+# ----------------------------------------------------------- NTILE
+
+
+def ntile(
+    ds: rd.Dataset,
+    *,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bucket",
+) -> rd.Dataset:
+    """Global ``NTILE(k) OVER (ORDER BY order_cols)``: every row's
+    1-based quantile bucket under a total order (make ``order_cols``
+    unique — e.g. append the row id — so peers are deterministic).
+
+    ONE distributed range sort; per-block row counts chain into global
+    rank offsets on the driver (O(blocks) scalars), then each block
+    assigns buckets with the exact SQL NTILE split (first ``n % k``
+    buckets one row larger).  No row ever reaches the driver."""
+    _, ds = _as_arrow(ds)
+    srt = ds.sort(order_cols).materialize()
+    schema = srt.schema().base_schema
+
+    counts = per_block_results(srt, lambda t: t.num_rows)
+    counts = [c or 0 for c in counts]
+    n = int(sum(counts))
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    q, r = divmod(n, k) if n else (0, 0)
+
+    out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
+
+    def fill(tbl: pa.Table, off: int) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        rank = off + np.arange(1, m + 1, dtype=np.int64)
+        cut = r * (q + 1)
+        if q == 0:
+            bucket = rank  # n < k: row i lands in bucket i
+        else:
+            bucket = np.where(
+                rank <= cut,
+                -(-rank // (q + 1)),
+                r + (-(-(rank - cut) // q)),
+            )
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(bucket.astype(np.int64)))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill)
+    refs = [
+        task.remote(b, int(o)) for b, o in zip(srt.to_arrow_refs(), offsets)
+    ]
+    return rd.from_arrow_refs(refs)
+
+
 # ------------------------------------------- range-frame sliding window
 
 

@@ -3211,6 +3211,16 @@ SELECT event_type, ws AS window_start, n,
 FROM z"""
 
 
+def events_ntile_sql(k: int = 4) -> str:
+    """Mirror of queries.q_events_ntile (unique order → exact NTILE)."""
+    return f"""WITH t AS (
+  SELECT event_id, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events)
+SELECT event_id, val_u,
+       CAST(NTILE({k}) OVER (ORDER BY val_u, event_id) AS BIGINT) AS bucket
+FROM t"""
+
+
 def events_rollup_sql() -> str:
     """Mirror of queries.q_events_rollup (ROLLUP grouping sets;
     sentinels 'ALL'/-1 for the rolled-up keys, integer micro-units)."""

@@ -2479,6 +2479,32 @@ def q_events_sliding_window(sf_dir: str, *, window_us: int = 21_600_000_000):
     return win.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_ntile(sf_dir: str, *, k: int = 4):
+    """Global quantile bucketing: NTILE(4) of every event by value
+    under the deterministic (val_u, event_id) total order — one
+    distributed sort, per-block rank offsets chained on the driver
+    (see ``data_ops.relational.ntile``)."""
+    from ..data_ops.relational import ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = batch_to_numpy(b, "value")
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ntile(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        order_cols=["val_u", "event_id"],
+        k=k,
+        out_col="bucket",
+    )
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-join relational pipeline (TPC-H Q5 shape): revenue per
     customer nation = lineitem ⋈ orders (fact-fact, the distributed
