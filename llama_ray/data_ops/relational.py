@@ -752,6 +752,36 @@ def ntile(
     return rd.from_arrow_refs(refs)
 
 
+def global_ranks(
+    ds: rd.Dataset,
+    *,
+    order_cols: list[str],
+    out_col: str = "rn",
+) -> rd.Dataset:
+    """Dense 1-based global row numbers under a total order —
+    ``ROW_NUMBER() OVER (ORDER BY order_cols)`` (make the order unique
+    for determinism).  One range sort; per-block counts chain into
+    rank offsets on the driver (O(blocks) scalars)."""
+    _, ds = _as_arrow(ds)
+    srt = ds.sort(order_cols).materialize()
+    schema = srt.schema().base_schema
+    counts = [c or 0 for c in per_block_results(srt, lambda t: t.num_rows)]
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
+
+    def fill(tbl: pa.Table, off: int) -> pa.Table:
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(off + np.arange(1, m + 1, dtype=np.int64)))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill)
+    refs = [task.remote(b, int(o)) for b, o in zip(srt.to_arrow_refs(), offsets)]
+    return rd.from_arrow_refs(refs)
+
+
 # ------------------------------------------- range-frame sliding window
 
 

@@ -1208,6 +1208,26 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def config_model_sql(seed: int = 20260820) -> str:
+    """Mirror of queries.q_config_model: the same splitmix64 stub
+    ranks (ORDER BY unsigned hash, src, dst), rank-matched, pair
+    multiplicities."""
+    gold = 0x9E3779B97F4A7C15
+    raw = lambda s: (  # noqa: E731
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({s} AS HUGEINT))"
+    )
+    return f"""WITH {GRAPH_CTES},
+ro AS (SELECT src, dst, {raw(seed)} AS h FROM e),
+{_mix64_ctes("ro", "src, dst", prefix="co")},
+ri AS (SELECT src, dst, {raw(seed + 1)} AS h FROM e),
+{_mix64_ctes("ri", "src, dst", prefix="ci")},
+o AS (SELECT src, ROW_NUMBER() OVER (ORDER BY h, src, dst) AS rn FROM co5),
+i AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY h, src, dst) AS rn FROM ci5)
+SELECT o.src, i.dst, CAST(COUNT(*) AS BIGINT) AS m
+FROM o JOIN i USING (rn) GROUP BY 1, 2"""
+
+
 def onion_sql() -> str:
     """Mirror of algos.kcore.onion_layers: wave peeling on the
     canonical undirected simple graph as a state-carrying recursive

@@ -434,6 +434,71 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_config_model(sf_dir: str, *, seed: int = 20260820):
+    """Degree-preserving rewiring (directed configuration model, the
+    null model for motif significance): every edge contributes one
+    out-stub (its src) and one in-stub (its dst); stubs are matched by
+    deterministic splitmix64 rank — new edge i joins the i-th out-stub
+    to the i-th in-stub.  Out/in degree sequences are preserved
+    exactly; collisions stay as multiplicities (the honest multigraph
+    semantics).  Two global-rank passes + one rank equi-join + the
+    sort/run-dedup count — all engine primitives, no driver rows."""
+    from ..data_ops.dedup import _GOLD, _mix64
+    from ..data_ops.relational import global_ranks, sort_merge_join
+
+    edges = _cached_dedup_edges(sf_dir)
+
+    def hashes(b: pa.Table) -> pa.Table:
+        s = batch_to_numpy(b, "src").astype(np.uint64)
+        d = batch_to_numpy(b, "dst").astype(np.uint64)
+        ho = _mix64(s * _GOLD ^ d ^ np.uint64(seed))
+        hi = _mix64(s * _GOLD ^ d ^ np.uint64(seed + 1))
+        # shifted-int64 view keeps the unsigned order under Arrow sort
+        flip = np.uint64(1 << 63)
+        return pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "ho": (ho ^ flip).view(np.int64),
+                "hi": (hi ^ flip).view(np.int64),
+            }
+        )
+
+    h = edges.map_batches(hashes, batch_format="pyarrow").materialize()
+    outs = global_ranks(
+        h.select_columns(["ho", "src", "dst"]), order_cols=["ho", "src", "dst"]
+    ).select_columns(["rn", "src"])
+    ins = (
+        global_ranks(
+            h.select_columns(["hi", "src", "dst"]), order_cols=["hi", "src", "dst"]
+        )
+        .select_columns(["rn", "dst"])
+        .map_batches(
+            lambda b: pa.table({"rn": b.column("rn"), "new_dst": b.column("dst")}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = sort_merge_join(outs, ins, left_on="rn", how="inner")
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("new_dst")})
+
+    rewired = dedup_edges(
+        joined.map_batches(as_edges, batch_format="pyarrow"), weights="count"
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+                "m": b.column("weight").cast(pa.int64()),
+            }
+        )
+
+    return rewired.map_batches(fin, batch_format="pyarrow")
+
+
 def q_onion(sf_dir: str):
     """Onion decomposition over the canonical undirected simple graph:
     per vertex the 1-based peeling-wave index (layer) and the shell

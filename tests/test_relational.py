@@ -481,3 +481,39 @@ def test_sliding_window_agg_window_wider_than_blocks(ray_session):
     ).to_pandas()
     _assert_frame_match(out, exp)
     assert (exp["w_cnt"].to_numpy() == np.arange(1, n + 1)).all()
+
+
+def test_global_ranks_and_ntile_match_pandas(ray_session):
+    from llama_ray.data_ops.relational import global_ranks, ntile
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(501, dtype=np.int64),
+            "v": rng.integers(0, 40, 501).astype(np.int64),  # heavy ties
+        }
+    )
+    exp_rank = df.sort_values(["v", "rid"]).reset_index(drop=True)
+    exp_rank["rn"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    for nb in (1, 9, 33):
+        out = (
+            global_ranks(
+                rd.from_pandas(df).repartition(nb), order_cols=["v", "rid"]
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        assert out[["rid", "v", "rn"]].equals(exp_rank[["rid", "v", "rn"]])
+        nt = ntile(
+            rd.from_pandas(df).repartition(nb), order_cols=["v", "rid"], k=4
+        ).to_pandas()
+        # SQL NTILE split: 501 = 4*125 + 1 → bucket 1 has 126 rows
+        sizes = nt["bucket"].value_counts().sort_index().to_numpy()
+        assert sizes.tolist() == [126, 125, 125, 125]
+        m = nt.merge(exp_rank, on=["rid", "v"])
+        cut = 126
+        exp_b = np.where(
+            m["rn"] <= cut, 1, 2 + (m["rn"] - cut - 1) // 125
+        )
+        assert np.array_equal(m["bucket"].to_numpy(), exp_b)
