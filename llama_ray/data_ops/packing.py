@@ -276,3 +276,106 @@ def contamination(
         }
 
     return docs.map_batches(train_scan, batch_format="pyarrow")
+
+
+def _bloom_salts(k_hashes: int) -> list[int]:
+    mask = (1 << 64) - 1
+    return [(int(_GOLD) * (j + 1)) & mask for j in range(k_hashes)]
+
+
+def contamination_bloom(
+    docs: rd.Dataset,
+    *,
+    n: int = 8,
+    seed: int = 20260818,
+    log2_bits: int = 20,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Bloom-filter contamination audit — the memory-bounded variant
+    of :func:`contamination`: the benchmark side's gram set is folded
+    into a fixed ``2^log2_bits``-bit Bloom filter (``k_hashes``
+    splitmix64 probes per gram) instead of an exact broadcast array,
+    so the broadcast is constant-size no matter how large the bench
+    suite grows.  Train grams whose probes are ALL set are
+    "maybe-contaminated" — a deterministic superset of the exact hits
+    (false-positive rate ≈ (1 − e^{−kn/m})^k; every bit position is a
+    pure splitmix64 function, so the result is bit-identical in any
+    block layout AND in SQL, where the filter is the distinct
+    position set).
+
+    Per bench block one O(2^log2_bits/8)-byte OR-partial (commutative
+    merge on the driver); train scan probes the broadcast words with
+    vectorized shifts — the same no-shuffle shape as the exact op."""
+    bits = 1 << log2_bits
+    words = bits >> 6
+    salts = [_U64(s) for s in _bloom_salts(k_hashes)]
+    pmask = _U64(bits - 1)
+
+    from .dedup import _mix64
+
+    def bench_bits(batch: pa.Table) -> dict:
+        ids = batch_to_numpy(batch, id_col)
+        mask = _split_bucket(ids, seed) >= 900
+        w = np.zeros(words, np.uint64)
+        if mask.any():
+            sub = batch.filter(pa.array(mask))
+            g, _c = _doc_grams(sub, n, text_col)
+            for s in salts:
+                p = (_mix64(g ^ s) & pmask).astype(np.int64)
+                np.bitwise_or.at(
+                    w, p >> 6, np.left_shift(_U64(1), (p & 63).astype(np.uint64))
+                )
+        return {"w": w}
+
+    def block_or(t: pa.Table):
+        if "w" not in t.schema.names or t.num_rows == 0:
+            return None
+        arr = t.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # a block may hold several concatenated per-batch partials
+        return np.bitwise_or.reduce(arr.reshape(-1, words), axis=0)
+
+    partials = per_block_results(
+        docs.map_batches(bench_bits, batch_format="pyarrow").materialize(),
+        block_or,
+    )
+    bloom = np.zeros(words, np.uint64)
+    for p in partials:
+        if p is not None:
+            bloom |= p
+    bloom_ref = ray.put(bloom)
+
+    def train_scan(batch: pa.Table) -> dict:
+        bw = ray.get(bloom_ref)
+        ids = batch_to_numpy(batch, id_col)
+        mask = _split_bucket(ids, seed) < 900
+        empty = {
+            "doc_id": np.empty(0, np.int64),
+            "n_maybe_hits": np.empty(0, np.int64),
+            "n_ngrams": np.empty(0, np.int64),
+            "flag_frac": np.empty(0, np.float64),
+        }
+        if not mask.any():
+            return empty
+        sub = batch.filter(pa.array(mask))
+        g, counts = _doc_grams(sub, n, text_col)
+        if len(g) == 0:
+            return empty
+        hit = np.ones(len(g), bool)
+        for s in salts:
+            p = (_mix64(g ^ s) & pmask).astype(np.int64)
+            hit &= (bw[p >> 6] >> (p & 63).astype(np.uint64)) & _U64(1) != 0
+        bounds = np.concatenate([[0], np.cumsum(counts)])
+        ch = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        n_hits = ch[bounds[1:]] - ch[bounds[:-1]]
+        keep = n_hits > 0
+        sub_ids = batch_to_numpy(sub, id_col)
+        return {
+            "doc_id": sub_ids[keep],
+            "n_maybe_hits": n_hits[keep],
+            "n_ngrams": counts[keep],
+            "flag_frac": np.round(n_hits[keep] / counts[keep], 6),
+        }
+
+    return docs.map_batches(train_scan, batch_format="pyarrow")

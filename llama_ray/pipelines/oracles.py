@@ -2728,6 +2728,68 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def contamination_bloom_sql(
+    n: int = 8, seed: int = 20260818, log2_bits: int = 20, k_hashes: int = 4
+) -> str:
+    """Mirror of data_ops.packing.contamination_bloom: the Bloom
+    filter is semantically the distinct position set of the bench
+    grams' splitmix64 probes; a train gram is flagged iff ALL its
+    probes land in that set."""
+    gold = 0x9E3779B97F4A7C15
+    mask64 = (1 << 64) - 1
+    salts = [(gold * (j + 1)) & mask64 for j in range(k_hashes)]
+    pmask = (1 << log2_bits) - 1
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    bsel = "\n  UNION ALL\n".join(
+        f"  SELECT h AS g, {j} AS j, xor(h, CAST('{s}' AS HUGEINT)) AS h FROM bench"
+        for j, s in enumerate(salts)
+    )
+    tsel = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, h AS g, {j} AS j, xor(h, CAST('{s}' AS HUGEINT)) AS h FROM tug"
+        for j, s in enumerate(salts)
+    )
+    return f"""WITH dk AS MATERIALIZED (SELECT doc_id, {key} AS h FROM documents),
+{_mix64_ctes("dk", "doc_id", prefix="sp")},
+split AS MATERIALIZED (SELECT doc_id, CAST(h % 1000 AS BIGINT) AS b FROM sp5),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+g2 AS (SELECT doc_id, pos, g AS h FROM grams),
+{_mix64_ctes('g2', 'doc_id, pos', prefix='gm')},
+ug AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gm5),
+bench AS (SELECT DISTINCT u.h FROM ug u JOIN split s USING (doc_id) WHERE s.b >= 900),
+bp0 AS (
+{bsel}),
+{_mix64_ctes('bp0', 'g, j', prefix='bb')},
+pset AS MATERIALIZED (SELECT DISTINCT CAST(h & {pmask} AS BIGINT) AS p FROM bb5),
+tug AS (SELECT u.doc_id, u.h FROM ug u JOIN split s USING (doc_id) WHERE s.b < 900),
+tp0 AS (
+{tsel}),
+{_mix64_ctes('tp0', 'doc_id, g, j', prefix='tb')},
+tpos AS (SELECT doc_id, g, CAST(h & {pmask} AS BIGINT) AS p FROM tb5),
+fg AS (SELECT doc_id, g FROM tpos JOIN pset USING (p)
+       GROUP BY doc_id, g HAVING COUNT(*) = {k_hashes}),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh FROM fg GROUP BY doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ug GROUP BY doc_id)
+SELECT h.doc_id, h.nh AS n_maybe_hits, z.sz AS n_ngrams,
+       ROUND(CAST(h.nh AS DOUBLE) / z.sz, 6) AS flag_frac
+FROM hits h JOIN sizes z ON z.doc_id = h.doc_id"""
+
+
 def vocab_edit_pairs_sql(min_len: int = 2, max_len: int = 20, max_distance: int = 2) -> str:
     """Mirror of data_ops.text.edit_distance_pairs: the same ≤2-deletion
     neighborhood (self, every single deletion, every deletion pair)

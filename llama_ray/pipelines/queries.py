@@ -2668,6 +2668,18 @@ def q_vocab_edit_pairs(sf_dir: str):
     return res
 
 
+def q_contamination_bloom(sf_dir: str):
+    """Bloom-filter contamination audit: the bench split folded into a
+    fixed 2²⁰-bit filter (4 splitmix64 probes/gram), train grams with
+    all probes set flagged as maybe-contaminated — the constant-size-
+    broadcast variant of `contamination`, deterministic in any layout
+    (see ``data_ops.packing.contamination_bloom``)."""
+    from ..data_ops.packing import contamination_bloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_bloom(docs)
+
+
 def q_doc_gopher_filter(sf_dir: str):
     """Composite Gopher/C4-style quality filter: per doc the 5-rule
     reason bitmask (word count, mean word length, stop-word floor,

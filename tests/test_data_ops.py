@@ -1720,3 +1720,46 @@ def test_edit_distance_pairs_matches_brute_force(ray_session):
             ).to_pandas()
             got = sorted(zip(out["tok_a"], out["tok_b"]))
             assert got == exp, (dist, nb)
+
+
+def test_contamination_bloom_superset_and_layouts(ray_session):
+    """Bloom flags are a superset of exact contamination hits; a
+    deliberately tiny filter forces false positives but never false
+    negatives, and the result is block-layout independent."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.packing import contamination, contamination_bloom
+
+    from llama_ray.data_ops.packing import _split_bucket
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in range(200)]
+    ids = np.arange(120)
+    buckets = _split_bucket(ids, 20260818)
+    bench_ids = ids[buckets >= 900]
+    train_ids = ids[buckets < 900]
+    assert len(bench_ids) and len(train_ids)
+    texts = {int(i): " ".join(rng.choice(words, size=30)) for i in ids}
+    # plant exact contamination: two train docs copy a bench doc
+    for t in train_ids[:2]:
+        texts[int(t)] = texts[int(bench_ids[0])]
+    docs = [{"doc_id": int(i), "text": texts[int(i)]} for i in ids]
+    ds = rd.from_items(docs)
+    exact = contamination(ds, n=4).to_pandas().set_index("doc_id")
+    base = None
+    for nb, bits in ((1, 8), (7, 8), (7, 20)):
+        out = (
+            contamination_bloom(ds.repartition(nb), n=4, log2_bits=bits)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # superset: every exact hit flagged with >= the exact count
+        for did, row in exact.iterrows():
+            assert did in out.index
+            assert out.loc[did, "n_maybe_hits"] >= row["n_hits"]
+        if bits == 8:
+            if base is None:
+                base = out
+            else:
+                assert out.equals(base)  # layout independence
