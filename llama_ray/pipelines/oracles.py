@@ -2820,7 +2820,7 @@ SELECT tok_a, tok_b FROM p
 WHERE levenshtein(tok_a, tok_b) BETWEEN 1 AND {max_distance}"""
 
 
-def doc_gopher_filter_sql(
+def _gopher_ctes(
     min_words: int = 50,
     max_words: int = 100_000,
     min_mwl: int = 3,
@@ -2830,12 +2830,11 @@ def doc_gopher_filter_sql(
     rep_pct: int = 20,
     n: int = 2,
 ) -> str:
-    """Mirror of data_ops.curation.gopher_filter: the same RE2 counts,
-    the same hashed-gram repetition space (doc_repetition's CTEs), the
-    same integer cross-multiplied rules."""
+    """CTE prefix shared by the gopher-filter oracles; final CTE ``m``
+    has (doc_id, n_words, mask)."""
     gold = 0x9E3779B97F4A7C15
     stop = r"\b(the|and|of|to|in|is|that|with|for)\b"
-    return f"""WITH f AS (
+    return f"""f AS (
   SELECT doc_id,
     length(regexp_extract_all(text, '\\S+')) AS n_words,
     length(regexp_extract_all(text, '\\S')) AS n_wchars,
@@ -2869,11 +2868,47 @@ m AS (
    + CASE WHEN 100 * n_sym > {sym_pct} * n_chars THEN 8 ELSE 0 END
    + CASE WHEN 100 * (COALESCE(ng, 0) - COALESCE(nd, 0)) > {rep_pct} * COALESCE(ng, 0) THEN 16 ELSE 0 END
     ) AS mask
-  FROM f LEFT JOIN rep ON rep.doc_id = f.doc_id)
+  FROM f LEFT JOIN rep ON rep.doc_id = f.doc_id)"""
+
+
+def doc_gopher_filter_sql(**kw) -> str:
+    """Mirror of data_ops.curation.gopher_filter: the same RE2 counts,
+    the same hashed-gram repetition space (doc_repetition's CTEs), the
+    same integer cross-multiplied rules."""
+    return f"""WITH {_gopher_ctes(**kw)}
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        CAST(mask AS BIGINT) AS reason_mask,
        CAST(CASE WHEN mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m"""
+
+
+def source_lang_pivot_sql(langs=("de", "en", "es", "fr", "zh")) -> str:
+    """Mirror of queries.q_source_lang_pivot (conditional aggregation
+    over the (source, lang) base)."""
+    cols = ",\n".join(
+        f"       CAST(COALESCE(SUM(n) FILTER (lang = '{lg}'), 0) AS BIGINT) AS n_{lg}"
+        for lg in langs
+    )
+    inlist = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""WITH b AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2)
+SELECT source,
+{cols},
+       CAST(COALESCE(SUM(n) FILTER (lang NOT IN ({inlist})), 0) AS BIGINT) AS n_other,
+       CAST(SUM(n) AS BIGINT) AS n_total
+FROM b GROUP BY source"""
+
+
+def source_quality_rollup_sql(**kw) -> str:
+    """Mirror of queries.q_source_quality_rollup (the gopher mask
+    rolled up per source; BIT_OR of reasons)."""
+    return f"""WITH {_gopher_ctes(**kw)}
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN m.mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(BIT_OR(m.mask) AS BIGINT) AS reasons_seen
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source"""
 
 
 def dag_layers_sql() -> str:

@@ -2668,6 +2668,103 @@ def q_vocab_edit_pairs(sf_dir: str):
     return res
 
 
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """PIVOT: documents per (source × language) as one wide row per
+    source (n_de … n_zh + n_other + n_total).  Distributed work = the
+    (source, lang) base count (one small groupby over per-batch
+    partials); the pivot itself is conditional aggregation over that
+    ≤|sources|·|langs| base — never a second pass over the corpus."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pa.Table) -> dict:
+        t = pa.table({"source": b.column("source"), "lang": b.column("lang")})
+        k = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return {
+            "source": k.column("source").to_numpy(zero_copy_only=False),
+            "lang": k.column("lang").to_numpy(zero_copy_only=False),
+            "n": k.column("lang_count").cast(pa.int64()).to_numpy(zero_copy_only=False),
+        }
+
+    base = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    base["n"] = base["n"].astype(np.int64)
+    rows = []
+    for src, grp in base.groupby("source"):
+        counts = dict(zip(grp["lang"], grp["n"]))
+        known = {lg: int(counts.get(lg, 0)) for lg in _PIVOT_LANGS}
+        total = int(grp["n"].sum())
+        rows.append(
+            {
+                "source": src,
+                **{f"n_{lg}": v for lg, v in known.items()},
+                "n_other": total - sum(known.values()),
+                "n_total": total,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_source_quality_rollup(sf_dir: str):
+    """Composition: the Gopher composite filter joined back to each
+    document's source — per source the doc count, kept count, and the
+    OR of all failure reasons seen (which rules fire where).  The
+    filter result (integers) rides a per-batch partial rollup; source
+    arrives by zipping the same pruned read (doc_id → source is a
+    broadcast-sized lookup at ≤|docs| rows? no — it is joined
+    distributed via the sort-merge join on doc_id)."""
+    from ..data_ops.curation import gopher_filter
+    from ..data_ops.relational import sort_merge_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    flt = gopher_filter(docs)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    joined = sort_merge_join(flt, src, left_on="doc_id", how="inner")
+
+    def partial(b: pa.Table) -> dict:
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "keep": b.column("keep"),
+                "reason_mask": b.column("reason_mask"),
+            }
+        )
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        keep = batch_to_numpy(t, "keep")
+        rm = batch_to_numpy(t, "reason_mask")
+        n = np.bincount(inv)
+        kept = np.zeros(len(u), np.int64)
+        np.add.at(kept, inv, keep)
+        msk = np.zeros(len(u), np.int64)
+        np.bitwise_or.at(msk, inv, rm)
+        return {"source": u, "n_docs": n.astype(np.int64), "n_kept": kept, "mask": msk}
+
+    # one distributed pass; the ≤|sources|·|blocks| partial rows fold
+    # on the driver (sum + bitwise OR are both commutative → exact)
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_kept=("n_kept", "sum")
+    )
+    orred = (
+        parts.groupby("source")["mask"]
+        .apply(lambda x: int(np.bitwise_or.reduce(x.to_numpy())))
+        .reset_index()
+        .rename(columns={"mask": "reasons_seen"})
+    )
+    out = g.merge(orred, on="source")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["reasons_seen"] = out["reasons_seen"].astype(np.int64)
+    return out[["source", "n_docs", "n_kept", "reasons_seen"]]
+
+
 def q_contamination_bloom(sf_dir: str):
     """Bloom-filter contamination audit: the bench split folded into a
     fixed 2²⁰-bit filter (4 splitmix64 probes/gram), train grams with
