@@ -1208,6 +1208,28 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def induced_subgraph_sql(pct: int = 10, seed: int = 20260821) -> str:
+    """Mirror of queries.q_induced_subgraph (hash-sampled vertex set,
+    both-endpoint filter)."""
+    gold = 0x9E3779B97F4A7C15
+    raw = f"xor({_mulmod64('CAST(id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH {GRAPH_CTES},
+vh AS (SELECT id, {raw} AS h FROM v),
+{_mix64_ctes("vh", "id", prefix="iv")},
+samp AS MATERIALIZED (SELECT id FROM iv5 WHERE h % {pct} = 0)
+SELECT e.src, e.dst
+FROM e JOIN samp s1 ON s1.id = e.src JOIN samp s2 ON s2.id = e.dst"""
+
+
+def doc_sample_sql(k: int = 500, seed: int = 20260822) -> str:
+    """Mirror of queries.q_doc_sample (hash-ranked uniform sample)."""
+    gold = 0x9E3779B97F4A7C15
+    raw = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH d0 AS (SELECT doc_id, n_chars, {raw} AS h FROM documents),
+{_mix64_ctes("d0", "doc_id, n_chars", prefix="ds")}
+SELECT doc_id, n_chars FROM ds5 ORDER BY h, doc_id LIMIT {k}"""
+
+
 def config_model_sql(seed: int = 20260820) -> str:
     """Mirror of queries.q_config_model: the same splitmix64 stub
     ranks (ORDER BY unsigned hash, src, dst), rank-matched, pair

@@ -434,6 +434,66 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_induced_subgraph(sf_dir: str, *, pct: int = 10, seed: int = 20260821):
+    """Induced-subgraph extraction over a deterministic 1-in-``pct``
+    vertex sample: keep edges whose BOTH endpoints hash into the
+    sample (splitmix64(id·GOLD ⊕ seed) mod pct == 0).  Membership is a
+    pure hash function, so the filter needs NO broadcast and no
+    shuffle — one vectorized map over the deduped edge blocks (the
+    subgraph-sampling primitive for debugging / algorithm smoke runs
+    at scale)."""
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    edges = _cached_dedup_edges(sf_dir)
+
+    def stage(b: pa.Table) -> pa.Table:
+        s = batch_to_numpy(b, "src").astype(np.uint64)
+        d = batch_to_numpy(b, "dst").astype(np.uint64)
+        ks = _mix64(s * _GOLD ^ np.uint64(seed)) % np.uint64(pct) == 0
+        kd = _mix64(d * _GOLD ^ np.uint64(seed)) % np.uint64(pct) == 0
+        keep = pa.array(ks & kd)
+        return pa.table(
+            {
+                "src": b.column("src").filter(keep).cast(pa.int64()),
+                "dst": b.column("dst").filter(keep).cast(pa.int64()),
+            }
+        )
+
+    return edges.map_batches(stage, batch_format="pyarrow")
+
+
+def q_doc_sample(sf_dir: str, *, k: int = 500, seed: int = 20260822):
+    """Exact global uniform k-sample of documents: rank by
+    splitmix64(doc_id·GOLD ⊕ seed) and keep the k smallest — a
+    reproducible, layout-independent simple random sample (the
+    partial top-k merge; no full sort, no shuffle)."""
+    from ..common import distributed_topk
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        ids = batch_to_numpy(b, "doc_id").astype(np.uint64)
+        h = _mix64(ids * _GOLD ^ np.uint64(seed))
+        flip = np.uint64(1 << 63)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "h": (h ^ flip).view(np.int64),
+            }
+        )
+
+    top = distributed_topk(
+        docs.map_batches(stage, batch_format="pyarrow"),
+        [("h", "ascending"), ("doc_id", "ascending")],
+        k,
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["h"]), batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_config_model(sf_dir: str, *, seed: int = 20260820):
     """Degree-preserving rewiring (directed configuration model, the
     null model for motif significance): every edge contributes one
