@@ -93,3 +93,50 @@ def rmat(
     return rd.range(num_edges, override_num_blocks=override_num_blocks).map_batches(
         gen, batch_format="numpy"
     )
+
+
+def watts_strogatz(
+    nodes: int,
+    k: int,
+    beta: float = 0.1,
+    *,
+    seed: int = 42,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
+    """Watts–Strogatz small-world graph (Watts & Strogatz, Nature
+    1998): a ring lattice where vertex ``i`` connects to its ``k/2``
+    clockwise neighbors, each edge independently rewired with
+    probability ``beta`` to a uniform random endpoint.
+
+    Same determinism contract as the other generators: edge ``e``
+    (``e = i*(k/2) + (j-1)``, the j-th clockwise edge of vertex i) is a
+    pure function of ``(seed, e)`` — block-layout independent.
+    Rewiring may create duplicates/self-loops (multigraph semantics,
+    like the reference's generators); pipe through ``dedup_edges`` for
+    a simple graph."""
+    if k % 2 or k <= 0:
+        raise ValueError("watts_strogatz: k must be positive and even")
+    half = k // 2
+    num_edges = nodes * half
+
+    def draw(rng, m):
+        # chunk rows are edge ids e; decode (i, j) lazily in gen —
+        # here we only draw the random streams (rewire coin + target)
+        return {
+            "u": rng.random(m),
+            "t": rng.integers(0, nodes, m, dtype=np.int64),
+        }
+
+    def gen(batch: dict) -> dict:
+        ids = np.asarray(batch["id"], dtype=np.int64)
+        rnd = _chunked_draw(ids, seed, draw)
+        i = ids // half
+        j = ids % half + 1
+        lattice_dst = (i + j) % nodes
+        rew = rnd["u"] < beta
+        dst = np.where(rew, rnd["t"], lattice_dst)
+        return {"src": i, "dst": dst}
+
+    return rd.range(num_edges, override_num_blocks=override_num_blocks).map_batches(
+        gen, batch_format="numpy"
+    )

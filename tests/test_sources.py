@@ -151,3 +151,29 @@ def test_fgf_all_seven_property_types(tmp_path):
     assert types["flag"] == pa.bool_() and types["small"] == pa.int16()
     assert types["big"] == pa.int64() and types["ratio"] == pa.float32()
     assert types["score"] == pa.float64()
+
+
+def test_watts_strogatz_structure_and_determinism(ray_session):
+    import numpy as np
+
+    from llama_ray.sources.generators import watts_strogatz
+
+    n, k = 200, 6
+    # beta=0: the pure ring lattice — every vertex has out-degree k/2,
+    # all edges at ring distance <= k/2
+    ds = watts_strogatz(n, k, beta=0.0, seed=7)
+    t = ds.to_pandas()
+    assert len(t) == n * k // 2
+    d = (t["dst"] - t["src"]) % n
+    assert d.between(1, k // 2).all()
+    # beta=0.3: deterministic across layouts, ~30% rewired
+    a = watts_strogatz(n, k, beta=0.3, seed=7, override_num_blocks=1).to_pandas()
+    b = watts_strogatz(n, k, beta=0.3, seed=7, override_num_blocks=13).to_pandas()
+    a = a.sort_values(["src", "dst"]).reset_index(drop=True)
+    b = b.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert a.equals(b)
+    dd = (a["dst"] - a["src"]) % n
+    frac_far = float((dd > k // 2).mean())
+    assert 0.15 < frac_far < 0.45  # rewired fraction ≈ beta (minus lucky hits)
+    # out-degree preserved exactly (rewiring only moves dst)
+    assert (a.groupby("src").size() == k // 2).all()
