@@ -912,6 +912,112 @@ def knn_pq(
     )
 
 
+def knn_ivf_quantized(
+    emb: rd.Dataset,
+    *,
+    num_queries: int = 8,
+    topk: int = 10,
+    k: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> "pa.Table":
+    """IVF k-NN with a fully deterministic (hence oracle-checkable)
+    pipeline: the coarse quantizer is the integer-exact Lloyd codebook
+    (:func:`_pq_train` with one subspace — identical arithmetic to
+    :func:`kmeans_quantized`), each query probes its ``nprobe``
+    best centroids (int64 dot, ties → smaller seed id), and the
+    candidate lists are ranked by exact cosine ROUNDED to 5 decimals
+    (ties → smaller vec_id) — the engine's float-hash convention, so
+    the whole search replays bit-identically in SQL.
+
+    One scan: every corpus batch assigns itself to its centroid (one
+    int64 matmul), keeps rows whose centroid is probed by ANY query,
+    scores those against the relevant queries, and emits per-query
+    top-k partials (O(nq·topk) driver rows).  Unlike :func:`knn_ivf`
+    (float k-means, per-layout centroids) this trades a slightly
+    weaker quantizer for cross-engine determinism."""
+    from ..common import per_block_results
+
+    emb, seed_ids, C, sd = _pq_train(
+        emb, m=1, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    cb = C[0]  # (k, d) int64 codebook
+    q_tbl = (
+        emb.select_columns([id_col, vec_col]).sort(id_col).limit(num_queries).to_pandas()
+    )
+    q_ids = q_tbl[id_col].to_numpy().astype(np.int64)
+    qorder = np.argsort(q_ids)
+    q_ids = q_ids[qorder]
+    qm = np.stack(
+        [np.asarray(v, np.float64) for v in q_tbl[vec_col].to_numpy()[qorder]]
+    )
+    qq = np.floor(qm * scale + 0.5).astype(np.int64)
+    nq = len(q_ids)
+    # per-query probe set: top-nprobe centroids by int dot (tie → low id)
+    qs_scores = qq @ cb.T  # (nq, k)
+    probes = np.argsort(
+        np.stack([-qs_scores[i] for i in range(nq)], axis=0), axis=1, kind="stable"
+    )[:, :nprobe]
+    probe_mask = np.zeros((nq, k), bool)
+    for i in range(nq):
+        probe_mask[i, probes[i]] = True
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    state = ray.put((cb, probe_mask, qm, qnorm))
+
+    def part(tbl: pa.Table):
+        if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+            return None
+        n = tbl.num_rows
+        cb_, pm, qm_, qn = ray.get(state)
+        X = _as_matrix(tbl, vec_col, n)
+        qv = np.floor(X * scale + 0.5).astype(np.int64)
+        A = np.argmax(qv @ cb_.T, axis=1)  # first max = low seed id
+        ids = batch_to_numpy(tbl, id_col).astype(np.int64)
+        xn = np.sqrt((X * X).sum(axis=1))
+        out = []
+        for qi in range(len(qm_)):
+            sel = pm[qi][A]
+            if not sel.any():
+                out.append((np.empty(0, np.int64), np.empty(0, np.float64)))
+                continue
+            Xi = X[sel]
+            cos = (Xi @ qm_[qi]) / (np.sqrt((Xi * Xi).sum(axis=1)) * qn[qi])
+            cos = np.round(cos, 5)
+            kk = min(topk, len(cos))
+            o = np.lexsort((ids[sel], -cos))[:kk]
+            out.append((ids[sel][o], cos[o]))
+        return out
+
+    best_ids = [np.empty(0, np.int64)] * nq
+    best_sc = [np.empty(0, np.float64)] * nq
+    for p in per_block_results(emb, part):
+        if p is None:
+            continue
+        for qi, (pi, ps) in enumerate(p):
+            ci = np.concatenate([best_ids[qi], pi])
+            cs = np.concatenate([best_sc[qi], ps])
+            o = np.lexsort((ci, -cs))[:topk]
+            best_ids[qi], best_sc[qi] = ci[o], cs[o]
+    cols = {"query_id": [], "rank": [], "vec_id": [], "cos": []}
+    for qi in range(nq):
+        for r in range(len(best_ids[qi])):
+            cols["query_id"].append(int(q_ids[qi]))
+            cols["rank"].append(r + 1)
+            cols["vec_id"].append(int(best_ids[qi][r]))
+            cols["cos"].append(float(best_sc[qi][r]))
+    return pa.table(
+        {
+            "query_id": pa.array(cols["query_id"], pa.int64()),
+            "rank": pa.array(cols["rank"], pa.int64()),
+            "vec_id": pa.array(cols["vec_id"], pa.int64()),
+            "cos": pa.array(cols["cos"], pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------- quantized Gram / PCA
 
 

@@ -1150,6 +1150,38 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, ve
 WHERE rank <= {topk}"""
 
 
+def knn_ivf_q_sql(
+    nq: int = 8, topk: int = 10, k: int = 8, nprobe: int = 2,
+    dim: int = 64, scale: int = 1 << 16,
+) -> str:
+    """Mirror of data_ops.ann.knn_ivf_quantized: the _pq_ctes integer
+    Lloyd with one subspace as the coarse quantizer, per-query
+    top-nprobe probe lists, candidates ranked by ROUND(cosine, 5)."""
+    return f"""WITH {_pq_ctes(1, k, dim, scale)},
+codes AS (
+  SELECT vec_id, code_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sp ORDER BY score DESC, code_id ASC) AS rn FROM d1)
+  WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq}),
+qscore AS (SELECT d1.vec_id AS query_id, d1.code_id, d1.score
+           FROM d1 JOIN qs ON qs.query_id = d1.vec_id),
+probe AS (
+  SELECT query_id, code_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, code_id ASC) AS pr FROM qscore)
+  WHERE pr <= {nprobe}),
+vf AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       FROM embeddings),
+cand AS (SELECT p.query_id, c.vec_id FROM codes c JOIN probe p ON p.code_id = c.code_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(list_cosine_similarity(qv.vec, cv.vec), 5) AS cos
+  FROM cand JOIN vf qv ON qv.vec_id = cand.query_id
+            JOIN vf cv ON cv.vec_id = cand.vec_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= {topk}"""
+
+
 def embedding_cos_pairs_sql(threshold: float = 0.4) -> str:
     """Exact cosine all-pairs ≥ τ (mirrors data_ops.ann.cosine_pairs;
     DOUBLE casts so DuckDB and the numpy matmul agree to ≫5 decimals)."""

@@ -1544,6 +1544,21 @@ def q_vec_pq(sf_dir: str):
     return pq_encode(emb, m=4, k=16, iters=1)
 
 
+def q_knn_ivf_q(sf_dir: str):
+    """IVF k-NN with the integer-exact coarse quantizer — the
+    oracle-checkable IVF variant: 8 queries probe their 2 best of 8
+    quantized-Lloyd centroids, candidates ranked by ROUND(cos, 5)
+    (see ``data_ops.ann.knn_ivf_quantized``; `knn_ivf` remains the
+    float/scale path)."""
+    from ..data_ops.ann import knn_ivf_quantized
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return knn_ivf_quantized(emb, num_queries=8, topk=10, k=8, nprobe=2)
+
+
 def q_knn_pq(sf_dir: str):
     """PQ asymmetric-distance k-NN: the 8 smallest-id vectors rank the
     corpus by the compressed inner product Σ_s ⟨q_s, codeword(x, s)⟩
