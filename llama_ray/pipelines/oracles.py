@@ -1240,6 +1240,40 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def hub_attack_sql(k: int = 20, rounds: int = 32) -> str:
+    """Mirror of queries.q_hub_attack: top-k in-degree hubs removed,
+    min-label WCC unrolled over the survivor graph (idempotent past
+    fixpoint), isolated survivors counted as singleton components."""
+    steps = ["a0 AS MATERIALIZED (SELECT id, id AS label FROM fv)"]
+    for i in range(rounds):
+        steps.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT a{i}.id, LEAST(a{i}.label, COALESCE(m.minlab, a{i}.label)) AS label
+  FROM a{i} LEFT JOIN (
+    SELECT fu.b AS id, MIN(l.label) AS minlab
+    FROM fu JOIN a{i} l ON l.id = fu.a GROUP BY fu.b
+  ) m ON m.id = a{i}.id)"""
+        )
+    body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+indeg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY dst),
+hubs AS MATERIALIZED (SELECT dst AS id FROM indeg ORDER BY c DESC, dst LIMIT {k}),
+fe AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e
+  WHERE e.src NOT IN (SELECT id FROM hubs) AND e.dst NOT IN (SELECT id FROM hubs)),
+fu AS MATERIALIZED (SELECT src AS a, dst AS b FROM fe UNION SELECT dst, src FROM fe),
+fv AS MATERIALIZED (SELECT a AS id FROM fu UNION SELECT b FROM fu),
+{body},
+comp AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM a{rounds} GROUP BY label),
+iso AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+        WHERE id NOT IN (SELECT id FROM hubs) AND id NOT IN (SELECT id FROM fv))
+SELECT CAST((SELECT COUNT(*) FROM v) - {k} AS BIGINT) AS n_survivors,
+       CAST((SELECT COUNT(*) FROM comp) + (SELECT n FROM iso) AS BIGINT) AS n_components,
+       CAST(GREATEST((SELECT MAX(sz) FROM comp),
+                     CASE WHEN (SELECT n FROM iso) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS largest_component"""
+
+
 def induced_subgraph_sql(pct: int = 10, seed: int = 20260821) -> str:
     """Mirror of queries.q_induced_subgraph (hash-sampled vertex set,
     both-endpoint filter)."""

@@ -434,6 +434,72 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_hub_attack(sf_dir: str, *, k: int = 20):
+    """Attack-tolerance analysis (Albert, Jeong & Barabási 2000):
+    remove the k highest in-degree hubs and report how the graph
+    fragments — surviving vertices, weakly connected component count
+    (isolated survivors are their own components), and the largest
+    surviving component.  Composition of engine primitives: exact
+    top-k hubs (partial merge), a 20-id broadcast filter over the
+    deduped edges, the WCC engine on the survivor graph."""
+    from ..algos.components import weakly_connected_components
+    from ..common import distributed_topk
+    from ..graph import build_graph
+
+    g_full = _cached_tpch_graph(sf_dir)
+    edges = _cached_dedup_edges(sf_dir)
+
+    def indeg_part(b: pa.Table) -> dict:
+        d = batch_to_numpy(b, "dst")
+        u, cnt = np.unique(d, return_counts=True)
+        return {"dst": u, "c": cnt.astype(np.int64)}
+
+    indeg = (
+        edges.map_batches(indeg_part, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    hubs_tbl = pa.concat_tables(
+        [
+            b
+            for b in distributed_topk(
+                indeg, [("c", "descending"), ("dst", "ascending")], k
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    hubs = np.sort(hubs_tbl.column("dst").to_numpy(zero_copy_only=False))
+
+    def filt(b: pa.Table) -> pa.Table:
+        s = batch_to_numpy(b, "src")
+        d = batch_to_numpy(b, "dst")
+        keep = pa.array(~(np.isin(s, hubs) | np.isin(d, hubs)))
+        return pa.table(
+            {"src": b.column("src").filter(keep), "dst": b.column("dst").filter(keep)}
+        )
+
+    fg = build_graph(edges.map_batches(filt, batch_format="pyarrow"))
+    res = weakly_connected_components(fg)
+    if res.iterations > 32:
+        raise RuntimeError(
+            "hub_attack: WCC needed more supersteps than the SQL unroll"
+        )
+    labels = res.state["label"]
+    _u, sizes = np.unique(labels, return_counts=True)
+    n_survivors = g_full.num_vertices - len(hubs)
+    n_isolated = n_survivors - fg.num_vertices
+    n_components = len(_u) + n_isolated
+    largest = int(sizes.max()) if len(sizes) else (1 if n_isolated else 0)
+    if n_isolated > 0:
+        largest = max(largest, 1)
+    return pa.table(
+        {
+            "n_survivors": pa.array([n_survivors], pa.int64()),
+            "n_components": pa.array([int(n_components)], pa.int64()),
+            "largest_component": pa.array([largest], pa.int64()),
+        }
+    )
+
+
 def q_induced_subgraph(sf_dir: str, *, pct: int = 10, seed: int = 20260821):
     """Induced-subgraph extraction over a deterministic 1-in-``pct``
     vertex sample: keep edges whose BOTH endpoints hash into the
