@@ -396,6 +396,86 @@ def run_benchmark() -> dict:
     minhash_sketches(sk_docs).count()
     timings["minhash_sketch_100k"] = time.perf_counter() - t0
 
+    # sliding RANGE window + interval join at 10M synthetic events —
+    # the new window/range-join operators at 10x the sf0.1 row count
+    # (deterministic splitmix64 event stream; 50k users, 30 days)
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from llama_ray.data_ops.dedup import _GOLD as _WG, _mix64 as _wmx
+    from llama_ray.data_ops.relational import interval_join, sliding_window_agg
+
+    ev_rows = int(os.environ.get("GRAFT_WINDOW_EVENTS", "10000000"))
+    _span_us = 30 * 86400 * 1_000_000
+
+    def _mkevents(batch):
+        ids = batch["id"].astype(_np.int64)
+        h = _wmx(ids.astype(_np.uint64) * _WG)
+        return {
+            "event_id": ids,
+            "user_id": (h % _np.uint64(50_000)).astype(_np.int64),
+            "ts_u": (_wmx(h) % _np.uint64(_span_us)).astype(_np.int64),
+            "val_u": (h >> _np.uint64(40)).astype(_np.int64),
+        }
+
+    ev_big = _rd.range(ev_rows).map_batches(_mkevents, batch_format="numpy").materialize()
+    t0 = time.perf_counter()
+    n_slide_10m = sliding_window_agg(
+        ev_big, by="user_id", ts_col="ts_u", val_col="val_u",
+        window=21_600_000_000, tie_col="event_id",
+    ).count()
+    timings["window_sliding_10m"] = time.perf_counter() - t0
+    assert n_slide_10m == ev_rows
+
+    n_anchor = 200
+    astarts = (_np.arange(n_anchor, dtype=_np.int64) * (_span_us // n_anchor)) + 7
+    intervals = _pa.table(
+        {
+            "anchor_id": _pa.array(_np.arange(n_anchor, dtype=_np.int64)),
+            "w_s": _pa.array(astarts),
+            "w_e": _pa.array(astarts + 1_800_000_000),
+        }
+    )
+    t0 = time.perf_counter()
+    n_ij_10m = interval_join(
+        ev_big, intervals, on="ts_u", start_col="w_s", end_col="w_e"
+    ).count()
+    timings["interval_join_10m"] = time.perf_counter() - t0
+    del ev_big
+
+    # PQ codebook train + encode at 1M synthetic 64-d vectors — the
+    # compressed-ANN stage at 2000x the sf0.1 embedding count
+    from llama_ray.data_ops.ann import pq_encode
+
+    vec_rows = int(os.environ.get("GRAFT_PQ_VECS", "1000000"))
+    _dim = 64
+
+    def _mkvecs(batch):
+        ids = batch["id"].astype(_np.int64)
+        base = ids[:, None].astype(_np.uint64) * _np.uint64(_dim) + _np.arange(
+            _dim, dtype=_np.uint64
+        )
+        v = (
+            _wmx(base.ravel() * _WG).astype(_np.float64) / 2.0**63 - 1.0
+        ).astype(_np.float32)
+        flat = _pa.array(v)
+        return _pa.table(
+            {
+                "vec_id": _pa.array(ids),
+                "embedding": _pa.FixedSizeListArray.from_arrays(flat, _dim),
+            }
+        )
+
+    vec_big = (
+        _rd.range(vec_rows).map_batches(_mkvecs, batch_format="numpy").materialize()
+    )
+    t0 = time.perf_counter()
+    n_pq_rows = pq_encode(vec_big, m=4, k=16, iters=1).count()
+    timings["pq_encode_1m"] = time.perf_counter() - t0
+    assert n_pq_rows == 4 * vec_rows
+    del vec_big
+
     # sequence packing over the same 1M docs — the two-wave distributed
     # prefix scan (range sort + scalar-per-block offsets). Unique
     # ordering ids come from the content hash (the bench corpus reuses
@@ -624,6 +704,9 @@ def run_benchmark() -> dict:
         "asof_rows": n_asof,
         "window_rows": n_window,
         "sliding_rows": n_sliding,
+        "sliding_rows_10m": n_slide_10m,
+        "interval_join_rows_10m": n_ij_10m,
+        "pq_rows_1m": n_pq_rows,
         "promo_anchors": n_promo,
         "gopher_docs": n_gopher,
         "onion_layer_count": int(onion_l.max()) if len(onion_l) else 0,
