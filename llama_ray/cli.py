@@ -30,7 +30,8 @@ def main(argv=None) -> int:
             "pagerank", "wcc", "scc", "kcore", "label_propagation", "sssp",
             "bfs", "tc", "bc", "load", "walks", "sample", "mis", "anf",
             "harmonic", "support", "featprop", "matching", "diameter",
-            "closeness", "pack", "contam", "repetition", "dedup_docs",
+            "closeness", "pack", "contam", "contam_bloom", "repetition", "dedup_docs",
+            "gopher", "edit_pairs", "onion",
         ],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
@@ -103,7 +104,8 @@ def main(argv=None) -> int:
         )
         return 0
 
-    if args.algorithm in ("pack", "contam", "repetition", "dedup_docs"):
+    if args.algorithm in ("pack", "contam", "contam_bloom", "repetition", "dedup_docs",
+                          "gopher", "edit_pairs"):
         if not args.docs:
             p.error(f"'{args.algorithm}' requires --docs <parquet>")
         import ray.data as rd
@@ -117,10 +119,22 @@ def main(argv=None) -> int:
             from .data_ops.packing import contamination
 
             out = contamination(docs, **({"n": args.ngram} if args.ngram else {}))
+        elif args.algorithm == "contam_bloom":
+            from .data_ops.packing import contamination_bloom
+
+            out = contamination_bloom(docs, **({"n": args.ngram} if args.ngram else {}))
         elif args.algorithm == "repetition":
             from .data_ops.curation import repetition_ratio
 
             out = repetition_ratio(docs, **({"n": args.ngram} if args.ngram else {}))
+        elif args.algorithm == "gopher":
+            from .data_ops.curation import gopher_filter
+
+            out = gopher_filter(docs)
+        elif args.algorithm == "edit_pairs":
+            from .data_ops.text import edit_distance_pairs
+
+            out = edit_distance_pairs(docs)
         else:
             from .data_ops.dedup import exact_dedup
 
@@ -197,6 +211,28 @@ def main(argv=None) -> int:
             core[valid] = res.state["core"][pos_c[valid]]
         arrays["core"] = core
         summary.update(iterations=res.iterations, max_core=int(res.state["core"].max(initial=0)))
+    elif args.algorithm == "onion":
+        from .algos.kcore import onion_layers
+        from .graph import canonical_undirected
+
+        cg = canonical_undirected(g)
+        layer_c, core_c = onion_layers(cg)
+        import numpy as _np
+
+        layer = _np.zeros(len(g.ids), _np.int64)
+        core = _np.zeros(len(g.ids), _np.int64)
+        if len(cg.ids):
+            pos = _np.searchsorted(cg.ids, g.ids)
+            pos_c = _np.minimum(pos, len(cg.ids) - 1)
+            valid = cg.ids[pos_c] == g.ids
+            layer[valid] = layer_c[pos_c[valid]]
+            core[valid] = core_c[pos_c[valid]]
+        arrays["layer"] = layer
+        arrays["core"] = core
+        summary.update(
+            num_layers=int(layer_c.max(initial=0)),
+            max_core=int(core_c.max(initial=0)),
+        )
     elif args.algorithm == "label_propagation":
         res = label_propagation(
             g,

@@ -100,3 +100,27 @@ def test_cli_doc_tasks(tmp_path, capsys):
     assert set(rd.read_parquet(out).schema().names) == {
         "doc_id", "n_grams", "n_distinct", "rep_frac",
     }
+
+
+def test_cli_doc_ops_and_onion(tmp_path):
+    """Late-r4 tasks: gopher filter / edit pairs / bloom contamination
+    over a docs parquet, onion decomposition over a generated graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(40)),
+            "text": [
+                f"the word{i} and token{i} is that fine{i} with for of to in extra{i}"
+                for i in range(40)
+            ],
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    for task in ("gopher", "edit_pairs", "contam_bloom"):
+        out = run_cli(task, "--docs", path)
+        assert out["algorithm"] == task and out["rows"] >= 0
+    onion = run_cli("onion", "--input", "rmat(8,4)", "--dedup")
+    assert onion["num_layers"] >= 1 and onion["max_core"] >= 1
