@@ -457,6 +457,16 @@ def edit_distance_pairs(
         total = int(q.sum())
         if total == 0:
             return empty
+        if total > 50_000_000:
+            # a variant shared by r tokens expands to r·(r−1)/2 pairs;
+            # a stop-variant (very short strings) can dominate. Loud >
+            # silent: the fix is raising min_len or df-windowing the
+            # variant table (see curation.source_overlap's max_df).
+            raise RuntimeError(
+                f"edit_distance_pairs: {total} candidate pairs in one "
+                "block — a hot variant dominates; raise min_len or "
+                "pre-window the variant table"
+            )
         base = np.cumsum(q) - q
         pos = np.arange(total, dtype=np.int64) - np.repeat(base, q)
         partner = np.repeat(run_start, q) + pos
