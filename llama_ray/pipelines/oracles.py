@@ -3546,6 +3546,19 @@ ORDER BY revenue_u DESC, l_orderkey
 LIMIT {k}"""
 
 
+def forecast_revenue_sql(year: int = 1997) -> str:
+    """Mirror of queries.q_forecast_revenue (TPC-H Q6 shape; the same
+    per-row double product, floor-quantized before summation)."""
+    return f"""SELECT
+  CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000 + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_u,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+  AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
 def customers_no_orders_sql() -> str:
     """Mirror of queries.q_customers_no_orders (anti-join against
     completed orders)."""

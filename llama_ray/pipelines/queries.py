@@ -3019,6 +3019,41 @@ def q_top_unshipped(sf_dir: str, *, k: int = 10, cutoff: str = "1998-07-01"):
     return top.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def q_forecast_revenue(sf_dir: str, *, year: int = 1997):
+    """TPC-H Q6 shape: potential revenue increase from discount
+    removal — SUM(extendedprice·discount) over lineitems shipped in
+    ``year`` with discount in [0.05, 0.07] and quantity < 24.  Pure
+    filter + per-batch integer partial (per-row IEEE product floor-
+    quantized to micro-units before any sum); one scalar per block to
+    the driver."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    li = _read(
+        sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"]
+    )
+
+    def partial(b: pa.Table) -> dict:
+        s = b.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        sd = s.to_numpy(zero_copy_only=False)
+        p = batch_to_numpy(b, "l_extendedprice")
+        d = batch_to_numpy(b, "l_discount")
+        q = batch_to_numpy(b, "l_quantity")
+        keep = (sd >= lo) & (sd < hi) & (d >= 0.05) & (d <= 0.07) & (q < 24)
+        rev = np.floor(p[keep] * d[keep] * 1e6 + 0.5).astype(np.int64)
+        return {
+            "revenue_u": np.array([rev.sum()], np.int64),
+            "n_items": np.array([int(keep.sum())], np.int64),
+        }
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_u": pa.array([int(parts["revenue_u"].sum())], pa.int64()),
+            "n_items": pa.array([int(parts["n_items"].sum())], pa.int64()),
+        }
+    )
+
+
 def q_customers_no_orders(sf_dir: str):
     """Anti-join existence filter: customers with no completed ('F')
     order — the NOT EXISTS shape — through the distributed sort-merge
