@@ -1240,6 +1240,34 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def influence_cascade_sql(
+    num_seeds: int = 4, pct: int = 50, seed: int = 20260823, max_depth: int = 40
+) -> str:
+    """Mirror of queries.q_influence_cascade: the same splitmix64 edge
+    coin, one seed-carrying recursive BFS over the transmitting
+    edges."""
+    gold = 0x9E3779B97F4A7C15
+    raw = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    return f"""WITH RECURSIVE {GRAPH_CTES},
+eh AS (SELECT src, dst, {raw} AS h FROM e),
+{_mix64_ctes("eh", "src, dst", prefix="ic")},
+fe AS MATERIALIZED (SELECT src, dst FROM ic5 WHERE h % 100 < {pct}),
+r(seed, node, dist) AS (
+  SELECT id, id, CAST(0 AS BIGINT)
+  FROM (SELECT id FROM v ORDER BY id LIMIT {num_seeds})
+  UNION
+  SELECT r.seed, fe.dst, r.dist + 1
+  FROM r JOIN fe ON fe.src = r.node WHERE r.dist < {max_depth}
+),
+md AS (SELECT seed, node, MIN(dist) AS d FROM r GROUP BY seed, node)
+SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MAX(d) AS BIGINT) AS max_depth
+FROM md GROUP BY seed"""
+
+
 def hub_attack_sql(k: int = 20, rounds: int = 32) -> str:
     """Mirror of queries.q_hub_attack: top-k in-degree hubs removed,
     min-label WCC unrolled over the survivor graph (idempotent past

@@ -434,6 +434,71 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_influence_cascade(sf_dir: str, *, num_seeds: int = 4, pct: int = 50, seed: int = 20260823):
+    """Deterministic independent-cascade spread (Kempe-Kleinberg-
+    Tardos influence model with a hash coin): every edge transmits iff
+    splitmix64(src·GOLD ⊕ dst ⊕ seed) mod 100 < ``pct``; from each of
+    the ``num_seeds`` smallest-id vertices, the cascade is directed
+    reachability over transmitting edges.  Per seed: reached count and
+    max depth.  Edge survival is a pure hash (no broadcast); each
+    cascade is one frontier BFS over the filtered graph's shared
+    pool."""
+    from ..data_ops.dedup import _GOLD, _mix64
+    from ..engine.bsp import shared_pool
+    from ..graph import build_graph
+
+    g_full = _cached_tpch_graph(sf_dir)
+    edges = _cached_dedup_edges(sf_dir)
+
+    def filt(b: pa.Table) -> pa.Table:
+        s = batch_to_numpy(b, "src").astype(np.uint64)
+        d = batch_to_numpy(b, "dst").astype(np.uint64)
+        h = _mix64(s * _GOLD ^ d ^ np.uint64(seed))
+        keep = pa.array((h % np.uint64(100)) < pct)
+        return pa.table(
+            {"src": b.column("src").filter(keep), "dst": b.column("dst").filter(keep)}
+        )
+
+    fg = build_graph(edges.map_batches(filt, batch_format="pyarrow"))
+    seeds = np.sort(np.asarray(g_full.ids))[:num_seeds]
+    rows = {"seed": [], "n_reached": [], "max_depth": []}
+    pool = shared_pool(fg) if fg.num_vertices else None
+    n = fg.num_vertices
+    ones = np.ones(n, np.int64)
+    fids = np.asarray(fg.ids)
+    for sid in seeds:
+        pos = int(np.searchsorted(fids, sid)) if n else 0
+        if n == 0 or pos >= n or fids[pos] != sid:
+            rows["seed"].append(int(sid))
+            rows["n_reached"].append(1)
+            rows["max_depth"].append(0)
+            continue
+        dist = np.full(n, -1, np.int64)
+        dist[pos] = 0
+        frontier = np.zeros(n, bool)
+        frontier[pos] = True
+        lvl = 0
+        while frontier.any():
+            lvl += 1
+            reach = pool.gather_max_masked(ones, frontier)
+            new = (reach == 1) & (dist < 0)
+            if not new.any():
+                lvl -= 1
+                break
+            dist[new] = lvl
+            frontier = new
+        rows["seed"].append(int(sid))
+        rows["n_reached"].append(int((dist >= 0).sum()))
+        rows["max_depth"].append(int(dist.max()))
+    return pa.table(
+        {
+            "seed": pa.array(rows["seed"], pa.int64()),
+            "n_reached": pa.array(rows["n_reached"], pa.int64()),
+            "max_depth": pa.array(rows["max_depth"], pa.int64()),
+        }
+    )
+
+
 def q_hub_attack(sf_dir: str, *, k: int = 20):
     """Attack-tolerance analysis (Albert, Jeong & Barabási 2000):
     remove the k highest in-degree hubs and report how the graph
