@@ -3454,6 +3454,41 @@ SELECT event_id, val_u,
 FROM t"""
 
 
+def events_profile_sql() -> str:
+    """Mirror of queries.q_events_profile (one aggregate per numeric
+    column, integer units)."""
+    cols = {
+        "event_id": "event_id",
+        "user_id": "user_id",
+        "ts_u": "epoch_us(ts)",
+        "val_u": "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)",
+    }
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+       CAST(MIN({expr}) AS BIGINT) AS min_v, CAST(MAX({expr}) AS BIGINT) AS max_v,
+       CAST({'0' if name == 'ts_u' else f'SUM({expr})'} AS BIGINT) AS sum_v
+FROM events"""
+        for name, expr in cols.items()
+    )
+    return sel
+
+
+def events_transitions_sql() -> str:
+    """Mirror of queries.q_events_transitions (string LAG per user,
+    first event from 'START')."""
+    return """WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_u, event_id
+  FROM events),
+l AS (
+  SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+           ORDER BY ts_u, event_id), 'START') AS prev_type,
+         event_type
+  FROM t)
+SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM l GROUP BY 1, 2"""
+
+
 def events_rollup_sql() -> str:
     """Mirror of queries.q_events_rollup (ROLLUP grouping sets;
     sentinels 'ALL'/-1 for the rolled-up keys, integer micro-units)."""

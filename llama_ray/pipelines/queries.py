@@ -1407,6 +1407,124 @@ def q_events_hourly_anomaly(sf_dir: str):
     )
 
 
+def q_events_profile(sf_dir: str):
+    """Table profiling (the data-catalog stats pass): per numeric
+    column of events — row count, null count, min, max, integer sum
+    (value in micro-units, ts as epoch-us) — from ONE streaming pass
+    of commutative per-batch partials; only O(columns) scalars reach
+    the driver."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> dict:
+        ts = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        v = batch_to_numpy(b, "value")
+        cols = {
+            "event_id": batch_to_numpy(b, "event_id"),
+            "user_id": batch_to_numpy(b, "user_id"),
+            "ts_u": ts.to_numpy(zero_copy_only=False),
+            "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+        }
+        names, n, nn, mn, mx, sm = [], [], [], [], [], []
+        for name, arr in cols.items():
+            names.append(name)
+            n.append(len(arr))
+            nn.append(0)  # columns are non-null in this table
+            mn.append(int(arr.min()) if len(arr) else 0)
+            mx.append(int(arr.max()) if len(arr) else 0)
+            # a timestamp sum is meaningless and overflows int64 at
+            # ~10^4 rows — profiled as 0 on both sides
+            sm.append(0 if name == "ts_u" else int(arr.sum()))
+        return {
+            "column": np.array(names),
+            "n": np.array(n, np.int64),
+            "n_null": np.array(nn, np.int64),
+            "min_v": np.array(mn, np.int64),
+            "max_v": np.array(mx, np.int64),
+            "sum_v": np.array(sm, np.int64),
+        }
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("column", as_index=False).agg(
+        n=("n", "sum"),
+        n_null=("n_null", "sum"),
+        min_v=("min_v", "min"),
+        max_v=("max_v", "max"),
+        sum_v=("sum_v", "sum"),
+    )
+    for c in ["n", "n_null", "min_v", "max_v", "sum_v"]:
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def q_events_transitions(sf_dir: str):
+    """Per-user event-type transition counts (first-order Markov
+    estimation over the event stream): for every user in (ts,
+    event_id) order, count (previous type → type) pairs; the first
+    event of a user transitions from 'START'.  Types map to small ints
+    so the engine's partitioned LAG (``running_window``) carries the
+    previous type; counts come from per-batch partials + one tiny
+    groupby."""
+    from ..data_ops.relational import running_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    # sorted distinct types (tiny groupby) — internal integer codes
+    # only; the output maps back to strings, so the SQL twin never
+    # needs them
+    types = sorted(
+        r["event_type"]
+        for r in ev.groupby("event_type").count().take_all()
+    )
+    tarr = np.array(types)
+    if len(types) >= 8:
+        raise ValueError("events_transitions: key packing assumes < 8 types")
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("event_type").to_numpy(zero_copy_only=False)
+        code = np.searchsorted(tarr, t)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "code": code.astype(np.int64),
+            }
+        )
+
+    win = running_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id",
+        order_cols=["ts_u", "event_id"],
+        val_col="code",
+        out_sum="_rs",
+        out_lag="prev_code",
+        out_rn="_rn",
+    )
+
+    def partial(b: pa.Table) -> dict:
+        cur = batch_to_numpy(b, "code")
+        prev = b.column("prev_code").fill_null(-1).to_numpy(zero_copy_only=False)
+        key = (prev + 1) * 8 + cur
+        u, cnt = np.unique(key, return_counts=True)
+        return {"key": u.astype(np.int64), "n": cnt.astype(np.int64)}
+
+    parts = (
+        win.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    names = np.array(["START"] + types)
+    prev_idx = (parts["key"] // 8).to_numpy()
+    cur_idx = (parts["key"] % 8).to_numpy()
+    return pd.DataFrame(
+        {
+            "prev_type": names[prev_idx],
+            "event_type": tarr[cur_idx],
+            "n": parts["n"].astype(np.int64),
+        }
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """Grouping-sets aggregate — ``GROUP BY ROLLUP(event_type, day)``:
     per (type, day), per type, and grand-total event counts + value
