@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..common import batch_to_numpy
@@ -69,6 +70,88 @@ def repetition_ratio(
         }
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+# --------------------------------------------- greedy coverage selection
+
+
+def greedy_coverage_select(
+    docs: rd.Dataset,
+    *,
+    k: int = 10,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pa.Table":
+    """Greedy maximum-coverage corpus selection (the classic (1−1/e)
+    submodular data-selection stage): pick ``k`` documents one at a
+    time, each maximizing the number of word-``n``-gram hashes not yet
+    covered by earlier picks; ties → smaller doc_id.
+
+    Per round ONE distributed scan: every batch computes per-doc
+    uncovered-gram gains against the broadcast covered set (sorted
+    uint64 searchsorted — the covered set is ≤ the k picked docs'
+    grams, bounded by document length), returns only its best
+    candidate (id, gain, gram array); the driver keeps the global
+    argmax and unions its grams.  k rounds = k scans; rows never
+    accumulate on the driver.
+
+    Returns (rank, doc_id, gain) — deterministic in any layout and
+    replayed exactly by the unrolled SQL oracle."""
+    from ..common import per_block_results
+    from .packing import _doc_grams
+
+    feats = docs.select_columns([id_col, text_col]).materialize()
+    covered = np.empty(0, np.uint64)
+    chosen: list[int] = []
+    gains: list[int] = []
+    for _round in range(k):
+        state = ray.put((np.sort(covered), np.array(sorted(chosen), np.int64)))
+
+        def best_in_block(tbl: pa.Table):
+            if tbl.num_rows == 0 or text_col not in tbl.schema.names:
+                return None
+            cov, excl = ray.get(state)
+            g, counts = _doc_grams(tbl, n, text_col)
+            ids = batch_to_numpy(tbl, id_col)
+            if len(g):
+                pos = np.searchsorted(cov, g)
+                pos_c = np.clip(pos, 0, max(len(cov) - 1, 0))
+                hit = (
+                    (cov[pos_c] == g) if len(cov) else np.zeros(len(g), bool)
+                )
+            else:
+                hit = np.zeros(0, bool)
+            bounds = np.concatenate([[0], np.cumsum(counts)])
+            ch = np.concatenate([[0], np.cumsum((~hit).astype(np.int64))])
+            gain = ch[bounds[1:]] - ch[bounds[:-1]]
+            ok = ~np.isin(ids, excl)
+            if not ok.any():
+                return None
+            # block argmax under (gain desc, doc_id asc)
+            order = np.lexsort((ids[ok], -gain[ok]))
+            bi = np.flatnonzero(ok)[order[0]]
+            dg = g[bounds[bi] : bounds[bi + 1]]
+            return int(ids[bi]), int(gain[bi]), dg[~hit[bounds[bi] : bounds[bi + 1]]]
+
+        best = None
+        for c in per_block_results(feats, best_in_block):
+            if c is None:
+                continue
+            if best is None or (c[1], -c[0]) > (best[1], -best[0]):
+                best = c
+        if best is None:
+            break
+        chosen.append(best[0])
+        gains.append(best[1])
+        covered = np.union1d(covered, best[2])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(chosen) + 1, dtype=np.int64)),
+            "doc_id": pa.array(np.array(chosen, np.int64)),
+            "gain": pa.array(np.array(gains, np.int64)),
+        }
+    )
 
 
 # ------------------------------------------------- composite rule filter

@@ -2844,6 +2844,62 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
 FROM grams GROUP BY doc_id"""
 
 
+def corpus_select_sql(k: int = 10, n: int = 3) -> str:
+    """Mirror of data_ops.curation.greedy_coverage_select: the same
+    hashed word-n-gram space (contamination's CTEs), k unrolled greedy
+    steps each re-counting uncovered grams per remaining doc."""
+    gold = 0x9E3779B97F4A7C15
+    steps = [
+        "cv0 AS (SELECT CAST(NULL AS HUGEINT) AS h WHERE 1 = 0)",
+        "pk0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS gain WHERE 1 = 0)",
+    ]
+    for t in range(1, k + 1):
+        steps.append(
+            f"""gain{t} AS MATERIALIZED (
+  SELECT z.doc_id, COALESCE(u.c, 0) AS gain
+  FROM alldocs z LEFT JOIN (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM ug
+    WHERE h NOT IN (SELECT h FROM cv{t - 1}) GROUP BY doc_id) u
+    ON u.doc_id = z.doc_id
+  WHERE z.doc_id NOT IN (SELECT doc_id FROM pk{t - 1})),
+pick{t} AS MATERIALIZED (
+  SELECT doc_id, gain FROM gain{t} ORDER BY gain DESC, doc_id LIMIT 1),
+cv{t} AS MATERIALIZED (
+  SELECT h FROM cv{t - 1}
+  UNION SELECT u.h FROM ug u JOIN pick{t} p ON p.doc_id = u.doc_id),
+pk{t} AS MATERIALIZED (
+  SELECT doc_id, gain FROM pk{t - 1} UNION ALL SELECT doc_id, gain FROM pick{t})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, doc_id, gain FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    body = ",\n".join(steps)
+    return f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+win AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams AS (
+  SELECT doc_id, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+g2 AS (SELECT doc_id, pos, g AS h FROM grams),
+{_mix64_ctes('g2', 'doc_id, pos', prefix='gm')},
+ug AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gm5),
+alldocs AS MATERIALIZED (SELECT doc_id FROM documents),
+{body}
+{finals}"""
+
+
 def contamination_bloom_sql(
     n: int = 8, seed: int = 20260818, log2_bits: int = 20, k_hashes: int = 4
 ) -> str:

@@ -3089,6 +3089,17 @@ def q_source_quality_rollup(sf_dir: str):
     return out[["source", "n_docs", "n_kept", "reasons_seen"]]
 
 
+def q_corpus_select(sf_dir: str, *, k: int = 10):
+    """Greedy maximum-coverage corpus selection: 10 documents chosen
+    one at a time, each maximizing newly covered word-3-gram hashes
+    (the (1−1/e) submodular data-selection stage; see
+    ``data_ops.curation.greedy_coverage_select``)."""
+    from ..data_ops.curation import greedy_coverage_select
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return greedy_coverage_select(docs, k=k, n=3)
+
+
 def q_contamination_bloom(sf_dir: str):
     """Bloom-filter contamination audit: the bench split folded into a
     fixed 2²⁰-bit filter (4 splitmix64 probes/gram), train grams with
