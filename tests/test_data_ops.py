@@ -1763,3 +1763,44 @@ def test_contamination_bloom_superset_and_layouts(ray_session):
                 base = out
             else:
                 assert out.equals(base)  # layout independence
+
+
+def test_greedy_coverage_select_matches_reference(ray_session):
+    """Greedy picks equal a per-round python argmax over exact
+    uncovered-gram counts, across block layouts."""
+    import ray.data as rd
+
+    from llama_ray.data_ops.curation import greedy_coverage_select
+    from llama_ray.data_ops.packing import _doc_grams
+    import pyarrow as pa
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(60)]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.integers(5, 40)))}
+        for i in range(50)
+    ]
+    tbl = pa.table(
+        {"doc_id": [d["doc_id"] for d in docs], "text": [d["text"] for d in docs]}
+    )
+    g, counts = _doc_grams(tbl, 3, "text")
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    gram_sets = [set(g[bounds[i] : bounds[i + 1]].tolist()) for i in range(len(docs))]
+
+    covered: set = set()
+    exp = []
+    remaining = set(range(len(docs)))
+    for _ in range(6):
+        best = min(
+            remaining, key=lambda i: (-len(gram_sets[i] - covered), i)
+        )
+        exp.append((best, len(gram_sets[best] - covered)))
+        covered |= gram_sets[best]
+        remaining.discard(best)
+
+    for nb in (1, 7):
+        out = greedy_coverage_select(
+            rd.from_items(docs).repartition(nb), k=6, n=3
+        ).to_pandas()
+        got = list(zip(out["doc_id"], out["gain"]))
+        assert [(int(a), int(b)) for a, b in got] == exp, nb
