@@ -293,6 +293,34 @@ ue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM 
 SELECT id AS vertex, label AS component FROM l{rounds}"""
 
 
+def graph_pipeline_sql(iters: int = 10, rounds: int = WCC_ROUNDS) -> str:
+    """Mirror of queries.q_graph_pipeline: the flagship composition —
+    V/E counts, WCC component count, triangle count, and the PageRank
+    argmax — in ONE query over the shared link-graph CTEs."""
+    steps = ["gl0 AS MATERIALIZED (SELECT id, id AS label FROM v)"]
+    for k in range(rounds):
+        steps.append(
+            f"""gl{k + 1} AS MATERIALIZED (
+  SELECT gl{k}.id, LEAST(gl{k}.label, COALESCE(m.minlab, gl{k}.label)) AS label
+  FROM gl{k} LEFT JOIN (
+    SELECT pue.b AS id, MIN(l.label) AS minlab
+    FROM pue JOIN gl{k} l ON l.id = pue.a GROUP BY pue.b
+  ) m ON m.id = gl{k}.id)"""
+        )
+    wcc_body = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{_pagerank_ctes(iters)},
+pue AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+{wcc_body},
+ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT label) FROM gl{rounds}) AS BIGINT) AS n_components,
+       CAST((SELECT COUNT(*) FROM ce x JOIN ce y ON y.a = x.b
+             JOIN ce z ON z.a = x.a AND z.b = y.b) AS BIGINT) AS triangles,
+       CAST((SELECT id FROM r{iters} ORDER BY ROUND(rank, 8) DESC, id LIMIT 1) AS BIGINT) AS top_vertex"""
+
+
 def label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
     steps = ["p0 AS MATERIALIZED (SELECT id, id AS label FROM cv)"]
     for k in range(rounds):

@@ -715,6 +715,34 @@ def q_scc(sf_dir: str):
     return pa.table({"vertex": g.ids, "component": res.state["label"]})
 
 
+def q_graph_pipeline(sf_dir: str):
+    """Flagship end-to-end composition in one query: derive + dedup +
+    densify the link graph, then V/E counts, WCC component count,
+    exact triangle count, and the PageRank argmax vertex — the four
+    north-star analytics sharing one cached graph build."""
+    from ..algos.components import weakly_connected_components
+    from ..algos.pagerank import pagerank
+    from ..algos.triangles import triangle_count
+
+    g = _cached_tpch_graph(sf_dir)
+    wcc = weakly_connected_components(g)
+    n_comp = int(len(np.unique(wcc.state["label"])))
+    tc = int(triangle_count(g))
+    pr = pagerank(g, max_iters=10)
+    r = np.round(pr.state["rank"], 8)
+    ids = np.asarray(g.ids)
+    top = int(ids[np.lexsort((ids, -r))[0]])
+    return pa.table(
+        {
+            "n_vertices": pa.array([g.num_vertices], pa.int64()),
+            "n_edges": pa.array([g.num_edges], pa.int64()),
+            "n_components": pa.array([n_comp], pa.int64()),
+            "triangles": pa.array([tc], pa.int64()),
+            "top_vertex": pa.array([top], pa.int64()),
+        }
+    )
+
+
 def q_scc_condensation(sf_dir: str):
     """Condensation DAG: the distinct inter-component edges of the SCC
     partition (component = min original id, reference semantics).  The
