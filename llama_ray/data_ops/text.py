@@ -779,6 +779,116 @@ def bigram_topk(docs: rd.Dataset, *, k: int = 20) -> rd.Dataset:
     )
 
 
+def bigram_pmi(docs: rd.Dataset, *, k: int = 50, min_count: int = 5) -> rd.Dataset:
+    """Top-k adjacent-word pairs by pointwise mutual information —
+    the collocation/phrase-mining statistic (word2vec-era PMI):
+    ``pmi = ln(P(w1 w2) / (P(w1)·P(w2)))`` with probabilities from
+    exact corpus counts, restricted to bigrams seen ≥ ``min_count``
+    times.
+
+    All counts are exact integers through the engine's sorted
+    run-reduce; the two unigram attachments are distributed
+    sort-merge joins (no vocabulary broadcast — the ``lm_score``
+    shape); the single float expression is evaluated by the identical
+    tree on both sides and rounded to 6 decimals before the ranking,
+    so the result hash-matches SQL.  Order (pmi desc, bigram asc)."""
+    import pyarrow.compute as pc
+
+    from ..common import batch_to_numpy, distributed_topk, group_sum_sorted
+    from .relational import sort_merge_join
+
+    def bi_part(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, per_doc, data = _tokenize_batch(batch.column("text"), lower=True)
+        toks = _tokens_string_array(starts, lens, data)
+        doc_of = np.repeat(np.arange(len(per_doc), dtype=np.int64), per_doc)
+        T = len(toks)
+        if T < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        joined = pc.binary_join_element_wise(toks.slice(0, T - 1), toks.slice(1, T), " ")
+        same_doc = doc_of[1:] == doc_of[:-1]
+        vc = pc.value_counts(joined.filter(pa.array(same_doc)))
+        return pa.table(
+            {"bigram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    def uni_part(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, _pd, data = _tokenize_batch(batch.column("text"), lower=True)
+        vc = pc.value_counts(_tokens_string_array(starts, lens, data))
+        return pa.table(
+            {"token": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    text = docs.select_columns(["text"]).materialize()
+    bi = group_sum_sorted(
+        text.map_batches(bi_part, batch_format="pyarrow"), "bigram", ["cnt"]
+    ).materialize()
+    uni = group_sum_sorted(
+        text.map_batches(uni_part, batch_format="pyarrow"), "token", ["cnt"]
+    ).materialize()
+    t_bi = int(bi.sum("cnt") or 0)
+    t_uni = int(uni.sum("cnt") or 0)
+
+    def split(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(b.column("cnt"), min_count)
+        t = b.filter(keep)
+        parts = pc.split_pattern(t.column("bigram"), " ")
+        return pa.table(
+            {
+                "bigram": t.column("bigram"),
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "c12": t.column("cnt"),
+            }
+        )
+
+    cand = bi.map_batches(split, batch_format="pyarrow")
+    j1 = sort_merge_join(
+        cand,
+        uni.map_batches(
+            lambda b: pa.table({"token": b.column("token"), "c1": b.column("cnt")}),
+            batch_format="pyarrow",
+        ),
+        left_on="w1",
+        right_on="token",
+        how="inner",
+    )
+    j2 = sort_merge_join(
+        j1,
+        uni.map_batches(
+            lambda b: pa.table({"token": b.column("token"), "c2": b.column("cnt")}),
+            batch_format="pyarrow",
+        ),
+        left_on="w2",
+        right_on="token",
+        how="inner",
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = batch_to_numpy(b, "c12").astype(np.float64)
+        c1 = batch_to_numpy(b, "c1").astype(np.float64)
+        c2 = batch_to_numpy(b, "c2").astype(np.float64)
+        pmi = np.round(np.log((c12 * t_uni * t_uni) / ((c1 * c2) * t_bi)), 6)
+        return pa.table(
+            {
+                "bigram": b.column("bigram"),
+                "c12": b.column("c12").cast(pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return distributed_topk(
+        j2.map_batches(score, batch_format="pyarrow"),
+        [("pmi", "descending"), ("bigram", "ascending")],
+        k,
+    )
+
+
 def lm_score(
     docs: rd.Dataset,
     *,

@@ -2498,6 +2498,31 @@ FROM tf t JOIN df d USING (token)
 ORDER BY score DESC, t.token LIMIT {k}"""
 
 
+def bigram_pmi_sql(k: int = 50, min_count: int = 5) -> str:
+    """Mirror of data_ops.text.bigram_pmi (identical float expression
+    tree over exact counts, rounded 6 before ranking)."""
+    return f"""WITH tl AS (
+  SELECT row_number() OVER () AS did,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT did, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tl),
+uni AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+tu AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+bg AS (SELECT a.token AS w1, b.token AS w2
+       FROM toks a JOIN toks b ON a.did = b.did AND b.pos = a.pos + 1),
+tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg),
+bc AS MATERIALIZED (
+  SELECT w1 || ' ' || w2 AS bigram, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bg GROUP BY w1, w2),
+sel AS (
+  SELECT bc.bigram, bc.c12,
+         ROUND(LN(((CAST(bc.c12 AS DOUBLE) * (SELECT t FROM tu)) * (SELECT t FROM tu))
+                  / ((CAST(u1.c AS DOUBLE) * u2.c) * (SELECT t FROM tb))), 6) AS pmi
+  FROM bc JOIN uni u1 ON u1.token = bc.w1 JOIN uni u2 ON u2.token = bc.w2
+  WHERE bc.c12 >= {min_count})
+SELECT bigram, c12, pmi FROM sel ORDER BY pmi DESC, bigram LIMIT {k}"""
+
+
 def bigram_topk_sql(k: int = 20) -> str:
     """Mirror of data_ops.text.bigram_topk: adjacent lowercase token
     pairs within each document, (cnt DESC, bigram) order."""

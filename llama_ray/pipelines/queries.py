@@ -3004,6 +3004,16 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top-50 adjacent word pairs by PMI over
+    exact corpus counts (bigrams seen ≥5 times; see
+    ``data_ops.text.bigram_pmi``)."""
+    from ..data_ops.text import bigram_pmi
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bigram_pmi(docs, k=50, min_count=5)
+
+
 def q_vocab_edit_pairs(sf_dir: str):
     """String-similarity self-join: all distinct vocabulary token
     pairs within Levenshtein distance 2 (SymSpell depth-2
