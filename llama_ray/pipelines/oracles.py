@@ -569,6 +569,29 @@ SELECT user_id, MIN(ts_u) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM m GROUP BY user_id, sess"""
 
 
+def session_stats_sql(gap_seconds: int = 1800) -> str:
+    """Mirror of queries.q_session_stats (quantile_disc over the same
+    session sizes)."""
+    gap_us = gap_seconds * 1_000_000
+    return f"""WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_u,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_u
+  FROM events),
+m AS (SELECT user_id, ts_u,
+             SUM(CASE WHEN prev_u IS NULL OR ts_u - prev_u > {gap_us} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_u ROWS UNBOUNDED PRECEDING) AS sess
+      FROM t),
+s AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM m GROUP BY user_id, sess)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(MAX(n_events) AS BIGINT) AS max_events,
+       CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS p50_events,
+       CAST(quantile_disc(n_events, 0.9) AS BIGINT) AS p90_events,
+       CAST(quantile_disc(n_events, 0.99) AS BIGINT) AS p99_events
+FROM s"""
+
+
 def triangle_count_sql() -> str:
     return f"""WITH {GRAPH_CTES},
 ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst)

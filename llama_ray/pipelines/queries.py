@@ -1435,6 +1435,39 @@ def q_events_hourly_anomaly(sf_dir: str):
     )
 
 
+def q_session_stats(sf_dir: str):
+    """Session-size distribution on top of the sessionization output:
+    session count, total/max events per session, and the exact
+    p50/p90/p99 of session size (histogram quantiles — one row per
+    distinct size through the shuffle, never the sessions
+    themselves)."""
+    from ..data_ops.text import exact_quantiles
+
+    sess = q_events_sessions(sf_dir).materialize()
+
+    def partial(b: pa.Table) -> dict:
+        n = batch_to_numpy(b, "n_events")
+        return {
+            "n_sessions": np.array([len(n)], np.int64),
+            "total_events": np.array([int(n.sum())], np.int64),
+            "max_events": np.array([int(n.max()) if len(n) else 0], np.int64),
+        }
+
+    parts = sess.map_batches(partial, batch_format="pyarrow").to_pandas()
+    qt = exact_quantiles(sess, "n_events", [0.5, 0.9, 0.99])
+    qv = qt.column("value").to_pylist()
+    return pa.table(
+        {
+            "n_sessions": pa.array([int(parts["n_sessions"].sum())], pa.int64()),
+            "total_events": pa.array([int(parts["total_events"].sum())], pa.int64()),
+            "max_events": pa.array([int(parts["max_events"].max())], pa.int64()),
+            "p50_events": pa.array([qv[0]], pa.int64()),
+            "p90_events": pa.array([qv[1]], pa.int64()),
+            "p99_events": pa.array([qv[2]], pa.int64()),
+        }
+    )
+
+
 def q_events_profile(sf_dir: str):
     """Table profiling (the data-catalog stats pass): per numeric
     column of events — row count, null count, min, max, integer sum
