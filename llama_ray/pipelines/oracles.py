@@ -1291,6 +1291,59 @@ FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a"""
 
 
+def edge_percolation_sql(
+    pcts=(30, 60, 90), seed: int = 20260824, rounds: int = 40
+) -> str:
+    """Mirror of queries.q_edge_percolation: one shared splitmix64
+    edge-coin CTE, then per retention level a min-label WCC unroll
+    over the surviving edges plus singleton isolated vertices."""
+    gold = 0x9E3779B97F4A7C15
+    raw = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    blocks, finals = [], []
+    for p in pcts:
+        pre = f"p{p}"
+        blocks.append(
+            f"{pre}e AS MATERIALIZED (SELECT src, dst FROM pc5 WHERE h % 100 < {p})"
+        )
+        blocks.append(
+            f"{pre}u AS MATERIALIZED (SELECT src AS a, dst AS b FROM {pre}e "
+            f"UNION SELECT dst, src FROM {pre}e)"
+        )
+        blocks.append(
+            f"{pre}v AS MATERIALIZED (SELECT a AS id FROM {pre}u UNION SELECT b FROM {pre}u)"
+        )
+        blocks.append(f"{pre}l0 AS MATERIALIZED (SELECT id, id AS label FROM {pre}v)")
+        for k in range(rounds):
+            blocks.append(
+                f"""{pre}l{k + 1} AS MATERIALIZED (
+  SELECT {pre}l{k}.id, LEAST({pre}l{k}.label, COALESCE(m.minlab, {pre}l{k}.label)) AS label
+  FROM {pre}l{k} LEFT JOIN (
+    SELECT {pre}u.b AS id, MIN(l.label) AS minlab
+    FROM {pre}u JOIN {pre}l{k} l ON l.id = {pre}u.a GROUP BY {pre}u.b
+  ) m ON m.id = {pre}l{k}.id)"""
+            )
+        finals.append(
+            f"""SELECT CAST({p} AS BIGINT) AS pct,
+       CAST((SELECT COUNT(*) FROM {pre}e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT label) FROM {pre}l{rounds})
+          + (SELECT COUNT(*) FROM v WHERE id NOT IN (SELECT id FROM {pre}v)) AS BIGINT) AS n_components,
+       CAST(GREATEST(
+          COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM {pre}l{rounds} GROUP BY label)), 0),
+          CASE WHEN (SELECT COUNT(*) FROM v WHERE id NOT IN (SELECT id FROM {pre}v)) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS largest_component"""
+        )
+    body = ",\n".join(blocks)
+    final = "\nUNION ALL\n".join(finals)
+    return f"""WITH {GRAPH_CTES},
+pc0 AS (SELECT src, dst, {raw} AS h FROM e),
+{_mix64_ctes("pc0", "src, dst", prefix="pc")},
+{body}
+{final}"""
+
+
 def influence_cascade_sql(
     num_seeds: int = 4, pct: int = 50, seed: int = 20260823, max_depth: int = 40
 ) -> str:

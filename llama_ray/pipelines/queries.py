@@ -434,6 +434,64 @@ def q_core_numbers(sf_dir: str):
     return pa.table({"vertex": g.ids, "core": res.state["core"]})
 
 
+def q_edge_percolation(sf_dir: str, *, pcts=(30, 60, 90), seed: int = 20260824):
+    """Bond-percolation sweep: retain each edge with deterministic
+    probability p (splitmix64 coin), report how connectivity emerges —
+    per retention level the surviving edge count, WCC component count
+    (isolated original vertices included as singletons), and largest
+    component.  Three hash-filtered WCC runs over the engine; the
+    resilience-curve companion to `hub_attack`."""
+    from ..algos.components import weakly_connected_components
+    from ..data_ops.dedup import _GOLD, _mix64
+    from ..graph import build_graph
+
+    g_full = _cached_tpch_graph(sf_dir)
+    edges = _cached_dedup_edges(sf_dir)
+    rows = {"pct": [], "n_edges": [], "n_components": [], "largest_component": []}
+    for pct in pcts:
+
+        def filt(b: pa.Table, _p=pct) -> pa.Table:
+            s = batch_to_numpy(b, "src").astype(np.uint64)
+            d = batch_to_numpy(b, "dst").astype(np.uint64)
+            h = _mix64(s * _GOLD ^ d ^ np.uint64(seed))
+            keep = pa.array((h % np.uint64(100)) < _p)
+            return pa.table(
+                {
+                    "src": b.column("src").filter(keep),
+                    "dst": b.column("dst").filter(keep),
+                }
+            )
+
+        fe = edges.map_batches(filt, batch_format="pyarrow")
+        fg = build_graph(fe)
+        if fg.num_vertices:
+            res = weakly_connected_components(fg)
+            if res.iterations > 40:
+                raise RuntimeError(
+                    "edge_percolation: WCC needed more supersteps than the SQL unroll"
+                )
+            labels = res.state["label"]
+            _u, sizes = np.unique(labels, return_counts=True)
+            n_comp_edges = len(_u)
+            largest = int(sizes.max())
+            n_edges_kept = fg.num_edges
+        else:
+            n_comp_edges, largest, n_edges_kept = 0, 0, 0
+        iso = g_full.num_vertices - fg.num_vertices
+        rows["pct"].append(int(pct))
+        rows["n_edges"].append(int(n_edges_kept))
+        rows["n_components"].append(int(n_comp_edges + iso))
+        rows["largest_component"].append(max(largest, 1 if iso else largest))
+    return pa.table(
+        {
+            "pct": pa.array(rows["pct"], pa.int64()),
+            "n_edges": pa.array(rows["n_edges"], pa.int64()),
+            "n_components": pa.array(rows["n_components"], pa.int64()),
+            "largest_component": pa.array(rows["largest_component"], pa.int64()),
+        }
+    )
+
+
 def q_influence_cascade(sf_dir: str, *, num_seeds: int = 4, pct: int = 50, seed: int = 20260823):
     """Deterministic independent-cascade spread (Kempe-Kleinberg-
     Tardos influence model with a hash coin): every edge transmits iff
