@@ -1448,6 +1448,34 @@ SELECT o.src, i.dst, CAST(COUNT(*) AS BIGINT) AS m
 FROM o JOIN i USING (rn) GROUP BY 1, 2"""
 
 
+def null_model_triangles_sql(seed: int = 20260820) -> str:
+    """Mirror of queries.q_null_model_triangles: the config_model
+    rewiring CTEs + canonical triangle 3-joins on both graphs."""
+    gold = 0x9E3779B97F4A7C15
+    raw = lambda s: (  # noqa: E731
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({s} AS HUGEINT))"
+    )
+    return f"""WITH {GRAPH_CTES},
+ro AS (SELECT src, dst, {raw(seed)} AS h FROM e),
+{_mix64_ctes("ro", "src, dst", prefix="co")},
+ri AS (SELECT src, dst, {raw(seed + 1)} AS h FROM e),
+{_mix64_ctes("ri", "src, dst", prefix="ci")},
+o AS (SELECT src, ROW_NUMBER() OVER (ORDER BY h, src, dst) AS rn FROM co5),
+i AS (SELECT dst, ROW_NUMBER() OVER (ORDER BY h, src, dst) AS rn FROM ci5),
+ne AS MATERIALIZED (SELECT DISTINCT o.src, i.dst FROM o JOIN i USING (rn)),
+nc AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM ne WHERE src <> dst),
+rc AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM rc x
+       JOIN rc y ON y.a = x.b JOIN rc z ON z.a = x.a AND z.b = y.b),
+tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM nc x
+       JOIN nc y ON y.a = x.b JOIN nc z ON z.a = x.a AND z.b = y.b)
+SELECT (SELECT t FROM tr) AS tc_real, (SELECT t FROM tn) AS tc_null,
+       ROUND(CAST((SELECT t FROM tr) AS DOUBLE) / GREATEST((SELECT t FROM tn), 1), 6) AS ratio"""
+
+
 def onion_sql() -> str:
     """Mirror of algos.kcore.onion_layers: wave peeling on the
     canonical undirected simple graph as a state-carrying recursive

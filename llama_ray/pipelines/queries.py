@@ -683,15 +683,10 @@ def q_doc_sample(sf_dir: str, *, k: int = 500, seed: int = 20260822):
     )
 
 
-def q_config_model(sf_dir: str, *, seed: int = 20260820):
-    """Degree-preserving rewiring (directed configuration model, the
-    null model for motif significance): every edge contributes one
-    out-stub (its src) and one in-stub (its dst); stubs are matched by
-    deterministic splitmix64 rank — new edge i joins the i-th out-stub
-    to the i-th in-stub.  Out/in degree sequences are preserved
-    exactly; collisions stay as multiplicities (the honest multigraph
-    semantics).  Two global-rank passes + one rank equi-join + the
-    sort/run-dedup count — all engine primitives, no driver rows."""
+def _config_model_edges(sf_dir: str, seed: int) -> "rd.Dataset":
+    """Rewired multigraph edges (src, dst, weight=multiplicity) of the
+    configuration model — shared by q_config_model and the
+    null-model triangle significance query."""
     from ..data_ops.dedup import _GOLD, _mix64
     from ..data_ops.relational import global_ranks, sort_merge_join
 
@@ -746,6 +741,42 @@ def q_config_model(sf_dir: str, *, seed: int = 20260820):
         )
 
     return rewired.map_batches(fin, batch_format="pyarrow")
+
+
+def q_config_model(sf_dir: str, *, seed: int = 20260820):
+    """Degree-preserving rewiring (directed configuration model, the
+    null model for motif significance): every edge contributes one
+    out-stub (its src) and one in-stub (its dst); stubs are matched by
+    deterministic splitmix64 rank — new edge i joins the i-th out-stub
+    to the i-th in-stub.  Out/in degree sequences are preserved
+    exactly; collisions stay as multiplicities (the honest multigraph
+    semantics).  Two global-rank passes + one rank equi-join + the
+    sort/run-dedup count — all engine primitives, no driver rows."""
+    return _config_model_edges(sf_dir, seed)
+
+
+def q_null_model_triangles(sf_dir: str, *, seed: int = 20260820):
+    """Motif significance — the configuration model's actual use:
+    exact triangle count of the real graph vs its degree-preserving
+    rewiring (simple canonical view of the multigraph), and their
+    ratio.  tc_real ≫ tc_null is the classic clustering signature
+    that degree sequence alone cannot explain."""
+    from ..algos.triangles import triangle_count
+    from ..graph import build_graph
+
+    g = _cached_tpch_graph(sf_dir)
+    tc_real = int(_triangle_count(g))
+    null_edges = _config_model_edges(sf_dir, seed).select_columns(["src", "dst"])
+    gn = build_graph(dedup_edges(null_edges))
+    tc_null = int(triangle_count(gn))
+    ratio = float(np.round(tc_real / max(tc_null, 1), 6))
+    return pa.table(
+        {
+            "tc_real": pa.array([tc_real], pa.int64()),
+            "tc_null": pa.array([tc_null], pa.int64()),
+            "ratio": pa.array([ratio], pa.float64()),
+        }
+    )
 
 
 def q_onion(sf_dir: str):
