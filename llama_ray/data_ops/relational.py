@@ -8,8 +8,10 @@ join and window shapes a 100-TB pipeline actually uses, each built
 from the engine's proven primitives (ONE range sort + per-block
 complete-run work + a bounded boundary pass — the same skeleton as
 ``curation.topk_per_group`` and the dedup verify join), plus
-``interval_join`` (broadcast range join) and ``sliding_window_agg``
-(distributed RANGE-frame windowed aggregate):
+``interval_join`` (broadcast range join), ``sliding_window_agg``
+(distributed RANGE-frame windowed aggregate), ``running_window``
+(SUM/LAG/ROW_NUMBER), ``ntile`` (global quantile buckets) and
+``global_ranks`` (dense ROW_NUMBER over a total order):
 
 * ``sort_merge_join`` — general equi-join (inner / left / full outer /
   semi / anti) of two Datasets.  Both sides are projected onto one union schema with a
