@@ -96,7 +96,7 @@ def core_numbers(
     return _core_loop(graph, gat, init_state, max_iters, checkpoint_dir, resume, num_edges2)
 
 
-def onion_layers(graph: Graph, *, max_rounds: int | None = None):
+def onion_layers(graph: Graph, *, max_rounds: int | None = None, mode: str = "push"):
     """Onion decomposition (Hébert-Dufresne, Grochow & Allard, Sci.
     Rep. 2016): the k-core peeling refined by *wave* — per round, peel
     simultaneously every alive vertex whose remaining degree is ≤ the
@@ -106,17 +106,28 @@ def onion_layers(graph: Graph, *, max_rounds: int | None = None):
     *within* each k-shell by how deep they sit (the paper's structural
     centrality signal beyond coreness).
 
-    One ``gather_sum`` of the alive mask per round on the shared
-    undirected pool — O(V) driver state, edge work proportional to the
-    shrinking alive subgraph's neighborhood.  Pass a canonical
-    undirected graph (same contract as :func:`core_numbers`).
+    ``mode='push'`` (default) maintains alive-neighbor degrees
+    incrementally: each wave fans out ONLY the newly peeled vertices'
+    adjacency runs (the node2vec ``walk_candidates`` machinery over
+    the undirected pool), so total edge work across ALL waves is O(E)
+    — the wave count (which IS the onion's output, often hundreds on
+    power-law graphs) no longer multiplies the edge scan.
+    ``mode='gather'`` recomputes degrees with one alive-mask
+    ``gather_sum`` per wave (O(waves·E), kept as the
+    cross-check/fallback; both modes are bit-identical — tested).
+    O(V) driver state either way.  Pass a canonical undirected graph
+    (same contract as :func:`core_numbers`).
 
     Returns ``(layer, core)`` int64 arrays in dense vertex order.
     ``core`` equals :func:`core_numbers` exactly (tested)."""
+    if mode not in ("push", "gather"):
+        raise ValueError("onion_layers: mode must be 'push' or 'gather'")
     n = graph.num_vertices
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    from ..engine.bsp import shared_pool
+    import ray
+
+    from ..engine.bsp import UndirectedView, shared_pool
 
     gat = shared_pool(graph, view="undirected")
     layer = np.zeros(n, np.int64)
@@ -126,16 +137,47 @@ def onion_layers(graph: Graph, *, max_rounds: int | None = None):
     rounds = 0
     cap = max_rounds if max_rounds is not None else n + 1
     try:
-        while alive.any():
-            rounds += 1
-            if rounds > cap:
-                raise RuntimeError("onion_layers exceeded max_rounds")
-            deg = np.rint(gat.gather_sum(alive.astype(np.float64))).astype(np.int64)
-            k = max(k, int(deg[alive].min()))
-            peel = alive & (deg <= k)
-            layer[peel] = rounds
-            core[peel] = k
-            alive &= ~peel
+        if mode == "push":
+            ray.get([a.prepare_walks.remote(False) for a in gat.actors])
+            deg = UndirectedView(graph).in_degrees().astype(np.int64)
+            while alive.any():
+                rounds += 1
+                if rounds > cap:
+                    raise RuntimeError("onion_layers exceeded max_rounds")
+                k = max(k, int(deg[alive].min()))
+                peel = alive & (deg <= k)
+                layer[peel] = rounds
+                core[peel] = k
+                alive &= ~peel
+                if not alive.any():
+                    break
+                pv = np.flatnonzero(peel).astype(np.int64)
+                chunk = 1 << 20
+                for lo in range(0, len(pv), chunk):
+                    ref = ray.put(pv[lo : lo + chunk])
+                    dec = np.zeros(n, np.int64)
+                    any_part = False
+                    for part in ray.get(
+                        [a.walk_candidates.remote(ref) for a in gat.actors]
+                    ):
+                        if part is None:
+                            continue
+                        any_part = True
+                        _idx, _counts, flat = part
+                        dec += np.bincount(flat, minlength=n)
+                    if any_part:
+                        deg -= dec
+        else:
+            while alive.any():
+                rounds += 1
+                if rounds > cap:
+                    raise RuntimeError("onion_layers exceeded max_rounds")
+                deg = np.rint(gat.gather_sum(alive.astype(np.float64))).astype(np.int64)
+                k = max(k, int(deg[alive].min()))
+                peel = alive & (deg <= k)
+                layer[peel] = rounds
+                core[peel] = k
+                alive &= ~peel
     finally:
         gat.shutdown()
     return layer, core

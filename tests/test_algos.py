@@ -1237,3 +1237,6 @@ def test_onion_layers_matches_peeling_reference():
         assert np.array_equal(layer, np.array([ref_l[int(i)] for i in ids]))
         assert np.array_equal(core, np.array([ref_c[int(i)] for i in ids]))
         assert np.array_equal(core, core_numbers(g).state["core"])
+        # push (incremental fan-out) ≡ gather (per-wave recompute)
+        gl, gc = onion_layers(g, mode="gather")
+        assert np.array_equal(layer, gl) and np.array_equal(core, gc)
