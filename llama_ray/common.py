@@ -239,10 +239,23 @@ def per_block_results(ds, fn) -> list:
     For tiny per-block extractions (first/last run rows, block bounds)
     a Ray Data pass costs ~0.5 s of fixed executor overhead; a handful
     of direct tasks over the block refs is near-free. ``ds`` must be
-    materialized."""
+    materialized.
+
+    Blocks are coerced to Arrow before ``fn`` runs: a dataset with
+    MIXED pandas/arrow blocks (e.g. a sort of a pandas-origin input
+    with more blocks than rows leaves empty pandas blocks) passes raw
+    DataFrames through ``to_arrow_refs``."""
     import ray as _ray
 
-    task = _ray.remote(fn)
+    def _coerced(b):
+        if not isinstance(b, pa.Table):
+            import pandas as _pd
+
+            if isinstance(b, _pd.DataFrame):
+                b = pa.Table.from_pandas(b, preserve_index=False)
+        return fn(b)
+
+    task = _ray.remote(_coerced)
     return _ray.get([task.remote(r) for r in ds.to_arrow_refs()])
 
 

@@ -66,6 +66,34 @@ def _as_arrow(ds: rd.Dataset):
     return ds2.schema().base_schema, ds2
 
 
+def _sorted_arrow(ds: rd.Dataset, keys: list[str]):
+    """(arrow schema, materialized sorted dataset).  The sort can
+    degrade a mixed/empty-block dataset back to a pandas schema (an
+    input with fewer rows than blocks leaves empty blocks whose merged
+    schema falls back) — re-coerce after the sort so downstream
+    per-block Arrow code always sees ``pa.Table`` blocks."""
+    srt = ds.sort(keys).materialize()
+    bs = srt.schema().base_schema
+    if not isinstance(bs, pa.Schema):
+        srt = srt.map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        bs = srt.schema().base_schema
+    return bs, srt
+
+
+
+def _coerce_block(tbl):
+    """Arrow-ify a raw block (mixed datasets can hand ``to_arrow_refs``
+    consumers a pandas DataFrame — see ``common.per_block_results``)."""
+    if not isinstance(tbl, pa.Table):
+        import pandas as _pd
+
+        if isinstance(tbl, _pd.DataFrame):
+            tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    return tbl
+
+
 # ------------------------------------------------------ sort-merge join
 
 
@@ -399,6 +427,7 @@ def asof_join(
     out_schema = pa.schema(out_fields)
 
     def fill_block(tbl: pa.Table, carry_by, carry_vals) -> pa.Table:
+        tbl = _coerce_block(tbl)
         if tbl.num_rows == 0 or by not in tbl.schema.names:
             return out_schema.empty_table()
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
@@ -626,8 +655,7 @@ def running_window(
     in the last ulp — quantize first (the engine's floor(x·10^6+½)
     convention) when the result must hash-match an oracle."""
     _, ds = _as_arrow(ds)
-    srt = ds.sort([by, *order_cols]).materialize()
-    schema = srt.schema().base_schema
+    schema, srt = _sorted_arrow(ds, [by, *order_cols])
     val_type = schema.field(val_col).type
 
     def summarize(tbl: pa.Table):
@@ -661,6 +689,7 @@ def running_window(
     )
 
     def fill_block(tbl: pa.Table, c_by, c_n, c_sum, c_last) -> pa.Table:
+        tbl = _coerce_block(tbl)
         if tbl.num_rows == 0 or by not in tbl.schema.names:
             return out_schema.empty_table()
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
@@ -718,8 +747,7 @@ def ntile(
     assigns buckets with the exact SQL NTILE split (first ``n % k``
     buckets one row larger).  No row ever reaches the driver."""
     _, ds = _as_arrow(ds)
-    srt = ds.sort(order_cols).materialize()
-    schema = srt.schema().base_schema
+    schema, srt = _sorted_arrow(ds, order_cols)
 
     counts = per_block_results(srt, lambda t: t.num_rows)
     counts = [c or 0 for c in counts]
@@ -730,6 +758,7 @@ def ntile(
     out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
 
     def fill(tbl: pa.Table, off: int) -> pa.Table:
+        tbl = _coerce_block(tbl)
         m = tbl.num_rows
         if m == 0:
             return out_schema.empty_table()
@@ -765,13 +794,13 @@ def global_ranks(
     for determinism).  One range sort; per-block counts chain into
     rank offsets on the driver (O(blocks) scalars)."""
     _, ds = _as_arrow(ds)
-    srt = ds.sort(order_cols).materialize()
-    schema = srt.schema().base_schema
+    schema, srt = _sorted_arrow(ds, order_cols)
     counts = [c or 0 for c in per_block_results(srt, lambda t: t.num_rows)]
     offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
     out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
 
     def fill(tbl: pa.Table, off: int) -> pa.Table:
+        tbl = _coerce_block(tbl)
         m = tbl.num_rows
         if m == 0:
             return out_schema.empty_table()
@@ -824,8 +853,7 @@ def sliding_window_agg(
     ``val_col`` should be integer (the engine's micro-unit convention)
     so sums are bit-exact in any layout."""
     _, ds = _as_arrow(ds)
-    srt = ds.sort([by, ts_col, tie_col]).materialize()
-    schema = srt.schema().base_schema
+    schema, srt = _sorted_arrow(ds, [by, ts_col, tie_col])
     if not pa.types.is_integer(schema.field(ts_col).type):
         raise ValueError("sliding_window_agg needs an integer ts column")
     window = int(window)
@@ -836,7 +864,9 @@ def sliding_window_agg(
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
         t = batch_to_numpy(tbl, ts_col)
         v = batch_to_numpy(tbl, val_col)
-        tail = (b == b[-1]) & (t > t[-1] - window)
+        # >= : the RANGE frame is CLOSED at ts - window, so a row at
+        # exactly last_ts - window can still matter to later rows
+        tail = (b == b[-1]) & (t >= t[-1] - window)
         lead = (b == b[0]) & (t == t[0])
         single = bool((b == b[0]).all() and (t == t[0]).all())
         return (
@@ -873,7 +903,7 @@ def sliding_window_agg(
             buf_ts = tts.astype(np.int64)
             buf_val = tvs.astype(np.int64)
         buf_by = last_by
-        keep = buf_ts > last_ts - window
+        keep = buf_ts >= last_ts - window
         buf_ts, buf_val = buf_ts[keep], buf_val[keep]
         check_boundary_size(len(buf_ts), "sliding_window_agg")
 
@@ -903,6 +933,7 @@ def sliding_window_agg(
     def fill_block(
         tbl: pa.Table, c_by, c_ts, c_val, f_cnt: int, f_sum: int
     ) -> pa.Table:
+        tbl = _coerce_block(tbl)
         if tbl.num_rows == 0 or by not in tbl.schema.names:
             return out_schema.empty_table()
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)

@@ -213,3 +213,74 @@ def test_word_ngram_batch_fuzz_matches_per_row(texts):
         starts = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         for i, t in enumerate(texts):
             assert np.array_equal(_word_ngram_hashes(t, n), cat[starts[i] : starts[i + 1]])
+
+
+# ------------------------------- window / range-join property checks
+
+win_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # user
+        st.integers(min_value=0, max_value=50),    # ts (dense → many peers)
+        st.integers(min_value=-3, max_value=9),    # val
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@SLOW
+@given(win_rows, st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=25))
+def test_sliding_window_agg_property(rows, window, nblocks):
+    from llama_ray.data_ops.relational import sliding_window_agg
+
+    df = pd.DataFrame(rows, columns=["u", "t", "v"])
+    df["rid"] = np.arange(len(df), dtype=np.int64)
+    df = df.astype({"u": np.int64, "t": np.int64, "v": np.int64})
+    out = sliding_window_agg(
+        rd.from_pandas(df).repartition(nblocks),
+        by="u", ts_col="t", val_col="v", window=window, tie_col="rid",
+        out_cnt="c", out_sum="s",
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+    for _, r in out.iterrows():
+        m = (df["u"] == r["u"]) & (df["t"] >= r["t"] - window) & (df["t"] <= r["t"])
+        assert int(r["c"]) == int(m.sum())
+        assert int(r["s"]) == int(df.loc[m, "v"].sum())
+
+
+ivl_case = st.tuples(
+    st.lists(st.integers(min_value=-10, max_value=40), min_size=1, max_size=50),  # points
+    st.lists(
+        st.tuples(st.integers(min_value=-10, max_value=35), st.integers(min_value=1, max_value=12)),
+        min_size=0,
+        max_size=12,
+    ),  # (start, length)
+)
+
+
+@SLOW
+@given(ivl_case, st.integers(min_value=1, max_value=9))
+def test_interval_join_property(case, nblocks):
+    from llama_ray.data_ops.relational import interval_join
+
+    points, ivls = case
+    P = pd.DataFrame({"pid": np.arange(len(points), dtype=np.int64),
+                      "t": np.array(points, np.int64)})
+    itbl = pa.table(
+        {
+            "s": pa.array([a for a, _l in ivls], pa.int64()),
+            "e": pa.array([a + l for a, l in ivls], pa.int64()),
+            "iid": pa.array(np.arange(len(ivls), dtype=np.int64)),
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(P).repartition(nblocks), itbl,
+        on="t", start_col="s", end_col="e",
+    ).to_pandas()
+    got = sorted(zip(out["pid"], out["iid"])) if len(out) else []
+    exp = sorted(
+        (int(p), int(i))
+        for p in range(len(points))
+        for i, (a, l) in enumerate(ivls)
+        if a <= points[p] < a + l
+    )
+    assert got == exp
