@@ -284,3 +284,77 @@ def test_interval_join_property(case, nblocks):
         if a <= points[p] < a + l
     )
     assert got == exp
+
+
+tokens = st.lists(
+    st.text(alphabet="ab", min_size=2, max_size=6), min_size=1, max_size=25
+)
+
+
+@SLOW
+@given(tokens, st.integers(min_value=1, max_value=2), st.integers(min_value=1, max_value=5))
+def test_edit_distance_pairs_property(toks, dist, nblocks):
+    """Deletion-neighborhood join vs brute Levenshtein over adversarial
+    repeated-character tokens (maximal variant collisions)."""
+    import itertools
+
+    from llama_ray.data_ops.text import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) > len(b):
+            a, b = b, a
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j] + [0] * len(a)
+            for i, ca in enumerate(a, 1):
+                cur[i] = min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    docs = [{"doc_id": 0, "text": " ".join(toks)}]
+    ds = rd.from_items(docs).repartition(nblocks)
+    out = edit_distance_pairs(ds, min_len=2, max_distance=dist).to_pandas()
+    got = sorted(zip(out["tok_a"], out["tok_b"])) if len(out) else []
+    vocab = sorted({t for t in toks if 2 <= len(t) <= 20})
+    exp = sorted(
+        (a, b) for a, b in itertools.combinations(vocab, 2) if 1 <= lev(a, b) <= dist
+    )
+    assert got == exp
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=9),
+)
+def test_ntile_and_ranks_property(vals, k, nblocks):
+    from llama_ray.data_ops.relational import global_ranks, ntile
+
+    df = pd.DataFrame(
+        {"rid": np.arange(len(vals), dtype=np.int64), "v": np.array(vals, np.int64)}
+    )
+    ranked = (
+        global_ranks(rd.from_pandas(df).repartition(nblocks), order_cols=["v", "rid"])
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["v", "rid"]).reset_index(drop=True)
+    assert np.array_equal(ranked["rid"].to_numpy(), exp["rid"].to_numpy())
+    assert np.array_equal(ranked["rn"].to_numpy(), np.arange(1, len(df) + 1))
+    nt = ntile(
+        rd.from_pandas(df).repartition(nblocks), order_cols=["v", "rid"], k=k
+    ).to_pandas()
+    n = len(df)
+    q, r = divmod(n, k)
+    m = nt.merge(ranked[["rid", "rn"]], on="rid")
+    for _, row in m.iterrows():
+        rank = int(row["rn"])
+        if q == 0:
+            expb = rank
+        elif rank <= r * (q + 1):
+            expb = -(-rank // (q + 1))
+        else:
+            expb = r + (-(-(rank - r * (q + 1)) // q))
+        assert int(row["bucket"]) == expb
