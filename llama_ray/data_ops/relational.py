@@ -58,12 +58,27 @@ _KEY = "__key__"
 
 def _as_arrow(ds: rd.Dataset):
     """(arrow schema, dataset) — coercing pandas-block datasets (e.g.
-    ``from_pandas`` test inputs) to Arrow blocks first."""
-    bs = ds.schema().base_schema
+    ``from_pandas`` test inputs) to Arrow blocks first.  An EMPTY
+    pandas-origin dataset loses its schema through the conversion map
+    (``schema()`` returns None once zero blocks execute) — rebuild the
+    Arrow schema from the declared pandas dtypes instead."""
+    s0 = ds.schema()
+    bs = s0.base_schema if s0 is not None else None
     if isinstance(bs, pa.Schema):
         return bs, ds
     ds2 = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    return ds2.schema().base_schema, ds2
+    s2 = ds2.schema()
+    if s2 is not None and isinstance(s2.base_schema, pa.Schema):
+        return s2.base_schema, ds2
+    if bs is not None and hasattr(bs, "names") and hasattr(bs, "types"):
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {n: _pd.Series(dtype=t) for n, t in zip(bs.names, bs.types)}
+        )
+        sch = pa.Schema.from_pandas(empty, preserve_index=False)
+        return sch, rd.from_arrow(sch.empty_table())
+    raise ValueError("_as_arrow: cannot determine the schema of an empty dataset")
 
 
 def _sorted_arrow(ds: rd.Dataset, keys: list[str]):
@@ -91,6 +106,18 @@ def _coerce_block(tbl):
 
         if isinstance(tbl, _pd.DataFrame):
             tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+    return tbl
+
+
+def _cast_block(tbl: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Restore a sorted block's declared types: Ray's sort can convert
+    blocks through pandas, where an all-null int column degrades to
+    Arrow ``null`` type — blocks of the same dataset then disagree and
+    ``concat_tables``/``from_arrays`` fail.  Casting to the fixed
+    union schema is a no-op for healthy blocks."""
+    tbl = _coerce_block(tbl)
+    if tbl.schema != schema and set(tbl.schema.names) == set(schema.names):
+        tbl = tbl.select(schema.names).cast(schema)
     return tbl
 
 
@@ -289,6 +316,7 @@ def sort_merge_join(
     out_schema = pa.schema(out_fields)
 
     def interior(tbl: pa.Table) -> pa.Table:
+        tbl = _cast_block(tbl, uschema)
         if tbl.num_rows == 0:
             return out_schema.empty_table()
         k = tbl.column(_KEY).combine_chunks().to_numpy(zero_copy_only=False)
@@ -304,6 +332,7 @@ def sort_merge_join(
     def edge_runs(tbl: pa.Table):
         if tbl.num_rows == 0 or _KEY not in tbl.schema.names:
             return None
+        tbl = _cast_block(tbl, uschema)
         k = tbl.column(_KEY).combine_chunks().to_numpy(zero_copy_only=False)
         return tbl.filter(pa.array((k == k[0]) | (k == k[-1])))
 
@@ -383,6 +412,7 @@ def asof_join(
     def summarize(tbl: pa.Table):
         if tbl.num_rows == 0 or by not in tbl.schema.names:
             return None
+        tbl = _cast_block(tbl, uschema)
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)
         side = batch_to_numpy(tbl, _SIDE)
         refs = np.flatnonzero(side == 0)
@@ -428,6 +458,8 @@ def asof_join(
 
     def fill_block(tbl: pa.Table, carry_by, carry_vals) -> pa.Table:
         tbl = _coerce_block(tbl)
+        if tbl.num_rows and by in tbl.schema.names:
+            tbl = _cast_block(tbl, uschema)
         if tbl.num_rows == 0 or by not in tbl.schema.names:
             return out_schema.empty_table()
         b = tbl.column(by).combine_chunks().to_numpy(zero_copy_only=False)

@@ -358,3 +358,100 @@ def test_ntile_and_ranks_property(vals, k, nblocks):
         else:
             expb = r + (-(-(rank - r * (q + 1)) // q))
         assert int(row["bucket"]) == expb
+
+
+asof_case = st.tuples(
+    st.lists(  # probes: (by, ts)
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=30)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(  # refs: (by, ts, val)
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0, max_size=40,
+    ),
+)
+
+
+@SLOW
+@given(asof_case, st.integers(min_value=1, max_value=7))
+def test_asof_join_property(case, nblocks):
+    """As-of semantics vs brute force: latest same-key ref with
+    ts <= probe ts; equal-ts refs visible; ties -> largest tie col."""
+    from llama_ray.data_ops.relational import asof_join
+
+    probes, refs = case
+    P = pd.DataFrame(
+        {
+            "k": np.array([p[0] for p in probes], np.int64),
+            "ts_u": np.array([p[1] for p in probes], np.int64),
+            "pid": np.arange(len(probes), dtype=np.int64),
+        }
+    )
+    Rf = pd.DataFrame(
+        {
+            "k": np.array([r[0] for r in refs], np.int64),
+            "ts_u": np.array([r[1] for r in refs], np.int64),
+            "tie": np.arange(len(refs), dtype=np.int64),
+            "val": np.array([r[2] for r in refs], np.int64),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(P).repartition(nblocks),
+        rd.from_pandas(Rf).repartition(max(1, nblocks - 1)) if len(Rf) else rd.from_pandas(Rf),
+        by="k", ts_col="ts_u", tie_col="tie", value_cols=["tie", "val"],
+    ).to_pandas()
+    assert len(out) == len(P)
+    for _, row in out.iterrows():
+        cand = Rf[(Rf["k"] == row["k"]) & (Rf["ts_u"] <= row["ts_u"])]
+        if len(cand) == 0:
+            assert pd.isna(row["asof_tie"])
+        else:
+            best = cand.sort_values(["ts_u", "tie"]).iloc[-1]
+            assert int(row["asof_tie"]) == int(best["tie"])
+            assert int(row["asof_val"]) == int(best["val"])
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)), min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)), min_size=0, max_size=40),
+    st.sampled_from(["inner", "left", "outer", "semi", "anti"]),
+)
+def test_sort_merge_join_property(lrows, rrows, how):
+    from llama_ray.data_ops.relational import sort_merge_join
+
+    if not lrows:
+        return
+    L = pd.DataFrame(
+        {
+            "k": np.array([a for a, _ in lrows], np.int64),
+            "lv": np.array([b for _, b in lrows], np.int64),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "k": np.array([a for a, _ in rrows], np.int64),
+            "rv": np.array([b for _, b in rrows], np.int64),
+        }
+    )
+    out = sort_merge_join(
+        rd.from_pandas(L).repartition(3),
+        rd.from_pandas(R).repartition(2) if len(R) else rd.from_pandas(R),
+        left_on="k", right_on="k", how=how,
+    ).to_pandas()
+    if how in ("semi", "anti"):
+        keys = set(R["k"])
+        exp = L[[k in keys for k in L["k"]]] if how == "semi" else L[[k not in keys for k in L["k"]]]
+        assert sorted(zip(out["k"], out["lv"])) if len(out) else [] == sorted(zip(exp["k"], exp["lv"]))
+        assert len(out) == len(exp)
+    else:
+        exp = L.merge(R, on="k", how=("outer" if how == "outer" else how))
+        assert len(out) == len(exp)
+        if len(out):
+            o = out.fillna(-1).sort_values(list(out.columns)).reset_index(drop=True)
+            e = exp.fillna(-1)[list(out.columns)].sort_values(list(out.columns)).reset_index(drop=True)
+            assert np.allclose(o.to_numpy(dtype=float), e.to_numpy(dtype=float))
