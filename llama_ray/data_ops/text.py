@@ -601,6 +601,48 @@ def exact_quantiles_sorted(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Tabl
     )
 
 
+def exact_quantiles_cont(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont``): value at
+    fractional 0-based position ``q·(n−1)`` of the sorted column,
+    linearly interpolated between the two bracketing order statistics
+    — same one-sort + targeted-block-fetch envelope as
+    :func:`exact_quantiles_sorted` (at most two blocks per quantile
+    ever leave the object store)."""
+    import ray
+
+    from ..common import per_block_results
+
+    srt = ds.select_columns([col]).sort(col).materialize()
+    counts = np.array(per_block_results(srt, lambda t: t.num_rows), np.int64)
+    refs = srt.to_arrow_refs()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    cache: dict[int, pa.Table] = {}
+
+    def fetch(pos0: int) -> float:  # 0-based global position
+        b = int(np.searchsorted(cum, pos0 + 1))
+        if b not in cache:
+            cache[b] = ray.get(refs[b])
+        within = pos0 - (int(cum[b - 1]) if b else 0)
+        return float(cache[b].column(col)[within].as_py())
+
+    out_v = []
+    for q in qs:
+        if n == 0:
+            out_v.append(float("nan"))
+            continue
+        p = q * (n - 1)
+        lo = int(np.floor(p))
+        hi = min(lo + 1, n - 1)
+        f = p - lo
+        a = fetch(lo)
+        v = a if hi == lo or f == 0.0 else a + f * (fetch(hi) - a)
+        out_v.append(v)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
+
+
 def exact_group_quantiles_sorted(
     ds: rd.Dataset, group_col: str, col: str, qs: list[float]
 ) -> pa.Table:

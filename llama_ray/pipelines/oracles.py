@@ -3667,6 +3667,16 @@ SELECT event_id, val_u,
 FROM t"""
 
 
+def events_quantiles_cont_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Mirror of queries.q_events_quantiles_cont (same interpolation
+    expression as DuckDB's quantile_cont; rounded 6)."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, ROUND(quantile_cont(value, {q}), 6) AS value FROM events"
+        for q in qs
+    )
+    return rows
+
+
 def events_profile_sql() -> str:
     """Mirror of queries.q_events_profile (one aggregate per numeric
     column, integer units)."""

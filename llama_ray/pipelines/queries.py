@@ -1557,6 +1557,25 @@ def q_session_stats(sf_dir: str):
     )
 
 
+def q_events_quantiles_cont(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
+    """Interpolated quantiles (SQL ``quantile_cont``) of the raw event
+    value doubles — one sort, at most two target blocks fetched per
+    quantile (see ``data_ops.text.exact_quantiles_cont``); rounded 6
+    on both sides."""
+    from ..data_ops.text import exact_quantiles_cont
+
+    ev = _read(sf_dir, "events", ["value"])
+    t = exact_quantiles_cont(ev, "value", list(qs))
+    return pa.table(
+        {
+            "q": t.column("q"),
+            "value": pa.array(
+                np.round(t.column("value").to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
 def q_events_profile(sf_dir: str):
     """Table profiling (the data-catalog stats pass): per numeric
     column of events — row count, null count, min, max, integer sum
