@@ -643,6 +643,85 @@ def exact_quantiles_cont(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     )
 
 
+def exact_group_quantiles_cont(
+    ds: rd.Dataset, group_col: str, col: str, qs: list[float]
+) -> pa.Table:
+    """Per-group INTERPOLATED quantiles (``quantile_cont`` grouped) —
+    the continuous twin of :func:`exact_group_quantiles_sorted`: the
+    same ONE (group, value) sort and per-block run summaries, but each
+    (group, q) resolves the fractional 0-based position ``q·(n_g−1)``
+    and interpolates between the two bracketing order statistics (≤2
+    targeted block fetches per quantile)."""
+    import ray
+
+    from ..common import per_block_results
+
+    srt = ds.select_columns([group_col, col]).sort([group_col, col]).materialize()
+
+    def runs(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+
+        g = tbl.column(group_col).combine_chunks()
+        new = np.concatenate(
+            [[True], ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(zero_copy_only=False)]
+        )
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        return g.take(pa.array(starts)), starts, lens
+
+    parts = per_block_results(srt, runs)
+    refs = srt.to_arrow_refs()
+    groups, blocks_ix, starts, lens = [], [], [], []
+    for b, p in enumerate(parts):
+        if p is None:
+            continue
+        gv, st, ln = p
+        groups.extend(gv.to_pylist())
+        blocks_ix.extend([b] * len(st))
+        starts.extend(st.tolist())
+        lens.extend(ln.tolist())
+    out_g, out_q, out_v = [], [], []
+    cache: dict[int, pa.Table] = {}
+
+    def fetch(i, cum, pos0):
+        """value at 0-based position pos0 within the group whose run
+        segments start at list index i (cum = segment cumsum)."""
+        s = int(np.searchsorted(cum, pos0 + 1))
+        b = blocks_ix[i + s]
+        if b not in cache:
+            cache[b] = ray.get(refs[b])
+        within = starts[i + s] + pos0 - (int(cum[s - 1]) if s else 0)
+        return float(cache[b].column(col)[within].as_py())
+
+    i = 0
+    while i < len(groups):
+        j = i
+        while j < len(groups) and groups[j] == groups[i]:
+            j += 1
+        cum = np.cumsum(np.array(lens[i:j], np.int64))
+        n_g = int(cum[-1])
+        for q in qs:
+            p_ = q * (n_g - 1)
+            lo = int(np.floor(p_))
+            hi = min(lo + 1, n_g - 1)
+            f = p_ - lo
+            a = fetch(i, cum, lo)
+            v = a if hi == lo or f == 0.0 else a + f * (fetch(i, cum, hi) - a)
+            out_g.append(groups[i])
+            out_q.append(q)
+            out_v.append(v)
+        i = j
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
 def exact_group_quantiles_sorted(
     ds: rd.Dataset, group_col: str, col: str, qs: list[float]
 ) -> pa.Table:

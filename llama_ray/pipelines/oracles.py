@@ -3677,6 +3677,17 @@ def events_quantiles_cont_sql(qs=(0.5, 0.9, 0.99)) -> str:
     return rows
 
 
+def events_type_quantiles_cont_sql(qs=(0.5, 0.9)) -> str:
+    """Mirror of queries.q_events_type_quantiles_cont."""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT event_type, CAST({q} AS DOUBLE) AS q,
+       ROUND(quantile_cont(value, {q}), 6) AS value
+FROM events GROUP BY event_type"""
+        for q in qs
+    )
+    return rows
+
+
 def events_profile_sql() -> str:
     """Mirror of queries.q_events_profile (one aggregate per numeric
     column, integer units)."""

@@ -1576,6 +1576,25 @@ def q_events_quantiles_cont(sf_dir: str, *, qs=(0.5, 0.9, 0.99)):
     )
 
 
+def q_events_type_quantiles_cont(sf_dir: str, *, qs=(0.5, 0.9)):
+    """Per-event-type interpolated value quantiles (grouped
+    ``quantile_cont``; see ``data_ops.text.exact_group_quantiles_cont``),
+    rounded 6 on both sides."""
+    from ..data_ops.text import exact_group_quantiles_cont
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    t = exact_group_quantiles_cont(ev, "event_type", "value", list(qs))
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "q": t.column("q"),
+            "value": pa.array(
+                np.round(t.column("value").to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
 def q_events_profile(sf_dir: str):
     """Table profiling (the data-catalog stats pass): per numeric
     column of events — row count, null count, min, max, integer sum
