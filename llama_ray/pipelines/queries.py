@@ -1330,11 +1330,17 @@ def q_events_sessions(sf_dir: str, *, gap_seconds: int = 1800):
             .to_numpy(zero_copy_only=False),
         }
 
-    srt = (
-        ev.map_batches(prep, batch_format="pyarrow", batch_size=None)
-        .sort(["user_id", "t"])
-        .materialize()
+    return sessionize_prepped(
+        ev.map_batches(prep, batch_format="pyarrow", batch_size=None), gap_us
     )
+
+
+def sessionize_prepped(prepped, gap_us: int):
+    """Core sessionization over a prepped (user_id, t µs) Dataset —
+    factored out of :func:`q_events_sessions` so property tests can
+    drive it on synthetic streams (gap-boundary equality, block-edge
+    users)."""
+    srt = prepped.sort(["user_id", "t"]).materialize()
 
     def sessions_of(u: np.ndarray, t: np.ndarray):
         new = np.ones(len(u), bool)

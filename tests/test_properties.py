@@ -455,3 +455,50 @@ def test_sort_merge_join_property(lrows, rrows, how):
             o = out.fillna(-1).sort_values(list(out.columns)).reset_index(drop=True)
             e = exp.fillna(-1)[list(out.columns)].sort_values(list(out.columns)).reset_index(drop=True)
             assert np.allclose(o.to_numpy(dtype=float), e.to_numpy(dtype=float))
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 40)),  # (user, ts)
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=7),
+)
+def test_sessionize_property(rows, gap, nblocks):
+    """Sessionization vs brute force — strict-> gap semantics, gap
+    boundary EQUALITY (ts diff == gap stays in-session), duplicate
+    timestamps, users spanning block edges."""
+    from llama_ray.pipelines.queries import sessionize_prepped
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], np.int64),
+            "t": np.array([r[1] for r in rows], np.int64),
+        }
+    )
+    out = (
+        sessionize_prepped(rd.from_pandas(df).repartition(nblocks), gap)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for u, grp in df.groupby("user_id"):
+        ts = np.sort(grp["t"].to_numpy())
+        start, cnt = int(ts[0]), 1
+        for a, b in zip(ts[:-1], ts[1:]):
+            if b - a > gap:
+                exp_rows.append((int(u), start, cnt))
+                start, cnt = int(b), 1
+            else:
+                cnt += 1
+        exp_rows.append((int(u), start, cnt))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["user_id", "session_start", "n_events"])
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert out.astype(np.int64).equals(exp.astype(np.int64))
