@@ -3688,6 +3688,44 @@ FROM events GROUP BY event_type"""
     return rows
 
 
+def lineitem_correlations_sql() -> str:
+    """Mirror of queries.q_lineitem_correlations (HUGEINT exact
+    moments, identical double correlation expression, rounded 6)."""
+    scales = {
+        "l_quantity": 100,
+        "l_extendedprice": 100,
+        "l_discount": 1_000_000,
+        "l_tax": 1_000_000,
+    }
+    cols = list(scales)
+    qex = {
+        c: f"CAST(FLOOR({c} * {s} + 0.5) AS HUGEINT)" for c, s in scales.items()
+    }
+    qcols = ",\n  ".join(f"{qex[c]} AS q_{c}" for c in cols)
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    moments += [f"SUM(q_{c}) AS s_{c}" for c in cols]
+    for i, a in enumerate(cols):
+        for c in cols[i:]:
+            moments.append(f"SUM(q_{a} * q_{c}) AS m_{a}_{c}")
+    rows = []
+    for i, a in enumerate(cols):
+        for c in cols[i + 1 :]:
+            rows.append(
+                f"""SELECT '{a}' AS col_a, '{c}' AS col_b,
+  ROUND(CAST(n * m_{a}_{c} - s_{a} * s_{c} AS DOUBLE)
+        / SQRT(CAST(n * m_{a}_{a} - s_{a} * s_{a} AS DOUBLE)
+               * CAST(n * m_{c}_{c} - s_{c} * s_{c} AS DOUBLE)), 6) AS r
+FROM m"""
+            )
+    body = ",\n  ".join(moments)
+    final = "\nUNION ALL\n".join(rows)
+    return f"""WITH t AS (
+  SELECT {qcols}
+  FROM lineitem),
+m AS (SELECT {body} FROM t)
+{final}"""
+
+
 def events_profile_sql() -> str:
     """Mirror of queries.q_events_profile (one aggregate per numeric
     column, integer units)."""

@@ -1601,6 +1601,74 @@ def q_events_type_quantiles_cont(sf_dir: str, *, qs=(0.5, 0.9)):
     )
 
 
+# per-column quantization scales: price/quantity to cents (≤ 2^24),
+# rate columns to 1e-6 (≤ 2^20) — every pairwise product stays < 2^48
+_CORR_COLS = {
+    "l_quantity": 100,
+    "l_extendedprice": 100,
+    "l_discount": 1_000_000,
+    "l_tax": 1_000_000,
+}
+
+
+def q_lineitem_correlations(sf_dir: str):
+    """Pairwise Pearson correlations between the lineitem numeric
+    columns from EXACT integer moments.  Second moments of quantized
+    int64s overflow int64 at scale (Σx² of cent-priced items passes
+    2⁶³ near 10⁸ rows), so each per-batch product sum is carried as
+    TWO int64 limbs (Σ(p & 2³²−1), Σ(p ≫ 32)) — both bounded by
+    rows·2³² — and the driver reassembles exact arbitrary-precision
+    moments from O(blocks) partial rows.  The correlation itself is
+    one double expression over those exact integers, identical to the
+    HUGEINT-sum SQL twin, rounded 6."""
+    import math
+
+    cols = list(_CORR_COLS)
+    li = _read(sf_dir, "lineitem", cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    M32 = np.int64((1 << 32) - 1)
+
+    def partial(b: pa.Table) -> dict:
+        q = {
+            c: np.floor(batch_to_numpy(b, c) * s + 0.5).astype(np.int64)
+            for c, s in _CORR_COLS.items()
+        }
+        out = {"n": np.array([b.num_rows], np.int64)}
+        for c in cols:
+            out[f"s_{c}"] = np.array([int(q[c].sum())], np.int64)
+        for a, c in pairs:
+            p = q[a] * q[c]  # < 2^48 per row by the scale choice
+            out[f"lo_{a}_{c}"] = np.array([int((p & M32).sum())], np.int64)
+            out[f"hi_{a}_{c}"] = np.array([int((p >> 32).sum())], np.int64)
+        return out
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    s = {c: int(parts[f"s_{c}"].sum()) for c in cols}
+    mom = {
+        (a, c): (int(parts[f"hi_{a}_{c}"].sum()) << 32)
+        + int(parts[f"lo_{a}_{c}"].sum())
+        for a, c in pairs
+    }
+    out_a, out_b, out_r = [], [], []
+    for i, a in enumerate(cols):
+        for c in cols[i + 1 :]:
+            num = float(n * mom[(a, c)] - s[a] * s[c])
+            da = float(n * mom[(a, a)] - s[a] * s[a])
+            db = float(n * mom[(c, c)] - s[c] * s[c])
+            r = num / math.sqrt(da * db)
+            out_a.append(a)
+            out_b.append(c)
+            out_r.append(float(np.round(r, 6)))
+    return pa.table(
+        {
+            "col_a": pa.array(out_a),
+            "col_b": pa.array(out_b),
+            "r": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
 def q_events_profile(sf_dir: str):
     """Table profiling (the data-catalog stats pass): per numeric
     column of events — row count, null count, min, max, integer sum
