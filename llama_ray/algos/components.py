@@ -371,6 +371,7 @@ def label_propagation(
     *,
     iterations: int = 4,
     engine: str = "auto",
+    init_labels: Optional[np.ndarray] = None,
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
 ) -> SuperstepResult:
@@ -417,6 +418,17 @@ def label_propagation(
         else:
             engine = "dataset"
 
+    # warm start (multi-version LP): init_labels are ORIGINAL vertex
+    # ids aligned with graph.ids; every label must itself be a vertex
+    # of this graph (dense mode arithmetic needs labels in [0, n))
+    if init_labels is not None:
+        pos = np.searchsorted(graph.ids, np.asarray(init_labels, np.int64))
+        if (pos >= n).any() or (graph.ids[np.minimum(pos, n - 1)] != init_labels).any():
+            raise ValueError("label_propagation: init_labels must be vertex ids of this graph")
+        dense_init = pos.astype(np.int32 if n <= (1 << 31) else np.int64)
+    else:
+        dense_init = None
+
     if engine in ("bsp", "bsp_sharded"):
         from ..engine.bsp import shared_pool
 
@@ -428,7 +440,9 @@ def label_propagation(
                 raise ValueError("bsp_sharded does not support checkpointing")
             try:
                 labs, iters, conv, metrics = gat.run_mode_label_sharded(
-                    np.arange(n, dtype=np.int32 if n <= (1 << 31) else np.int64),
+                    dense_init
+                    if dense_init is not None
+                    else np.arange(n, dtype=np.int32 if n <= (1 << 31) else np.int64),
                     iterations=iterations,
                     num_edges=num_edges2,
                 )
@@ -440,6 +454,8 @@ def label_propagation(
             )
 
         def init_state_bsp():
+            if dense_init is not None:
+                return {"dense_label": dense_init.copy()}
             return {
                 "dense_label": np.arange(
                     n, dtype=np.int32 if n <= (1 << 31) else np.int64
@@ -474,6 +490,8 @@ def label_propagation(
     num_edges = graph.num_edges
 
     def init_state():
+        if dense_init is not None:
+            return {"dense_label": dense_init.astype(np.int64)}
         return {"dense_label": np.arange(n, dtype=np.int64)}
 
     def step(state, k):

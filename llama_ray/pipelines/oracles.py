@@ -345,6 +345,57 @@ cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu),
 SELECT id AS vertex, label FROM p{rounds}"""
 
 
+def snapshot_lp_delta_sql(
+    base_rounds: int = 4, delta_rounds: int = 2, seed: int = 20260818
+) -> str:
+    """Mirror of queries.q_snapshot_lp_delta: the LP mode chain on the
+    level-0 canonical view, then a warm-started chain on the full
+    canonical view (new vertices at their own id)."""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+
+    def chain(nr: int, prefix: str, ue: str, init: str) -> str:
+        steps = [f"{prefix}0 AS MATERIALIZED ({init})"]
+        for k in range(nr):
+            steps.append(
+                f"""{prefix}{k + 1} AS MATERIALIZED (
+  SELECT {prefix}{k}.id, COALESCE(m.label, {prefix}{k}.label) AS label
+  FROM {prefix}{k} LEFT JOIN (
+    SELECT id, label FROM (
+      SELECT {ue}.b AS id, l.label, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY {ue}.b
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+      FROM {ue} JOIN {prefix}{k} l ON l.id = {ue}.a GROUP BY {ue}.b, l.label
+    ) WHERE rn = 1
+  ) m ON m.id = {prefix}{k}.id)"""
+            )
+        return ",\n".join(steps)
+
+    pre = f"""kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+e0 AS MATERIALIZED (SELECT src, dst FROM mx5 WHERE h % 8 <> 0),
+cu0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0 WHERE src <> dst),
+ue0 AS MATERIALIZED (SELECT a, b FROM cu0 UNION ALL SELECT b, a FROM cu0),
+cv0 AS MATERIALIZED (SELECT a AS id FROM cu0 UNION SELECT b AS id FROM cu0),
+cu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+ue AS MATERIALIZED (SELECT a, b FROM cu UNION ALL SELECT b, a FROM cu),
+cv AS MATERIALIZED (SELECT a AS id FROM cu UNION SELECT b AS id FROM cu)"""
+    ca = chain(base_rounds, "sa", "ue0", "SELECT id, id AS label FROM cv0")
+    warm = (
+        f"SELECT cv.id, COALESCE(sa{base_rounds}.label, cv.id) AS label "
+        f"FROM cv LEFT JOIN sa{base_rounds} ON sa{base_rounds}.id = cv.id"
+    )
+    cb = chain(delta_rounds, "sb", "ue", warm)
+    return f"""WITH {GRAPH_CTES},
+{pre},
+{ca},
+{cb}
+SELECT id AS vertex, CAST(label AS BIGINT) AS label FROM sb{delta_rounds}"""
+
+
 def _louvain_chain(rounds: int, weighted: bool = False) -> str:
     """The shared WITH-body of the Louvain oracles: graph CTEs +
     ``rounds`` parity-gated local-moving rounds ending at ``l{rounds}``.

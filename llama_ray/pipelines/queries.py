@@ -217,6 +217,32 @@ def q_snapshot_wcc_delta(sf_dir: str):
         cleanup()
 
 
+def q_snapshot_lp_delta(sf_dir: str, *, base_rounds: int = 4, delta_rounds: int = 2):
+    """Incremental label propagation across snapshot levels —
+    completes the multi-version quartet (PageRank, WCC, TC, LP): 4 LP
+    rounds converge communities on the level-0 canonical view, then
+    the full view runs only 2 warm-started rounds from those labels
+    (new vertices enter at their own id).  LP is a fixed-round
+    deterministic pipeline, so the composition is exactly replayable
+    by two chained SQL mode-unrolls."""
+    from ..graph import canonical_undirected
+
+    g0, g1, cleanup = _snapshot_base_delta_graphs(sf_dir)
+    try:
+        c0 = canonical_undirected(g0)
+        c1 = canonical_undirected(g1)
+        r0 = label_propagation(c0, iterations=base_rounds, engine="bsp")
+        init = np.asarray(c1.ids).copy()
+        pos = np.searchsorted(c1.ids, c0.ids)
+        init[pos] = r0.state["label"]
+        r1 = label_propagation(
+            c1, iterations=delta_rounds, engine="bsp", init_labels=init
+        )
+        return pa.table({"vertex": c1.ids, "label": r1.state["label"]})
+    finally:
+        cleanup()
+
+
 def q_snapshot_triangle_delta(sf_dir: str):
     """Incremental triangle maintenance across snapshot levels: exact
     TC on the level-0 view, then only the delta edges' common-neighbor
