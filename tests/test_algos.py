@@ -1240,3 +1240,28 @@ def test_onion_layers_matches_peeling_reference():
         # push (incremental fan-out) ≡ gather (per-wave recompute)
         gl, gc = onion_layers(g, mode="gather")
         assert np.array_equal(layer, gl) and np.array_equal(core, gc)
+
+
+def test_lp_warm_start_all_engines():
+    """init_labels warm start: all three engines agree; invalid labels
+    (not vertex ids of the graph) are rejected loudly."""
+    rng = np.random.default_rng(19)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    from llama_ray.graph import canonical_undirected
+
+    g = canonical_undirected(build_graph(dedup_edges(edges_ds(src, dst))))
+    base = label_propagation(g, iterations=2, engine="dataset")
+    init = base.state["label"]
+    outs = [
+        label_propagation(g, iterations=2, engine=e, init_labels=init).state["label"]
+        for e in ("dataset", "bsp", "bsp_sharded")
+    ]
+    assert np.array_equal(outs[0], outs[1]) and np.array_equal(outs[1], outs[2])
+    # 2+2 warm rounds == 4 straight rounds (fixed-round pipeline)
+    straight = label_propagation(g, iterations=4, engine="dataset").state["label"]
+    assert np.array_equal(outs[0], straight)
+    bad = init.copy()
+    bad[0] = 10**12  # not a vertex id
+    with pytest.raises(ValueError):
+        label_propagation(g, iterations=1, engine="dataset", init_labels=bad)
