@@ -505,6 +505,49 @@ def asof_join(
     return rd.from_arrow_refs(refs)
 
 
+def asof_join_forward(
+    probe: rd.Dataset,
+    ref: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str = "ts_u",
+    tie_col: str,
+    value_cols: list[str],
+    out_prefix: str = "next_",
+) -> rd.Dataset:
+    """Forward as-of: for every probe row the EARLIEST same-``by``
+    reference with ``ref.ts >= probe.ts`` (equal-ts refs visible; ties
+    at the same ts break toward the largest ``tie_col``).  Implemented
+    as :func:`asof_join` over negated timestamps — the backward scan's
+    carry machinery is reused verbatim; only the ts column round-trips
+    through negation."""
+
+    def neg(col):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.set_column(
+                b.schema.get_field_index(col),
+                col,
+                pc.negate_checked(b.column(col).cast(pa.int64())),
+            )
+
+        return fn
+
+    _, probe = _as_arrow(probe)
+    _, ref = _as_arrow(ref)
+    out = asof_join(
+        probe.map_batches(neg(ts_col), batch_format="pyarrow"),
+        ref.map_batches(neg(ts_col), batch_format="pyarrow"),
+        by=by,
+        ts_col=ts_col,
+        tie_col=tie_col,
+        value_cols=value_cols,
+        out_prefix=out_prefix,
+    )
+    return out.map_batches(neg(ts_col), batch_format="pyarrow")
+
+
 # ------------------------------------------------------- broadcast join
 
 

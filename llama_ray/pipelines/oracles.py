@@ -3663,6 +3663,26 @@ SELECT p.event_id, p.user_id, p.ts_u,
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
 
 
+def events_next_view_sql() -> str:
+    """Mirror of queries.q_events_next_view (earliest view ≥ purchase
+    ts per user, ties to the largest view event id)."""
+    return """WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_u
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, epoch_us(ts) AS vts, event_id AS vid, value AS vval
+  FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id, v.vid, v.vval,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.vts ASC, v.vid DESC) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id AND v.vts >= p.ts_u)
+SELECT p.event_id, p.user_id, p.ts_u,
+       COALESCE(m.vid, -1) AS view_event_id,
+       COALESCE(m.vval, 0.0) AS view_value
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
+
+
 def cust_region_rollup_sql() -> str:
     """Mirror of queries.q_cust_region_rollup (sum rounded to 4)."""
     return """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_cust,

@@ -2941,6 +2941,65 @@ def q_events_asof_view(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_next_view(sf_dir: str):
+    """Forward as-of join (re-engagement analysis): every purchase
+    picks the same user's EARLIEST view at or after it (ties → largest
+    view event id); unmatched → -1 / 0.  The backward as-of's carry
+    machinery reused over negated timestamps
+    (``relational.asof_join_forward``)."""
+    from ..data_ops.relational import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep_probe(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    def prep_ref(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "view"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "view_event_id": t.column("event_id"),
+                "view_value": t.column("value"),
+            }
+        )
+
+    joined = asof_join_forward(
+        ev.map_batches(prep_probe, batch_format="pyarrow"),
+        ev.map_batches(prep_ref, batch_format="pyarrow"),
+        by="user_id",
+        ts_col="ts_u",
+        tie_col="view_event_id",
+        value_cols=["view_event_id", "view_value"],
+        out_prefix="next_",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_u": b.column("ts_u"),
+                "view_event_id": b.column("next_view_event_id")
+                .fill_null(-1)
+                .cast(pa.int64()),
+                "view_value": b.column("next_view_value")
+                .fill_null(0.0)
+                .cast(pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cust_region_rollup(sf_dir: str):
     """Customer rollup per region name: the two tiny dimension tables
     (nation ⋈ region, ≤25 rows) compose into ONE broadcast lookup that
