@@ -3683,6 +3683,30 @@ SELECT p.event_id, p.user_id, p.ts_u,
 FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)"""
 
 
+def events_attribution_sql(window_us: int = 3_600_000_000) -> str:
+    """Mirror of queries.q_events_attribution."""
+    return f"""WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_u,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS val_u
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, epoch_us(ts) AS vts, event_id AS vid
+  FROM events WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id, p.val_u, p.ts_u, v.vts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.vts DESC, v.vid DESC) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id AND v.vts <= p.ts_u),
+j AS (
+  SELECT p.event_id, p.val_u, p.ts_u, m.vts
+  FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)),
+f AS (SELECT *, (vts IS NOT NULL AND ts_u - vts <= {window_us}) AS attributed FROM j)
+SELECT CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN attributed THEN 0 ELSE 1 END) AS BIGINT) AS n_organic,
+       CAST(COALESCE(SUM(CASE WHEN attributed THEN val_u END), 0) AS BIGINT) AS attributed_value_u
+FROM f"""
+
+
 def cust_region_rollup_sql() -> str:
     """Mirror of queries.q_cust_region_rollup (sum rounded to 4)."""
     return """SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_cust,

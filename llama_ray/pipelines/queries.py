@@ -3000,6 +3000,71 @@ def q_events_next_view(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_events_attribution(sf_dir: str, *, window_us: int = 3_600_000_000):
+    """Marketing-style attribution: a purchase is attributed to the
+    same user's latest view within the trailing hour (the as-of match
+    filtered by staleness), else organic.  Output: attributed vs
+    organic counts + attributed value (micro-units)."""
+    from ..data_ops.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep_probe(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        v = batch_to_numpy(t, "value")
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "val_u": np.floor(v * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    def prep_ref(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "view"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_u": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "view_ts": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "view_id": t.column("event_id"),
+            }
+        )
+
+    joined = asof_join(
+        ev.map_batches(prep_probe, batch_format="pyarrow"),
+        ev.map_batches(prep_ref, batch_format="pyarrow"),
+        by="user_id",
+        ts_col="ts_u",
+        tie_col="view_id",
+        value_cols=["view_id", "view_ts"],
+        out_prefix="a_",
+    )
+
+    def partial(b: pa.Table) -> dict:
+        ts = batch_to_numpy(b, "ts_u")
+        val = batch_to_numpy(b, "val_u")
+        vts = b.column("a_view_ts").fill_null(-(1 << 62)).to_numpy(zero_copy_only=False)
+        attributed = (ts - vts) <= window_us
+        return {
+            "n_attributed": np.array([int(attributed.sum())], np.int64),
+            "n_organic": np.array([int((~attributed).sum())], np.int64),
+            "attributed_value_u": np.array([int(val[attributed].sum())], np.int64),
+        }
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_attributed": pa.array([int(parts["n_attributed"].sum())], pa.int64()),
+            "n_organic": pa.array([int(parts["n_organic"].sum())], pa.int64()),
+            "attributed_value_u": pa.array(
+                [int(parts["attributed_value_u"].sum())], pa.int64()
+            ),
+        }
+    )
+
+
 def q_cust_region_rollup(sf_dir: str):
     """Customer rollup per region name: the two tiny dimension tables
     (nation ⋈ region, ≤25 rows) compose into ONE broadcast lookup that
