@@ -422,6 +422,11 @@ def label_propagation(
     # ids aligned with graph.ids; every label must itself be a vertex
     # of this graph (dense mode arithmetic needs labels in [0, n))
     if init_labels is not None:
+        if len(init_labels) != n:
+            raise ValueError(
+                f"label_propagation: init_labels has {len(init_labels)} entries "
+                f"but the graph has {n} vertices"
+            )
         pos = np.searchsorted(graph.ids, np.asarray(init_labels, np.int64))
         if (pos >= n).any() or (graph.ids[np.minimum(pos, n - 1)] != init_labels).any():
             raise ValueError("label_propagation: init_labels must be vertex ids of this graph")

@@ -767,6 +767,11 @@ def _pq_train(
     )
     if len(seeds_tbl) == 0:
         raise ValueError("pq_encode: empty embedding dataset")
+    if len(seeds_tbl) < k:
+        raise ValueError(
+            f"pq_encode: need at least k={k} vectors to seed the codebook, "
+            f"got {len(seeds_tbl)}"
+        )
     seed_ids = seeds_tbl[id_col].to_numpy().astype(np.int64)
     order = np.argsort(seed_ids)
     seed_ids = seed_ids[order]

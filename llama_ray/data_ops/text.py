@@ -353,7 +353,9 @@ def edit_distance_pairs(
     [1, max_distance] (the deletion neighborhood over-generates — e.g.
     shared deletions at different positions).
 
-    ASCII corpus contract (byte = char); raises loudly otherwise."""
+    Non-ASCII tokens are dropped at the distinct-vocab stage (the
+    byte = char deletion neighborhood cannot pair them); only ASCII
+    vocabulary participates in the join."""
     import pyarrow.compute as pc
 
     from ..common import check_boundary_size, group_sum_sorted, per_block_results
@@ -366,6 +368,10 @@ def edit_distance_pairs(
         toks = vc.field("values")
         ln = pc.utf8_length(toks)
         keep = pc.and_(pc.greater_equal(ln, min_len), pc.less_equal(ln, max_len))
+        # non-ASCII tokens can never pair under the byte=char contract
+        # (the deletion neighborhood operates on bytes) — drop them here
+        # instead of failing the whole run in _string_byte_matrix
+        keep = pc.and_(keep, pc.equal(ln, pc.binary_length(toks)))
         toks = toks.filter(keep)
         return pa.table(
             {"token": toks, "cnt": pa.array(np.ones(len(toks), np.int64))}
@@ -568,6 +574,15 @@ def exact_quantiles(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     )
 
 
+def _check_qs(qs: list[float]) -> None:
+    """Quantile fractions must lie in [0, 1] — an out-of-range q would
+    otherwise surface as an opaque IndexError deep in the targeted
+    block fetch."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile fraction must be in [0, 1], got {q}")
+
+
 def exact_quantiles_sorted(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     """Exact discrete quantiles of ANY orderable column — including
     unbounded-cardinality floats the histogram method can't handle —
@@ -575,6 +590,8 @@ def exact_quantiles_sorted(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Tabl
     per-block row counts locate the 1-based ``ceil(q·n)``-th element
     (``quantile_disc`` semantics) and only the few target blocks are
     ever fetched; the column never reaches the driver."""
+    _check_qs(qs)
+
     import ray
 
     from ..common import per_block_results
@@ -608,6 +625,8 @@ def exact_quantiles_cont(ds: rd.Dataset, col: str, qs: list[float]) -> pa.Table:
     — same one-sort + targeted-block-fetch envelope as
     :func:`exact_quantiles_sorted` (at most two blocks per quantile
     ever leave the object store)."""
+    _check_qs(qs)
+
     import ray
 
     from ..common import per_block_results
@@ -652,6 +671,8 @@ def exact_group_quantiles_cont(
     (group, q) resolves the fractional 0-based position ``q·(n_g−1)``
     and interpolates between the two bracketing order statistics (≤2
     targeted block fetches per quantile)."""
+    _check_qs(qs)
+
     import ray
 
     from ..common import per_block_results

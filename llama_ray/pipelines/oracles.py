@@ -1450,7 +1450,7 @@ fv AS MATERIALIZED (SELECT a AS id FROM fu UNION SELECT b FROM fu),
 comp AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM a{rounds} GROUP BY label),
 iso AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
         WHERE id NOT IN (SELECT id FROM hubs) AND id NOT IN (SELECT id FROM fv))
-SELECT CAST((SELECT COUNT(*) FROM v) - {k} AS BIGINT) AS n_survivors,
+SELECT CAST((SELECT COUNT(*) FROM v) - (SELECT COUNT(*) FROM hubs) AS BIGINT) AS n_survivors,
        CAST((SELECT COUNT(*) FROM comp) + (SELECT n FROM iso) AS BIGINT) AS n_components,
        CAST(GREATEST((SELECT MAX(sz) FROM comp),
                      CASE WHEN (SELECT n FROM iso) > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -3186,7 +3186,9 @@ def vocab_edit_pairs_sql(min_len: int = 2, max_len: int = 20, max_distance: int 
   SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
   FROM documents),
 toks AS MATERIALIZED (
-  SELECT tok FROM toks0 WHERE len(tok) BETWEEN {min_len} AND {max_len}),
+  SELECT tok FROM toks0
+  WHERE len(tok) BETWEEN {min_len} AND {max_len}
+    AND len(tok) = strlen(tok)),
 pos AS (SELECT tok, unnest(range(len(tok))) AS i FROM toks),
 pos2 AS (SELECT tok, i, j FROM (
   SELECT tok, i, unnest(range(len(tok))) AS j FROM pos) WHERE j > i),

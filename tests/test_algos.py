@@ -1265,3 +1265,13 @@ def test_lp_warm_start_all_engines():
     bad[0] = 10**12  # not a vertex id
     with pytest.raises(ValueError):
         label_propagation(g, iterations=1, engine="dataset", init_labels=bad)
+
+
+def test_label_propagation_init_labels_wrong_length_raises():
+    """ADVICE r4: a wrong-sized init_labels array must fail at the API
+    boundary, not deep inside the BSP engine."""
+    src = np.array([0, 1, 2], np.int64)
+    dst = np.array([1, 2, 0], np.int64)
+    g = build_graph(edges_ds(src, dst))
+    with pytest.raises(ValueError, match="entries"):
+        label_propagation(g, iterations=2, init_labels=np.array([0, 1], np.int64))

@@ -1804,3 +1804,52 @@ def test_greedy_coverage_select_matches_reference(ray_session):
         ).to_pandas()
         got = list(zip(out["doc_id"], out["gain"]))
         assert [(int(a), int(b)) for a, b in got] == exp, nb
+
+
+def test_quantile_q_out_of_range_raises(ray_session):
+    """ADVICE r4: out-of-range q must fail at the API boundary, not as
+    an opaque IndexError inside the targeted block fetch."""
+    from llama_ray.data_ops.text import (
+        exact_group_quantiles_cont,
+        exact_quantiles_cont,
+        exact_quantiles_sorted,
+    )
+
+    ds = rd.from_items([{"g": i % 2, "v": float(i)} for i in range(10)])
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantiles_sorted(ds, "v", [0.5, bad])
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_quantiles_cont(ds, "v", [bad])
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            exact_group_quantiles_cont(ds, "g", "v", [bad])
+
+
+def test_pq_encode_too_few_vectors_raises(ray_session):
+    """ADVICE r4: 0 < rows < k must raise a descriptive error, not an
+    opaque numpy reshape ValueError."""
+    from llama_ray.data_ops.ann import pq_encode
+
+    rng = np.random.default_rng(7)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": rng.normal(size=8).tolist()} for i in range(5)]
+    )
+    with pytest.raises(ValueError, match="at least k=16"):
+        pq_encode(ds, m=2, k=16)
+
+
+def test_edit_distance_pairs_skips_non_ascii_tokens(ray_session):
+    """ADVICE r4: non-ASCII tokens are dropped at the vocab stage (the
+    byte=char deletion neighborhood can't pair them) instead of
+    failing the whole run."""
+    from llama_ray.data_ops.text import edit_distance_pairs
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "cat cart café über cats"},
+            {"doc_id": 1, "text": "naïve word wordy"},
+        ]
+    )
+    out = edit_distance_pairs(ds, min_len=2, max_distance=1).to_pandas()
+    pairs = sorted(map(tuple, out[["tok_a", "tok_b"]].to_numpy()))
+    assert pairs == [("cart", "cat"), ("cat", "cats"), ("word", "wordy")]
