@@ -686,6 +686,8 @@ def run_benchmark() -> dict:
         for k, v in timings.items()
         if k in best and best[k] > 0 and v > best[k] * 1.05
     ]
+    from llama_ray.common import skew_events_summary
+
     result = {
         "metric": "pagerank_10iter_sec",
         "value": round(pagerank_sec, 3),
@@ -693,6 +695,7 @@ def run_benchmark() -> dict:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "steal_pct": steal_pct,
         "regressions": regressions,
+        "skew_events": skew_events_summary(reset=True),
         "scc_components": n_scc,
         "louvain_communities": n_communities,
         "dup_span_docs": n_dup_span,

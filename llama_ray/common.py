@@ -322,6 +322,85 @@ def check_boundary_size(n_rows: int, where: str) -> None:
             n_rows,
             BOUNDARY_WARN_ROWS,
         )
+        record_skew_event(where, "boundary_stitch", 1, rows=n_rows)
+
+
+# ------------------------------------------------------ skew telemetry
+#
+# Per-stage degradation events (boundary-stitch blowups, hot-bucket
+# caps, stop-gram drops, …) log where they happen, but a 100×-scale
+# operator needs them rolled up centrally per run. A zero-CPU named
+# actor collects fire-and-forget reports from BOTH driver-side guards
+# and map_batches workers; `skew_events_summary()` fetches the rollup
+# (bench.py surfaces it as the `skew_events` field). Event volume is
+# bounded by design — one report per degraded block/stage, not per
+# row — so the actor is never a hot spot.
+
+_SKEW_ACTOR_NAME = "llama_ray_skew_telemetry"
+_SKEW_NAMESPACE = "llama_ray"
+
+
+def _skew_actor(create: bool):
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    try:
+        return ray.get_actor(_SKEW_ACTOR_NAME, namespace=_SKEW_NAMESPACE)
+    except ValueError:
+        if not create:
+            return None
+
+    @ray.remote(num_cpus=0)
+    class _SkewTelemetry:
+        def __init__(self):
+            self._ev: dict[tuple[str, str], list[int]] = {}
+
+        def record(self, where: str, kind: str, count: int, rows: int):
+            s = self._ev.setdefault((where, kind), [0, 0])
+            s[0] += count
+            s[1] += rows
+
+        def summary(self, reset: bool = False):
+            out = [
+                {"where": w, "kind": k, "events": c, "rows": r}
+                for (w, k), (c, r) in sorted(self._ev.items())
+            ]
+            if reset:
+                self._ev = {}
+            return out
+
+    try:
+        return _SkewTelemetry.options(
+            name=_SKEW_ACTOR_NAME,
+            namespace=_SKEW_NAMESPACE,
+            lifetime="detached",
+            get_if_exists=True,
+        ).remote()
+    except Exception:  # racing creation / shutting-down cluster
+        try:
+            return ray.get_actor(_SKEW_ACTOR_NAME, namespace=_SKEW_NAMESPACE)
+        except Exception:
+            return None
+
+
+def record_skew_event(where: str, kind: str, count: int, *, rows: int = 0) -> None:
+    """Fire-and-forget skew/degradation report — safe from workers and
+    the driver alike; a no-op when Ray is down (pure unit tests)."""
+    h = _skew_actor(create=True)
+    if h is not None:
+        h.record.remote(where, kind, int(count), int(rows))
+
+
+def skew_events_summary(*, reset: bool = False) -> list[dict]:
+    """Driver-side rollup of all skew events recorded this session:
+    one row per (stage, kind) with event and row totals."""
+    import ray
+
+    h = _skew_actor(create=False)
+    if h is None:
+        return []
+    return ray.get(h.summary.remote(reset))
 
 
 def collect_boundary_runs(srt, key_col: str, *, columns=None, where: str = "boundary"):

@@ -673,6 +673,9 @@ def source_overlap(
                 "source_overlap: dropped %d grams with df > max_df=%d "
                 "(stop-gram window)", n_over, max_df
             )
+            from ..common import record_skew_event
+
+            record_skew_event("source_overlap", "stop_gram_drop", n_over)
         sa = enc.dictionary.take(pa.array(codes[li]))
         sb = enc.dictionary.take(pa.array(codes[ri]))
         p_keys = pc.binary_join_element_wise(

@@ -660,6 +660,9 @@ def lsh_candidate_pairs(
         a, b, capped = _run_pairs_capped(bucket[~edge], doc[~edge], max_bucket)
         if capped:
             logger.warning("lsh_candidate_pairs: %d hot buckets degraded to star pairs", capped)
+            from ..common import record_skew_event
+
+            record_skew_event("lsh_candidate_pairs", "hot_bucket_cap", capped)
         return {"src": a, "dst": b}
 
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
@@ -676,6 +679,9 @@ def lsh_candidate_pairs(
         a, b, capped = _run_pairs_capped(bk[order], bd[order], max_bucket)
         if capped:
             logger.warning("lsh_candidate_pairs: %d boundary buckets degraded to star pairs", capped)
+            from ..common import record_skew_event
+
+            record_skew_event("lsh_candidate_pairs", "boundary_bucket_cap", capped)
         if len(a):
             extra = rd.from_arrow(pa.table({"src": pa.array(a), "dst": pa.array(b)}))
             main = main.union(extra)
@@ -1062,11 +1068,13 @@ def embedding_near_dup(
         within = np.arange(len(bucket)) - np.repeat(starts, lengths)
         keep = within < max_bucket
         if not keep.all():
+            n_trunc = int((lengths > max_bucket).sum())
             logger.warning(
-                "embedding_near_dup: %d buckets truncated to %d",
-                int((lengths > max_bucket).sum()),
-                max_bucket,
+                "embedding_near_dup: %d buckets truncated to %d", n_trunc, max_bucket
             )
+            from ..common import record_skew_event
+
+            record_skew_event("embedding_near_dup", "bucket_truncation", n_trunc)
         from ..algos.triangles import _pairs_multirun
 
         bk = bucket[keep]

@@ -487,11 +487,13 @@ def asof_join(
                 src = f.name[len(out_prefix):]
                 col = tbl.column(src).take(take)
                 if use_carry.any():
-                    vals = col.combine_chunks().to_pylist()
-                    cv = carry_vals[src]
-                    for j in np.flatnonzero(use_carry):
-                        vals[int(j)] = cv
-                    col = pa.chunked_array([pa.array(vals, f.type)])
+                    import pyarrow.compute as pc
+
+                    col = pc.if_else(
+                        pa.array(use_carry),
+                        pa.scalar(carry_vals[src], f.type),
+                        col.combine_chunks().cast(f.type),
+                    )
                 cols.append(col)
             else:
                 cols.append(tbl.column(f.name).take(probe_take))

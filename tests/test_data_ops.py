@@ -1853,3 +1853,42 @@ def test_edit_distance_pairs_skips_non_ascii_tokens(ray_session):
     out = edit_distance_pairs(ds, min_len=2, max_distance=1).to_pandas()
     pairs = sorted(map(tuple, out[["tok_a", "tok_b"]].to_numpy()))
     assert pairs == [("cart", "cat"), ("cat", "cats"), ("word", "wordy")]
+
+
+def test_skew_telemetry_rollup(ray_session):
+    """r5: degradation events from drivers AND map_batches workers roll
+    up into one per-run summary (surfaced by bench.py as skew_events)."""
+    import time
+
+    from llama_ray.common import (
+        check_boundary_size,
+        record_skew_event,
+        skew_events_summary,
+    )
+
+    skew_events_summary(reset=True)  # isolate from earlier tests
+
+    # driver-side guard over threshold records a boundary_stitch event
+    check_boundary_size(3_000_000, "unit_stage")
+    # worker-side report from inside a map_batches function
+    def worker(batch):
+        record_skew_event("worker_stage", "hot_bucket_cap", 2, rows=10)
+        return batch
+
+    rd.from_items([{"x": i} for i in range(8)]).repartition(2).map_batches(
+        worker, batch_format="pyarrow"
+    ).materialize()
+
+    # fire-and-forget: give the zero-CPU actor a beat to drain
+    for _ in range(50):
+        s = {(e["where"], e["kind"]): e for e in skew_events_summary()}
+        if ("unit_stage", "boundary_stitch") in s and ("worker_stage", "hot_bucket_cap") in s:
+            break
+        time.sleep(0.1)
+    assert s[("unit_stage", "boundary_stitch")]["rows"] == 3_000_000
+    assert s[("worker_stage", "hot_bucket_cap")]["events"] == 4  # 2 per block × 2 blocks
+    assert skew_events_summary(reset=True) == s_list_sorted(s)
+
+
+def s_list_sorted(s):
+    return sorted(s.values(), key=lambda e: (e["where"], e["kind"]))
