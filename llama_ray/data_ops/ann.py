@@ -944,12 +944,37 @@ def knn_ivf_quantized(
     top-k partials (O(nq·topk) driver rows).  Unlike :func:`knn_ivf`
     (float k-means, per-layout centroids) this trades a slightly
     weaker quantizer for cross-engine determinism."""
-    from ..common import per_block_results
-
     emb, seed_ids, C, sd = _pq_train(
         emb, m=1, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
     )
     cb = C[0]  # (k, d) int64 codebook
+    return _ivf_probe_topk(
+        emb, cb,
+        num_queries=num_queries, topk=topk, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, scale=scale,
+    )
+
+
+def _ivf_probe_topk(
+    emb: rd.Dataset,
+    cb: np.ndarray,
+    *,
+    num_queries: int,
+    topk: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> "pa.Table":
+    """Shared deterministic IVF search stage: given an int64 (k, d)
+    coarse codebook ``cb`` (any integer-exact quantizer — Lloyd
+    :func:`_pq_train` or spherical :func:`kmeans_spherical_exact`),
+    probe each of the ``num_queries`` smallest-id query vectors'
+    ``nprobe`` best centroids (int64 dot, tie → smaller centroid
+    index) and rank candidates by exact cosine ROUNDED to 5 decimals
+    (tie → smaller vec_id) — one scan, O(nq·topk) driver rows."""
+    from ..common import per_block_results
+
     q_tbl = (
         emb.select_columns([id_col, vec_col]).sort(id_col).limit(num_queries).to_pandas()
     )
@@ -966,7 +991,7 @@ def knn_ivf_quantized(
     probes = np.argsort(
         np.stack([-qs_scores[i] for i in range(nq)], axis=0), axis=1, kind="stable"
     )[:, :nprobe]
-    probe_mask = np.zeros((nq, k), bool)
+    probe_mask = np.zeros((nq, len(cb)), bool)
     for i in range(nq):
         probe_mask[i, probes[i]] = True
     qnorm = np.sqrt((qm * qm).sum(axis=1))
@@ -1020,6 +1045,141 @@ def knn_ivf_quantized(
             "vec_id": pa.array(cols["vec_id"], pa.int64()),
             "cos": pa.array(cols["cos"], pa.float64()),
         }
+    )
+
+
+def _unit_quantize_rows(Q: np.ndarray, scale: int) -> np.ndarray:
+    """Per-row quantized unit vectors ``⌊q/‖q‖·scale + ½⌋`` of an int64
+    matrix — the elementwise float chain (int→double, ÷√nsq, ·scale,
+    +½, floor) is IEEE-deterministic and replays bit-identically in
+    SQL (``floor(CAST(q AS DOUBLE)/sqrt(CAST(nsq AS DOUBLE))·scale+½)``).
+    Zero rows stay zero. Exact while ``Σq² < 2^63`` per row."""
+    nsq = (Q * Q).sum(axis=1)  # int64, exact
+    norm = np.sqrt(nsq.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        U = np.floor(Q / norm[:, None] * scale + 0.5)
+    U[nsq == 0] = 0
+    return U.astype(np.int64)
+
+
+def kmeans_spherical_exact(
+    emb: rd.Dataset,
+    *,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+):
+    """Spherical k-means (direction-mean Lloyd) with FULLY layout-
+    independent integer arithmetic — the oracle-checkable twin of
+    :func:`kmeans_spherical` (reference analogue: the same coarse
+    quantizer role as IVFFlat training).
+
+    Init: the ``k`` smallest-id vectors, unit-quantized. Per round,
+    every block assigns its quantized vectors to the max-int64-dot
+    centroid (tie → smaller centroid index = smaller seed id) and
+    emits int64 partial sums of the UNIT-quantized vectors — integer
+    sums are associative, so the reduction is bit-identical in every
+    block layout (the float path's per-layout partial-sum drift is the
+    one thing that kept ``knn_ivf`` rows-only through round 4). The
+    driver renormalizes each summed direction through the same
+    deterministic float chain as :func:`_unit_quantize_rows` (norms in
+    exact Python ints — Σ S² can exceed 2^63; the SQL mirror uses
+    HUGEINT). Empty or fully-cancelling clusters keep their previous
+    centroid. Overflow contract: per-cluster rows < 2^37 at
+    scale=2^16 (the unit-sum bound ``n·scale < 2^53`` for exact
+    int→double); shrink ``scale`` beyond that.
+
+    Returns ``(materialized emb, seed_ids, C)`` with ``C`` the int64
+    (k, d) quantized-unit centroid matrix ordered by seed id."""
+    import math
+
+    from ..common import per_block_results
+
+    emb = emb.select_columns([id_col, vec_col])
+    if not _is_materialized(emb):
+        emb = emb.materialize()
+    seeds = emb.sort(id_col).limit(k).to_pandas()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_spherical_exact: need at least k={k} vectors, got {len(seeds)}"
+        )
+    seed_ids = seeds[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(seed_ids)
+    seed_ids = seed_ids[order]
+    S0 = np.stack([np.asarray(v, np.float64) for v in seeds[vec_col].to_numpy()[order]])
+    C = _unit_quantize_rows(np.floor(S0 * scale + 0.5).astype(np.int64), scale)
+    d = C.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def partial(tbl: pa.Table):
+            if tbl.num_rows == 0 or vec_col not in tbl.schema.names:
+                return None
+            n = tbl.num_rows
+            X = _as_matrix(tbl, vec_col, n)
+            qv = np.floor(X * scale + 0.5).astype(np.int64)
+            A = np.argmax(qv @ ray.get(c_ref).T, axis=1)  # int64 dot; first max
+            U = _unit_quantize_rows(qv, scale)
+            o = np.argsort(A, kind="stable")
+            As = A[o]
+            first = np.ones(n, bool)
+            first[1:] = As[1:] != As[:-1]
+            starts = np.flatnonzero(first)
+            S = np.zeros((k, d), np.int64)
+            S[As[starts]] = np.add.reduceat(U[o], starts, axis=0)
+            return S, np.bincount(A, minlength=k).astype(np.int64)
+
+        S = np.zeros((k, d), np.int64)
+        cnt = np.zeros(k, np.int64)
+        for p in per_block_results(emb, partial):
+            if p is not None:
+                S += p[0]
+                cnt += p[1]
+        newC = C.copy()
+        for j in range(k):
+            if cnt[j] == 0:
+                continue
+            nsq = sum(int(x) * int(x) for x in S[j])  # exact: can pass 2^63
+            if nsq == 0:
+                continue
+            norm = math.sqrt(float(nsq))
+            newC[j] = np.floor(S[j].astype(np.float64) / norm * scale + 0.5).astype(
+                np.int64
+            )
+        C = newC
+    return emb, seed_ids, C
+
+
+def knn_ivf_spherical(
+    emb: rd.Dataset,
+    *,
+    num_queries: int = 5,
+    topk: int = 10,
+    k: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> "pa.Table":
+    """IVF k-NN whose coarse quantizer is the integer-exact SPHERICAL
+    k-means (:func:`kmeans_spherical_exact`) — the cosine-native IVF
+    (direction-mean centroids, the quantizer cosine search actually
+    wants) made layout-independent and hash-oracle-checkable, unlike
+    the float :func:`knn_ivf` whose per-layout Lloyd partial sums kept
+    it rows-only. Search is the shared :func:`_ivf_probe_topk` stage:
+    per-query top-``nprobe`` centroids by int64 dot, candidates ranked
+    by ROUND(cosine, 5)."""
+    emb, _seed_ids, C = kmeans_spherical_exact(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    return _ivf_probe_topk(
+        emb, C,
+        num_queries=num_queries, topk=topk, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, scale=scale,
     )
 
 
@@ -1096,6 +1256,129 @@ def gram_quantized(
             }
         )
     )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (sign × |a|//|b|) — DuckDB's ``//``
+    truncates toward zero while Python's floors, so every shared-spec
+    division goes through this helper on the Python side and plain
+    ``//`` in SQL."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def embedding_pca_exact(
+    emb: rd.Dataset,
+    *,
+    out_dim: int = 8,
+    iters: int = 96,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+) -> rd.Dataset:
+    """PCA projection with a FULLY deterministic, SQL-replayable
+    eigensolve — the hash-oracle twin of :func:`embedding_pca` (whose
+    numpy ``eigh`` is not SQL-expressible).
+
+    The fitted basis is defined as the output of a fixed integer
+    procedure, identical in numpy/Python and DuckDB: (1) the exact
+    int64 Gram statistics (:func:`gram_quantized`); (2) the integer
+    covariance matrix ``M = n·G − s sᵀ`` truncation-normalized once to
+    ~2^37 magnitude (``M // max(1, max|M| // 2^36)``, DuckDB ``//``
+    truncation semantics via :func:`_tdiv`); (3) per component, a
+    FIXED-count deflated power iteration whose every step is an exact
+    integer matvec followed by the deterministic float renormalization
+    chain ``⌊y/√(Σy²)·scale + ½⌋`` (Σy² in exact Python ints / SQL
+    HUGEINT); (4) sign canonicalization (entry of largest |value|,
+    first on ties, made positive); (5) Rayleigh deflation in truncated
+    integer arithmetic ``M −= (t·v_i·v_j) // (vᵀv)`` with
+    ``t = (vᵀMv) // (vᵀv)``. Determinism does NOT require convergence
+    — both engines run the identical map for exactly ``iters`` steps,
+    so results hash-match even on near-degenerate spectra; subspace
+    QUALITY vs numpy ``eigh`` is pytest-verified separately (captured
+    variance, not per-vector equality).
+
+    The projection is integer-exact per vector:
+    ``p_c = (n·(q·v_c) − s·v_c) / (n·scale²)`` — one int64 matvec per
+    batch against the broadcast (d, out_dim) basis. Overflow contract:
+    ``n < 2^22`` rows at scale=2^16 (int64 bound on ``n·(q·v)``);
+    shrink ``scale`` beyond that — at 100 TB you would also shard the
+    Gram pass per partition and raise ``scale`` selectively, but the
+    quantization IS the operator contract shared with any oracle.
+    Returns (id, pc: list<double>, rounded 1e-6)."""
+    import math
+
+    stats = gram_quantized(emb, vec_col=vec_col, scale=scale).to_pandas()
+    d = int(stats["dim_i"].max()) + 1
+    n = int(stats["n"].iloc[0])
+    if n >= 1 << 22:
+        raise ValueError(
+            f"embedding_pca_exact: n={n} exceeds the int64 projection bound "
+            f"(2^22 rows at scale={scale}); reduce scale"
+        )
+    s = [0] * d
+    for i, v in zip(
+        stats.drop_duplicates("dim_i")["dim_i"], stats.drop_duplicates("dim_i")["sum_i"]
+    ):
+        s[int(i)] = int(v)
+    G = [[0] * d for _ in range(d)]
+    for i, j, g in zip(stats["dim_i"], stats["dim_j"], stats["gram"]):
+        G[int(i)][int(j)] = int(g)
+        G[int(j)][int(i)] = int(g)
+    M = [[n * G[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    mx = max(abs(e) for row in M for e in row)
+    if mx:
+        D = max(1, _tdiv(mx, 1 << 36))
+        M = [[_tdiv(e, D) for e in row] for row in M]
+
+    V = []
+    for c in range(out_dim):
+        x = [((i * 2654435761 + c * 40503) % 997) + 1 for i in range(d)]
+        for _ in range(iters):
+            y = [sum(M[i][j] * x[j] for j in range(d)) for i in range(d)]
+            nsq = sum(e * e for e in y)
+            if nsq == 0:
+                break
+            norm = math.sqrt(float(nsq))
+            x = [math.floor(float(e) / norm * scale + 0.5) for e in y]
+        ab = [abs(e) for e in x]
+        if x[ab.index(max(ab))] < 0:
+            x = [-e for e in x]
+        V.append(x)
+        mv = [sum(M[i][j] * x[j] for j in range(d)) for i in range(d)]
+        lam_num = sum(x[i] * mv[i] for i in range(d))
+        lam_den = sum(e * e for e in x)
+        if lam_den:
+            t = _tdiv(lam_num, lam_den)
+            M = [
+                [M[i][j] - _tdiv(t * x[i] * x[j], lam_den) for j in range(d)]
+                for i in range(d)
+            ]
+
+    Varr = np.array(V, np.int64).T  # (d, out_dim), entries ≲ scale
+    sv = np.array(s, np.int64) @ Varr  # (out_dim,) exact
+    den = float(n * scale * scale)
+    v_ref = ray.put(np.ascontiguousarray(Varr))
+    sv_ref = ray.put(sv)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        X = np.asarray(
+            batch.column(vec_col).combine_chunks().flatten().to_numpy(), np.float64
+        ).reshape(m, d)
+        qv = np.floor(X * scale + 0.5).astype(np.int64)
+        P_int = n * (qv @ ray.get(v_ref)) - ray.get(sv_ref)  # exact int64
+        P = np.round(P_int.astype(np.float64) / den, 6)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pc": pa.FixedSizeListArray.from_arrays(
+                    pa.array(P.reshape(-1), pa.float64()), P.shape[1]
+                ),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")
 
 
 def embedding_pca(

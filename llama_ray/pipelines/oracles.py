@@ -1252,6 +1252,87 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, ve
 WHERE rank <= {topk}"""
 
 
+def knn_ivf_sql(
+    nq: int = 5, topk: int = 10, k: int = 16, nprobe: int = 4,
+    iters: int = 2, dim: int = 64, scale: int = 1 << 16,
+) -> str:
+    """Mirror of data_ops.ann.knn_ivf_spherical: integer-exact
+    SPHERICAL k-means coarse quantizer (unit-quantized seeds, int64
+    max-dot assignment, HUGEINT direction-sum renormalization through
+    the deterministic float chain floor(CAST(s AS DOUBLE)/sqrt(CAST(
+    nsq AS DOUBLE))·scale+½)), then the shared probe/rank tail:
+    top-nprobe centroids per query by int64 dot, candidates ranked by
+    ROUND(cosine, 5)."""
+    fs = float(scale)
+    uq = (
+        "CASE WHEN {nsq} = 0 THEN list_transform({q}, e -> CAST(0 AS BIGINT)) "
+        "ELSE list_transform({q}, e -> CAST(floor(CAST(e AS DOUBLE) / "
+        f"sqrt(CAST({{nsq}} AS DOUBLE)) * {fs} + 0.5) AS BIGINT)) END"
+    )
+    parts = [f"""v0 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{fs} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+vu AS MATERIALIZED (
+  SELECT vec_id, qv, {uq.format(q="qv", nsq="nsq")} AS uq
+  FROM (SELECT vec_id, qv, list_sum(list_transform(qv, e -> e*e)) AS nsq FROM v0)),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS code_id, uq AS cv FROM vu ORDER BY vec_id LIMIT {k})"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""d{t} AS (
+  SELECT vu.vec_id, c.code_id,
+         list_sum(list_transform(list_zip(vu.qv, c.cv), p -> p[1]*p[2])) AS score
+  FROM vu CROSS JOIN c{t-1} c),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, code_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, code_id ASC) AS rn FROM d{t})
+  WHERE rn = 1),
+e{t} AS (
+  SELECT a.code_id, unnest(vu.uq) AS val, unnest(range(len(vu.uq))) AS dim
+  FROM a{t} a JOIN vu ON vu.vec_id = a.vec_id),
+g{t} AS (
+  SELECT code_id, dim, CAST(SUM(val) AS BIGINT) AS sv FROM e{t} GROUP BY 1, 2),
+nn{t} AS (
+  SELECT code_id, SUM(CAST(sv AS HUGEINT) * sv) AS nsq FROM g{t} GROUP BY 1),
+cn{t} AS (
+  SELECT g.code_id,
+         list(CAST(floor(CAST(g.sv AS DOUBLE) / sqrt(CAST(nn.nsq AS DOUBLE)) * {fs} + 0.5) AS BIGINT)
+              ORDER BY g.dim) AS cv
+  FROM g{t} g JOIN nn{t} nn USING (code_id)
+  WHERE nn.nsq > 0
+  GROUP BY g.code_id),
+c{t} AS MATERIALIZED (
+  SELECT p.code_id, COALESCE(n.cv, p.cv) AS cv
+  FROM c{t-1} p LEFT JOIN cn{t} n USING (code_id))""")
+    parts.append(f"""fd AS MATERIALIZED (
+  SELECT vu.vec_id, c.code_id,
+         list_sum(list_transform(list_zip(vu.qv, c.cv), p -> p[1]*p[2])) AS score
+  FROM vu CROSS JOIN c{iters} c),
+codes AS (
+  SELECT vec_id, code_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, code_id ASC) AS rn FROM fd)
+  WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT {nq}),
+probe AS (
+  SELECT query_id, code_id
+  FROM (SELECT fd.vec_id AS query_id, fd.code_id,
+               ROW_NUMBER() OVER (PARTITION BY fd.vec_id ORDER BY fd.score DESC, fd.code_id ASC) AS pr
+        FROM fd JOIN qs ON qs.query_id = fd.vec_id)
+  WHERE pr <= {nprobe}),
+vf AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+       FROM embeddings),
+cand AS (SELECT p.query_id, c.vec_id FROM codes c JOIN probe p ON p.code_id = c.code_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND(list_cosine_similarity(qv.vec, cv.vec), 5) AS cos
+  FROM cand JOIN vf qv ON qv.vec_id = cand.query_id
+            JOIN vf cv ON cv.vec_id = cand.vec_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= {topk}""")
+    return "WITH " + ",\n".join(parts)
+
+
 def knn_ivf_q_sql(
     nq: int = 8, topk: int = 10, k: int = 8, nprobe: int = 2,
     dim: int = 64, scale: int = 1 << 16,
@@ -4040,6 +4121,100 @@ FROM lineitem
 WHERE l_shipdate < TIMESTAMP '2000-01-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
+
+
+def embedding_pca_sql(
+    out_dim: int = 8, iters: int = 96, dim: int = 64, scale: int = 1 << 16,
+) -> str:
+    """Mirror of data_ops.ann.embedding_pca_exact: the integer Gram
+    matrix (embedding_gram_sql CTEs), one truncation-normalization
+    (DuckDB ``//`` truncates — the engine's _tdiv mirrors it), then
+    per component a RECURSIVE fixed-count power iteration whose every
+    step is an exact HUGEINT matvec + the deterministic float
+    renormalization ``floor(CAST(y AS DOUBLE)/sqrt(CAST(nsq AS
+    DOUBLE))·scale + ½)``, sign canonicalization, Rayleigh deflation
+    in truncated integer arithmetic, and the integer-exact projection
+    ``ROUND((n·(q·v) − s·v)/(n·scale²), 6)``."""
+    fs = float(scale)
+    sc2 = scale * scale
+    base = f"""x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {fs} + 0.5) AS BIGINT) AS q
+  FROM embeddings),
+s AS MATERIALIZED (SELECT dim, CAST(SUM(q) AS BIGINT) AS sq FROM x GROUP BY dim),
+nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+gg AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2),
+gf AS (
+  SELECT i, j, gram FROM gg
+  UNION ALL
+  SELECT j, i, gram FROM gg WHERE i <> j),
+mf AS MATERIALIZED (
+  SELECT gf.i, gf.j,
+         CAST(nr.n AS HUGEINT) * gf.gram - CAST(si.sq AS HUGEINT) * sj.sq AS val
+  FROM gf, nr
+  JOIN s si ON si.dim = gf.i
+  JOIN s sj ON sj.dim = gf.j),
+dn AS (SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(val)) // {1 << 36}) AS dv FROM mf),
+mt0 AS MATERIALIZED (SELECT i, j, val // dn.dv AS val FROM mf, dn),
+qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)*{fs} + 0.5) AS BIGINT)) AS q
+  FROM embeddings)"""
+    parts = [base]
+    for c in range(out_dim):
+        parts.append(f"""mat{c} AS MATERIALIZED (
+  SELECT list(rowl ORDER BY i) AS M
+  FROM (SELECT i, list(val ORDER BY j) AS rowl FROM mt{c} GROUP BY i)),
+it{c} AS (
+  SELECT 0 AS step,
+         list_transform(range({dim}), i -> CAST((i*2654435761 + {c * 40503}) % 997 + 1 AS HUGEINT)) AS xv,
+         (SELECT M FROM mat{c}) AS M
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN nsq = 0 THEN xv
+              ELSE list_transform(y, e -> CAST(floor(CAST(e AS DOUBLE)/sqrt(CAST(nsq AS DOUBLE))*{fs} + 0.5) AS HUGEINT)) END,
+         M
+  FROM (SELECT step, xv, M, y, list_sum(list_transform(y, e -> e*e)) AS nsq
+        FROM (SELECT step, xv, M,
+                     list_transform(M, row -> list_sum(list_transform(list_zip(row, xv), p -> p[1]*p[2]))) AS y
+              FROM it{c} WHERE step < {iters}))),
+v{c} AS MATERIALIZED (
+  SELECT list_transform(xv, e -> e * sgn) AS v
+  FROM (SELECT xv,
+               CASE WHEN xv[list_position(list_transform(xv, e -> abs(e)),
+                                          list_max(list_transform(xv, e -> abs(e))))] < 0
+                    THEN -1 ELSE 1 END AS sgn
+        FROM it{c} WHERE step = {iters})),
+vt{c} AS (SELECT unnest(range({dim})) AS i, unnest(v) AS vi FROM v{c}),
+lam{c} AS MATERIALIZED (
+  SELECT list_sum(list_transform(list_zip(v, mv), p -> p[1]*p[2])) AS num,
+         list_sum(list_transform(v, e -> e*e)) AS den
+  FROM (SELECT v,
+               list_transform((SELECT M FROM mat{c}), row -> list_sum(list_transform(list_zip(row, v), p -> p[1]*p[2]))) AS mv
+        FROM v{c})),
+mt{c + 1} AS MATERIALIZED (
+  SELECT m.i, m.j,
+         CASE WHEN l.den = 0 THEN m.val
+              ELSE m.val - ((l.num // l.den) * a.vi * b.vi) // l.den END AS val
+  FROM mt{c} m
+  JOIN vt{c} a ON a.i = m.i
+  JOIN vt{c} b ON b.i = m.j
+  CROSS JOIN lam{c} l)""")
+    pcs = ",\n       ".join(
+        f"""ROUND(CAST(CAST(nr.n AS HUGEINT) * list_sum(list_transform(list_zip(qv.q, (SELECT v FROM v{c})), p -> p[1]*p[2]))
+              - (SELECT list_sum(list_transform(list_zip((SELECT list(CAST(sq AS HUGEINT) ORDER BY dim) FROM s), v), p -> p[1]*p[2])) FROM v{c}) AS DOUBLE)
+          / CAST(nr.n * {sc2} AS DOUBLE), 6) AS pc{c}"""
+        for c in range(out_dim)
+    )
+    parts.append(f"""final AS (
+  SELECT qv.vec_id,
+       {pcs}
+  FROM qv, nr)
+SELECT * FROM final""")
+    return "WITH RECURSIVE " + ",\n".join(parts)
 
 
 def embedding_gram_sql(scale: int = 1 << 16) -> str:

@@ -2009,29 +2009,21 @@ def q_knn_lsh(sf_dir: str, *, n_queries: int = 5, k: int = 10):
     return out
 
 
-def q_knn_ivf(sf_dir: str, *, n_queries: int = 5, k: int = 10):
-    """Approximate ANN via IVF (spherical k-means coarse quantizer +
-    inverted lists, the FAISS-IVFFlat structure; rows-only — recall vs
-    brute force tested in tests/test_data_ops.py)."""
-    from ..data_ops.ann import knn_ivf
+def q_knn_ivf(sf_dir: str):
+    """Approximate ANN via IVF with the integer-exact SPHERICAL
+    k-means coarse quantizer (direction-mean centroids, the
+    FAISS-IVFFlat structure for cosine): 5 queries probe their 4 best
+    of 16 centroids after 2 spherical Lloyd rounds, candidates ranked
+    by ROUND(cos, 5). Layout-independent (int64 unit-vector partial
+    sums) so it carries a full DuckDB hash oracle — the float
+    ``knn_ivf``/``IVFIndex`` path stays as the production scale API,
+    recall-tested in tests/test_data_ops.py."""
+    from ..data_ops.ann import knn_ivf_spherical
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["vec_id", "embedding"])
-    qt = qt.filter(pc.less(qt.column("vec_id"), n_queries))
-    dim = len(qt.column("embedding")[0])
-    Q = np.asarray(
-        qt.column("embedding").combine_chunks().flatten().to_numpy(), np.float64
-    ).reshape(-1, dim)
-    out = knn_ivf(
-        rd.read_parquet(path, columns=["vec_id", "embedding"]),
-        Q,
-        qt.column("vec_id").to_numpy(),
-        k=k,
-        num_clusters=16,
-        nprobe=4,
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf_spherical(
+        emb, num_queries=5, topk=10, k=16, nprobe=4, iters=2
     )
-    out["sim"] = out["sim"].round(5)
-    return out
 
 
 # ------------------------------------------------------------- embeddings
@@ -3875,15 +3867,18 @@ def q_embedding_gram(sf_dir: str):
 
 
 def q_embedding_pca(sf_dir: str):
-    """PCA projection to 8 components: exact quantized covariance →
-    driver eigensolve (O(d³)) → streaming per-batch projection. The
-    eigensolve is not SQL-expressible (knn_ivf precedent); pytest
-    verifies against dense numpy PCA. Returns per-vector rounded
-    component values."""
-    from ..data_ops.ann import embedding_pca
+    """PCA projection to 8 components via the SQL-replayable
+    deterministic eigensolve (``embedding_pca_exact``): exact integer
+    covariance → fixed-count integer power iteration with Rayleigh
+    deflation (identical map in numpy and DuckDB, so the projections
+    carry a full hash oracle) → streaming integer-exact per-batch
+    projection. Subspace quality vs numpy ``eigh`` is pytest-verified
+    (captured variance); the float ``embedding_pca`` stays as the
+    production path. Returns per-vector rounded component values."""
+    from ..data_ops.ann import embedding_pca_exact
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_pca(emb, out_dim=8)
+    out = embedding_pca_exact(emb, out_dim=8)
 
     def flat(b: pa.Table) -> pa.Table:
         P = np.asarray(
@@ -3892,7 +3887,7 @@ def q_embedding_pca(sf_dir: str):
         return pa.table(
             {
                 "vec_id": b.column("vec_id"),
-                **{f"pc{i}": np.round(P[:, i], 6) for i in range(P.shape[1])},
+                **{f"pc{i}": P[:, i] for i in range(P.shape[1])},
             }
         )
 

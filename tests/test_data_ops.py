@@ -1892,3 +1892,81 @@ def test_skew_telemetry_rollup(ray_session):
 
 def s_list_sorted(s):
     return sorted(s.values(), key=lambda e: (e["where"], e["kind"]))
+
+
+def test_knn_ivf_spherical_layout_independent(ray_session):
+    """r5: the integer-exact spherical IVF returns bit-identical
+    results in every block layout (the float path's per-layout Lloyd
+    partial sums were what kept knn_ivf rows-only through round 4)."""
+    from llama_ray.data_ops.ann import knn_ivf_spherical
+
+    rng = np.random.default_rng(11)
+    rows = [
+        {"vec_id": i, "embedding": rng.normal(size=16).astype(np.float32).tolist()}
+        for i in range(120)
+    ]
+    outs = []
+    for nb in (1, 3, 7):
+        ds = rd.from_items(rows).repartition(nb)
+        t = knn_ivf_spherical(ds, num_queries=3, topk=5, k=4, nprobe=2, iters=2)
+        outs.append(t.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    # sane shape: every query returns its full top-5, rank 1 is itself
+    assert len(outs[0]) == 15
+    top1 = outs[0][outs[0]["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+
+def test_embedding_pca_exact_layout_independent_and_captures_variance(ray_session):
+    """r5: the SQL-replayable deterministic eigensolve is bit-identical
+    across block layouts, and its fixed-count power-iteration basis
+    captures nearly the variance of the true numpy top-k subspace
+    (per-vector equality with eigh is NOT the contract — determinism
+    is; quality is judged on captured variance)."""
+    from llama_ray.data_ops.ann import embedding_pca_exact
+
+    # anisotropic data so the spectrum is non-degenerate
+    rng = np.random.default_rng(3)
+    n, dim, kk = 400, 12, 4
+    A = rng.standard_normal((dim, dim)) * np.linspace(2.5, 0.3, dim)
+    V = (rng.standard_normal((n, dim)) @ A).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+            }
+        )
+    )
+    outs = []
+    for blocks in (1, 5, 13):
+        p = (
+            embedding_pca_exact(ds.repartition(blocks), out_dim=kk)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(np.stack(p["pc"].to_numpy()))
+    assert np.array_equal(outs[0], outs[1]) and np.array_equal(outs[0], outs[2])
+    # captured variance ≥ 97% of the optimal top-k subspace's
+    X = V.astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / n
+    w = np.sort(np.linalg.eigvalsh(C))[::-1]
+    got = outs[0].var(axis=0).sum()
+    opt = w[:kk].sum()
+    assert got >= 0.97 * opt, (got, opt)
+
+
+def test_embedding_pca_exact_tdiv_matches_duckdb():
+    """The shared truncating division matches DuckDB's // semantics on
+    every sign combination (Python's // floors — the one integer op
+    the two sides disagree on)."""
+    import duckdb
+
+    from llama_ray.data_ops.ann import _tdiv
+
+    con = duckdb.connect()
+    for a in (-7, -1, 0, 1, 7, 123456789):
+        for b in (-3, -2, 2, 3, 10):
+            assert _tdiv(a, b) == con.execute(f"SELECT {a} // {b}").fetchone()[0], (a, b)
