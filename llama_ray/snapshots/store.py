@@ -75,6 +75,16 @@ class SnapshotStore:
     def _level_dir(self, level: int) -> str:
         return os.path.join(self.root, f"level_{level:05d}")
 
+    def level_edge_files(self, level: int) -> list[str]:
+        """Parquet part files of one level's edge delta — the raw-file
+        fast path for per-level consumers (the incremental streaming
+        loop reads these in plain Ray tasks, skipping a Dataset
+        executor launch per micro-batch)."""
+        import glob
+
+        d = os.path.join(self._level_dir(level), "edges")
+        return sorted(glob.glob(os.path.join(d, "*.parquet")))
+
     def num_levels(self) -> int:
         return len(self.levels())
 

@@ -128,3 +128,67 @@ def test_events_user_hll_accuracy_and_merge_invariance():
         true = len(np.unique(users[types == et]))
         est = out.loc[et, "hll_distinct"]
         assert abs(est - true) / true < 0.35  # 64 registers: sigma ~ 13%
+
+
+def test_incremental_window_pagerank_matches_cold_rebuild(tmp_path):
+    """r5: the O(Δ)-per-batch incremental window loop produces the
+    same per-batch PageRank as the cold full-rebuild task — exact
+    after the engine's 8-decimal float convention, ~1e-12 raw (the
+    only difference is float-summation order across block layouts) —
+    including through window evictions and vertex churn."""
+    from llama_ray.sources.generators import rmat
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+
+    st = SnapshotStore(str(tmp_path))
+    inc = IncrementalPageRankWindow()
+    window = 2
+    batches = [rmat(8, 2, seed=40 + i).materialize() for i in range(5)]
+    for b in batches:
+        lvl = st.ingest_batch(b)
+        st.set_window(window)
+        ids_inc, res_inc = inc.advance(
+            st, lvl, window=window, max_iters=5, warm=False
+        )
+        g = build_graph(st.edges(at_level=lvl))
+        res_cold = pagerank(g, max_iters=5)
+        # same vertex set, same ranks per ORIGINAL id
+        o_inc = np.argsort(ids_inc)
+        o_cold = np.argsort(g.ids)
+        assert np.array_equal(ids_inc[o_inc], g.ids[o_cold])
+        r_inc = res_inc.state["rank"][o_inc]
+        r_cold = res_cold.state["rank"][o_cold]
+        assert np.allclose(r_inc, r_cold, atol=1e-12, rtol=0)
+        assert np.array_equal(np.round(r_inc, 8), np.round(r_cold, 8))
+        assert res_inc.iterations == res_cold.iterations == 5
+        assert inc.num_edges == g.num_edges
+
+
+def test_incremental_window_pagerank_warm_start_fixpoint(tmp_path):
+    """Warm-started advance converges to the cold fixpoint (the
+    snapshot_delta_pagerank contract: same fixpoint, fewer
+    iterations) across window slides."""
+    from llama_ray.sources.generators import rmat
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+
+    st = SnapshotStore(str(tmp_path))
+    inc = IncrementalPageRankWindow()
+    window = 3
+    warm_iters = []
+    for i in range(5):
+        lvl = st.ingest_batch(rmat(8, 2, seed=90 + i).materialize())
+        st.set_window(window)
+        ids_inc, res_inc = inc.advance(
+            st, lvl, window=window, max_iters=200, tol=1e-9, warm=True
+        )
+        warm_iters.append(res_inc.iterations)
+        g = build_graph(st.edges(at_level=lvl))
+        res_cold = pagerank(g, max_iters=200, tol=1e-9)
+        o_inc = np.argsort(ids_inc)
+        o_cold = np.argsort(g.ids)
+        assert np.array_equal(ids_inc[o_inc], g.ids[o_cold])
+        assert np.abs(
+            res_inc.state["rank"][o_inc] - res_cold.state["rank"][o_cold]
+        ).max() < 1e-7
+        assert res_inc.converged and res_cold.converged
+    # after the first batch, warm start needs fewer iterations than cold
+    assert warm_iters[-1] < res_cold.iterations
