@@ -444,6 +444,40 @@ def run_benchmark() -> dict:
     timings["interval_join_10m"] = time.perf_counter() - t0
     del ev_big
 
+    # skewed sort-merge join (round-4 review item 3): one key owns 10%
+    # of a 10M-row fact side, so its run spans whole sorted blocks and
+    # the bounded boundary second pass absorbs it — exercising the
+    # documented hot-key degradation path at stress scale (the log +
+    # skew_events wiring for it is pytest-pinned with exact-vs-DuckDB
+    # results in tests/test_relational.py)
+    from llama_ray.data_ops.relational import sort_merge_join as _smj
+
+    fact_rows = 10_000_000
+    n_dim_keys = 100_000
+
+    def _mkfact(batch):
+        ids = batch["id"].astype(_np.int64)
+        h = _wmx(ids.astype(_np.uint64) * _WG)
+        key = _np.where(
+            ids % 10 == 0, 0, (h % _np.uint64(n_dim_keys)).astype(_np.int64)
+        )
+        return {"fact_id": ids, "key": key, "val": (h >> _np.uint64(40)).astype(_np.int64)}
+
+    fact = _rd.range(fact_rows).map_batches(_mkfact, batch_format="numpy").materialize()
+    dim = _rd.from_arrow(
+        _pa.table(
+            {
+                "key": _pa.array(_np.arange(n_dim_keys, dtype=_np.int64)),
+                "dim_val": _pa.array(_np.arange(n_dim_keys, dtype=_np.int64) * 7),
+            }
+        )
+    )
+    t0 = time.perf_counter()
+    n_skew_join = _smj(fact, dim, left_on="key").count()
+    timings["join_skewed_10m"] = time.perf_counter() - t0
+    assert n_skew_join == fact_rows
+    del fact
+
     # PQ codebook train + encode at 1M synthetic 64-d vectors — the
     # compressed-ANN stage at 2000x the sf0.1 embedding count
     from llama_ray.data_ops.ann import pq_encode
@@ -748,6 +782,7 @@ def run_benchmark() -> dict:
         "dedup_distinct": n_distinct,
         "matching_edges": n_matching,
         "joined_lineitem_rows": n_joined,
+        "skew_join_rows": n_skew_join,
         "revenue_nations": rev_rows,
         "asof_rows": n_asof,
         "window_rows": n_window,

@@ -517,3 +517,62 @@ def test_global_ranks_and_ntile_match_pandas(ray_session):
             m["rn"] <= cut, 1, 2 + (m["rn"] - cut - 1) // 125
         )
         assert np.array_equal(m["bucket"].to_numpy(), exp_b)
+
+
+def test_sort_merge_join_hot_key_degrades_loudly_and_exactly(ray_session, monkeypatch, caplog):
+    """r5: a key whose run spans whole sorted blocks pushes its rows
+    into the bounded boundary second pass; the pass stays EXACT (vs
+    DuckDB) and degrades loudly — warning log + a central skew_events
+    record with the collected row count."""
+    import duckdb
+    import logging
+
+    import llama_ray.common as common
+    from llama_ray.common import skew_events_summary
+
+    monkeypatch.setattr(common, "BOUNDARY_WARN_ROWS", 200)
+    skew_events_summary(reset=True)
+
+    rng = np.random.default_rng(29)
+    n = 20_000
+    key = np.where(rng.random(n) < 0.25, 0, rng.integers(1, 500, n))  # hot key 0 ~25%
+    fact = pa.table(
+        {
+            "fact_id": pa.array(np.arange(n, dtype=np.int64)),
+            "key": pa.array(key.astype(np.int64)),
+        }
+    )
+    dim = pa.table(
+        {
+            "key": pa.array(np.arange(500, dtype=np.int64)),
+            "dim_val": pa.array(np.arange(500, dtype=np.int64) * 7),
+        }
+    )
+    with caplog.at_level(logging.WARNING, logger="llama_ray.common"):
+        out = (
+            sort_merge_join(
+                rd.from_arrow(fact).repartition(16),
+                rd.from_arrow(dim),
+                left_on="key",
+            )
+            .to_pandas()
+            .sort_values(["fact_id"])
+            .reset_index(drop=True)
+        )
+    exp = (
+        duckdb.connect()
+        .execute(
+            "SELECT f.key, f.fact_id, d.dim_val FROM fact f JOIN dim d USING (key) "
+            "ORDER BY f.fact_id"
+        )
+        .df()
+    )
+    assert len(out) == n
+    for c in ("key", "fact_id", "dim_val"):
+        assert np.array_equal(out[c].to_numpy(), exp[c].to_numpy()), c
+    assert any("boundary stitch" in r.message for r in caplog.records)
+    ev = {(e["where"], e["kind"]): e for e in skew_events_summary(reset=True)}
+    rec = ev[("sort_merge_join", "boundary_stitch")]
+    assert rec["events"] >= 1
+    # the hot run (~25% of rows, both sides) dominates the collected count
+    assert rec["rows"] >= int((key == 0).sum())
