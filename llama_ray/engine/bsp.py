@@ -1227,6 +1227,7 @@ class BSPGather:
             except Exception:
                 multi = False
             build = "sort" if multi else "scan"
+        self.build = build  # resolved strategy, for callers/tests
         if num_partitions is None:
             try:
                 num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)))
