@@ -89,6 +89,36 @@ def _pagerank_chain(iters: int, *, e: str, v: str, nn: str, deg: str, prefix: st
     return ",\n".join(steps)
 
 
+def streaming_window_pagerank_sql(
+    batches: int = 6, window: int = 3, iters: int = 5, seed: int = 20260819,
+) -> str:
+    """Mirror of ``queries.q_streaming_window_pagerank``: after the
+    full stream, the surviving window is the last ``window`` hash
+    classes; one uniform-init unrolled PageRank chain over those
+    edges. (The per-batch incremental maintenance is pinned equal to
+    cold rebuilds in pytest — the oracle checks the final answer.)"""
+    gold = 0x9E3779B97F4A7C15
+    key = (
+        f"xor(xor({_mulmod64('CAST(src AS HUGEINT)', gold)}, "
+        f"CAST(dst AS HUGEINT)), CAST({seed} AS HUGEINT))"
+    )
+    lo = batches - window
+    pre = f"""kh AS MATERIALIZED (SELECT src, dst, {key} AS h FROM e),
+{_mix64_ctes('kh', 'src, dst')},
+ew AS MATERIALIZED (SELECT src, dst FROM mx5 WHERE h % {batches} >= {lo}),
+vw AS MATERIALIZED (SELECT id FROM (SELECT src AS id FROM ew UNION SELECT dst AS id FROM ew)),
+nnw AS MATERIALIZED (SELECT COUNT(*) AS n FROM vw),
+degw AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM ew GROUP BY src)"""
+    chain = _pagerank_chain(
+        iters, e="ew", v="vw", nn="nnw", deg="degw", prefix="w",
+        init="SELECT id, 1.0 / (SELECT n FROM nnw) AS rank FROM vw",
+    )
+    return f"""WITH {GRAPH_CTES},
+{pre},
+{chain}
+SELECT id AS vertex, ROUND(rank, 8) AS rank FROM w{iters}"""
+
+
 def snapshot_pagerank_delta_sql(
     base_iters: int = 10, delta_iters: int = 5, seed: int = 20260818
 ) -> str:

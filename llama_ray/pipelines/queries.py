@@ -175,6 +175,58 @@ def _snapshot_base_delta_graphs(sf_dir: str, seed: int = 20260818):
     return g0, g1, lambda: shutil.rmtree(root, ignore_errors=True)
 
 
+def q_streaming_window_pagerank(
+    sf_dir: str, *, batches: int = 6, window: int = 3, iters: int = 5,
+    seed: int = 20260819,
+):
+    """The round-5 incremental streaming loop as a graded query: the
+    link graph's edges split deterministically into ``batches``
+    micro-batches (splitmix64(src·GOLD ⊕ dst ⊕ seed) % batches),
+    ingested one level at a time into a real `SnapshotStore` with a
+    sliding window of ``window`` levels;
+    :class:`~llama_ray.snapshots.incremental.IncrementalPageRankWindow`
+    advances after every batch — O(Δ) maintenance, evictions included
+    — and the FINAL window's 5-iteration PageRank is returned. The
+    oracle replays the final window (hash classes ≥ batches−window)
+    with the unrolled SQL chain; per-batch equality with a cold
+    rebuild is pinned in tests/test_streaming_analytics.py."""
+    import shutil
+    import tempfile
+
+    from ..data_ops.dedup import _GOLD, _mix64
+    from ..snapshots.incremental import IncrementalPageRankWindow
+    from ..snapshots.store import SnapshotStore
+
+    edges = _cached_dedup_edges(sf_dir)
+
+    def split(batch: pa.Table, k: int):
+        s = batch_to_numpy(batch, "src")
+        d = batch_to_numpy(batch, "dst")
+        h = _mix64(s.astype(np.uint64) * _GOLD ^ d.astype(np.uint64) ^ np.uint64(seed))
+        keep = (h % np.uint64(batches)).astype(np.int64) == k
+        return {"src": s[keep], "dst": d[keep]}
+
+    root = tempfile.mkdtemp(prefix="stream_win_", dir="/tmp")
+    try:
+        store = SnapshotStore(root)
+        inc = IncrementalPageRankWindow()
+        out = None
+        for k in range(batches):
+            lvl = store.ingest_batch(
+                edges.map_batches(lambda b, kk=k: split(b, kk), batch_format="pyarrow")
+            )
+            store.set_window(window)
+            out = inc.advance(
+                store, lvl, window=window, max_iters=iters, warm=False
+            )
+        ids, res = out
+        return pa.table(
+            {"vertex": ids, "rank": np.round(res.state["rank"], 8)}
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_snapshot_pagerank_delta(sf_dir: str):
     """Multi-version warm-start PageRank — the analytics pattern the
     reference's immutable snapshot levels exist for (`ll_mlcsr_graph`
