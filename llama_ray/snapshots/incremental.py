@@ -91,6 +91,20 @@ def _remap_block(raw_pair, sorted_ids, perm):
 
 
 @ray.remote
+def _minlabel_block(pair, relabel, lab):
+    """One undirected min-label superstep partial over a dense level
+    block: per-endpoint minimum of the other endpoint's label."""
+    src, dst = pair
+    sa, da = relabel[src], relabel[dst]
+    keys = np.concatenate([da, sa])
+    vals = np.concatenate([lab[sa], lab[da]])
+    u, inv = np.unique(keys, return_inverse=True)
+    mins = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(mins, inv, vals)
+    return u, mins
+
+
+@ray.remote
 def _scatter_block(pair, relabel, w):
     """One pull-superstep partial: per-dst sums of w[src] over a dense
     level block, relabeled into the active index."""
@@ -101,7 +115,9 @@ def _scatter_block(pair, relabel, w):
 
 class IncrementalPageRankWindow:
     """Carried state of the incremental streaming loop; one instance
-    per stream, :meth:`advance` once per ingested level."""
+    per stream. Per ingested level call :meth:`advance` (PageRank)
+    and/or :meth:`advance_wcc` (min-label WCC) — the window slide is
+    shared and idempotent per level, so both can run on one batch."""
 
     def __init__(self, *, damping: float = PAGERANK_D):
         self.damping = damping
@@ -112,6 +128,8 @@ class IncrementalPageRankWindow:
         self.out_deg = np.empty(0, np.int64)
         self.levels: dict[int, dict] = {}  # level -> blocks/deg/vset/edges
         self._prev_rank: np.ndarray | None = None  # per global index
+        self._prev_label: np.ndarray | None = None  # per global index
+        self._evicted_since_slide = False
 
     @property
     def num_edges(self) -> int:
@@ -131,6 +149,9 @@ class IncrementalPageRankWindow:
             self._prev_rank = np.concatenate(
                 [self._prev_rank, np.full(len(new_ids), np.nan)]
             )
+        if self._prev_label is not None:
+            # new vertices warm-start as their own component
+            self._prev_label = np.concatenate([self._prev_label, new_ids])
 
     def ingest_level(self, store, level: int) -> None:
         """Remap ONLY the new level into the global index — O(Δ),
@@ -180,10 +201,23 @@ class IncrementalPageRankWindow:
         self.out_deg[deg_idx_all] += deg[deg_idx_all]
         self.presence[vset_all] += 1
 
+    def _slide(self, store, level: int, window: int | None) -> None:
+        """Ingest ``level`` (idempotent — a same-batch second compute
+        like advance() + advance_wcc() skips the re-read) and evict
+        past the window."""
+        if level not in self.levels:
+            self.ingest_level(store, level)
+        if window is not None:
+            for old in sorted(self.levels):
+                if len(self.levels) <= window:
+                    break
+                self.evict_level(old)
+
     def evict_level(self, level: int) -> None:
         lv = self.levels.pop(level)
         self.out_deg[lv["deg_idx"]] -= lv["deg_cnt"]
         self.presence[lv["vset"]] -= 1
+        self._evicted_since_slide = True
 
     def advance(
         self,
@@ -198,13 +232,7 @@ class IncrementalPageRankWindow:
         """Ingest ``level``, slide the window, run PageRank over the
         carried blocks. Returns ``(active_ids, SuperstepResult)`` —
         ``active_ids[i]`` is the original id of ``state['rank'][i]``."""
-        self.ingest_level(store, level)
-        if window is not None:
-            for old in sorted(self.levels):
-                if len(self.levels) <= window:
-                    break
-                self.evict_level(old)
-
+        self._slide(store, level, window)
         act = self.presence > 0
         n = int(act.sum())
         if n == 0:
@@ -252,3 +280,64 @@ class IncrementalPageRankWindow:
         prev[act] = rank
         self._prev_rank = prev
         return ids_act, SuperstepResult({"rank": rank}, iters, converged, metrics)
+
+    def advance_wcc(
+        self,
+        store,
+        level: int,
+        *,
+        window: int | None = None,
+        max_iters: int = 100,
+    ):
+        """Ingest ``level``, slide the window, run min-label WCC over
+        the carried blocks (edges undirected). Warm-starts from the
+        previous advance's labels when the slide only ADDED edges —
+        exact for min-label (the snapshot-delta WCC argument:
+        additions can only merge components, so converged labels stay
+        valid initial values); an EVICTION invalidates that argument
+        (the component minimum may have left), so the first advance
+        after one falls back to cold own-id init — the round-4-review
+        "cold on window eviction" rule, but per-advance instead of
+        per-run. Returns ``(active_ids, SuperstepResult)`` with
+        ``state['label'][i]`` = min original id in the component —
+        exact integers, bit-equal to a cold rebuild by construction."""
+        self._evicted_since_slide = False
+        self._slide(store, level, window)
+        act = self.presence > 0
+        n = int(act.sum())
+        if n == 0:
+            return np.empty(0, np.int64), SuperstepResult({"label": np.empty(0, np.int64)}, 0, True, [])
+        relabel = np.full(len(self.gids), -1, np.int64)
+        relabel[act] = np.arange(n)
+        ids_act = self.gids[act]
+
+        warm_ok = self._prev_label is not None and not self._evicted_since_slide
+        lab = self._prev_label[act] if warm_ok else ids_act.copy()
+
+        relabel_ref = ray.put(relabel)
+        block_refs = [b for lv in sorted(self.levels) for b in self.levels[lv]["blocks"]]
+        iters, converged, metrics = 0, False, []
+        import time as _time
+
+        for _k in range(max_iters):
+            t0 = _time.perf_counter()
+            lab_ref = ray.put(lab)
+            new_lab = lab.copy()
+            for u, mins in ray.get(
+                [_minlabel_block.remote(b, relabel_ref, lab_ref) for b in block_refs]
+            ):
+                np.minimum.at(new_lab, u, mins)
+            changed = int((new_lab != lab).sum())
+            lab = new_lab
+            iters += 1
+            metrics.append(
+                {"superstep": iters, "seconds": _time.perf_counter() - t0, "diff": changed}
+            )
+            if changed == 0:
+                converged = True
+                break
+
+        prev = self.gids.copy()  # inactive vertices revert to own id
+        prev[act] = lab
+        self._prev_label = prev
+        return ids_act, SuperstepResult({"label": lab}, iters, converged, metrics)

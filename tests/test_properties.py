@@ -502,3 +502,48 @@ def test_sessionize_property(rows, gap, nblocks):
         .reset_index(drop=True)
     )
     assert out.astype(np.int64).equals(exp.astype(np.int64))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=25),
+        min_size=2,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_incremental_window_pagerank_equals_cold_on_random_streams(batches, window):
+    """Property: for ANY stream of edge batches and ANY window size,
+    every advance of the incremental window equals the cold rebuild of
+    the same window (8-decimal convention) — vertex churn, eviction
+    and duplicate edges included."""
+    import shutil
+    import tempfile
+
+    from llama_ray.algos.pagerank import pagerank
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+    from llama_ray.snapshots.store import SnapshotStore
+
+    root = tempfile.mkdtemp(prefix="prop_incwin_", dir="/tmp")
+    try:
+        st_ = SnapshotStore(root)
+        inc = IncrementalPageRankWindow()
+        for pairs in batches:
+            lvl = st_.ingest_batch(ds_of(pairs))
+            st_.set_window(window)
+            ids_inc, res = inc.advance(st_, lvl, window=window, max_iters=4, warm=False)
+            g = build_graph(st_.edges(at_level=lvl))
+            cold = pagerank(g, max_iters=4)
+            o_i, o_c = np.argsort(ids_inc), np.argsort(g.ids)
+            assert np.array_equal(ids_inc[o_i], g.ids[o_c])
+            assert np.array_equal(
+                np.round(res.state["rank"][o_i], 8),
+                np.round(cold.state["rank"][o_c], 8),
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

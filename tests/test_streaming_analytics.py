@@ -192,3 +192,48 @@ def test_incremental_window_pagerank_warm_start_fixpoint(tmp_path):
         assert res_inc.converged and res_cold.converged
     # after the first batch, warm start needs fewer iterations than cold
     assert warm_iters[-1] < res_cold.iterations
+
+
+def test_incremental_window_wcc_matches_cold_and_warm_start_rule(tmp_path):
+    """r5: incremental window WCC equals the cold rebuild bit-exactly
+    per batch (integer min-label). Warm start applies only while the
+    slide purely ADDS edges; the first advance after an eviction falls
+    back to cold own-id init (the component minimum may have left)."""
+    from llama_ray.algos.components import weakly_connected_components
+    from llama_ray.sources.generators import rmat
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+
+    st = SnapshotStore(str(tmp_path))
+    inc = IncrementalPageRankWindow()
+    window = 2
+    for i in range(5):
+        lvl = st.ingest_batch(rmat(7, 2, seed=140 + i).materialize())
+        st.set_window(window)
+        ids_inc, res = inc.advance_wcc(st, lvl, window=window)
+        g = build_graph(st.edges(at_level=lvl))
+        cold = weakly_connected_components(g)
+        o_i, o_c = np.argsort(ids_inc), np.argsort(g.ids)
+        assert np.array_equal(ids_inc[o_i], g.ids[o_c])
+        assert np.array_equal(res.state["label"][o_i], cold.state["label"][o_c])
+        assert res.converged
+
+
+def test_incremental_window_pagerank_and_wcc_share_one_ingest(tmp_path):
+    """advance() + advance_wcc() on the same batch must not re-ingest
+    the level (the slide is idempotent per level)."""
+    from llama_ray.algos.components import weakly_connected_components
+    from llama_ray.sources.generators import rmat
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+
+    st = SnapshotStore(str(tmp_path))
+    inc = IncrementalPageRankWindow()
+    for i in range(3):
+        lvl = st.ingest_batch(rmat(7, 2, seed=240 + i).materialize())
+        st.set_window(2)
+        ids_pr, pr = inc.advance(st, lvl, window=2, max_iters=3, warm=False)
+        ids_cc, cc = inc.advance_wcc(st, lvl, window=2)
+        g = build_graph(st.edges(at_level=lvl))
+        assert inc.num_edges == g.num_edges  # no double-count
+        cold = weakly_connected_components(g)
+        o_i, o_c = np.argsort(ids_cc), np.argsort(g.ids)
+        assert np.array_equal(cc.state["label"][o_i], cold.state["label"][o_c])
