@@ -612,6 +612,45 @@ def kmeans_quantized(
     driver reduce — the corpus never leaves the blocks and there is no
     shuffle. Returns (vec_id, cluster_id, score) of the FINAL
     assignment, cluster_id = the founding seed's id."""
+    emb, seed_ids, C = kmeans_quantized_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    c_ref = ray.put((seed_ids, C))
+
+    def assign(batch: pa.Table) -> dict:
+        n = batch.num_rows
+        if n == 0 or vec_col not in batch.schema.names:
+            return {
+                "vec_id": np.empty(0, np.int64),
+                "cluster_id": np.empty(0, np.int64),
+                "score": np.empty(0, np.int64),
+            }
+        sids, cm = ray.get(c_ref)
+        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
+        scores = qv @ cm.T
+        best = np.argmax(scores, axis=1)
+        return {
+            "vec_id": batch_to_numpy(batch, id_col).astype(np.int64),
+            "cluster_id": sids[best],
+            "score": scores[np.arange(n), best],
+        }
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_quantized_centroids(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+):
+    """Training loop of :func:`kmeans_quantized`, exposed for
+    composition (semantic dedup clusters on the same integer-exact
+    codebook): returns ``(materialized emb, seed_ids, C)`` with ``C``
+    the int64 (k, d) floor-mean centroids ordered by seed id."""
     from ..common import per_block_results
 
     seeds_tbl = (
@@ -661,27 +700,7 @@ def kmeans_quantized(
         # trick (S + n·M)//n − M to floor with truncating division
         C = np.where(nz[:, None], S // np.maximum(cnt, 1)[:, None], C)
 
-    c_ref = ray.put((seed_ids, C))
-
-    def assign(batch: pa.Table) -> dict:
-        n = batch.num_rows
-        if n == 0 or vec_col not in batch.schema.names:
-            return {
-                "vec_id": np.empty(0, np.int64),
-                "cluster_id": np.empty(0, np.int64),
-                "score": np.empty(0, np.int64),
-            }
-        sids, cm = ray.get(c_ref)
-        qv = np.floor(_as_matrix(batch, vec_col, n) * scale + 0.5).astype(np.int64)
-        scores = qv @ cm.T
-        best = np.argmax(scores, axis=1)
-        return {
-            "vec_id": batch_to_numpy(batch, id_col).astype(np.int64),
-            "cluster_id": sids[best],
-            "score": scores[np.arange(n), best],
-        }
-
-    return emb.map_batches(assign, batch_format="pyarrow")
+    return emb, seed_ids, C
 
 
 def pq_encode(

@@ -1055,6 +1055,19 @@ def embedding_near_dup(
         return {"bucket": bucket, "id": ids, "vec": [v.tobytes() for v in Vn]}
 
     srt = emb.map_batches(bucketize, batch_format="pyarrow").sort("bucket").materialize()
+    return _bucketed_cosine_pairs(
+        srt, threshold=threshold, max_bucket=max_bucket, where="embedding_near_dup"
+    )
+
+
+def _bucketed_cosine_pairs(
+    srt: rd.Dataset, *, threshold: float, max_bucket: int, where: str
+) -> rd.Dataset:
+    """Exact cosine ≥ τ pairs within equal-``bucket`` runs of a
+    (bucket, id, vec)-sorted materialized Dataset — the shared verify
+    stage of :func:`embedding_near_dup` (LSH sign buckets) and
+    :func:`semantic_dedup` (k-means clusters): block-local run pairs +
+    the bounded boundary pass, oversize runs truncated loudly."""
 
     def _verify(bucket, ids, vec_mat):
         """All pairs ≥ τ within equal-bucket runs of sorted rows —
@@ -1070,11 +1083,11 @@ def embedding_near_dup(
         if not keep.all():
             n_trunc = int((lengths > max_bucket).sum())
             logger.warning(
-                "embedding_near_dup: %d buckets truncated to %d", n_trunc, max_bucket
+                "%s: %d buckets truncated to %d", where, n_trunc, max_bucket
             )
             from ..common import record_skew_event
 
-            record_skew_event("embedding_near_dup", "bucket_truncation", n_trunc)
+            record_skew_event(where, "bucket_truncation", n_trunc)
         from ..algos.triangles import _pairs_multirun
 
         bk = bucket[keep]
@@ -1106,7 +1119,7 @@ def embedding_near_dup(
     from ..common import collect_boundary_runs
 
     main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
-    btbl = collect_boundary_runs(srt, "bucket", where="embedding_near_dup")
+    btbl = collect_boundary_runs(srt, "bucket", where=where)
     if btbl is not None:
         out = _verify(
             batch_to_numpy(btbl, "bucket"),
@@ -1118,6 +1131,97 @@ def embedding_near_dup(
                 rd.from_arrow(pa.table({k: pa.array(v) for k, v in out.items()}))
             )
     return main
+
+
+def semantic_dedup(
+    emb: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 16,
+    max_cluster: int = 100_000,
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, call two documents semantic duplicates when their
+    exact cosine within a shared cluster reaches ``threshold``, and
+    keep ONE representative (the min id) per duplicate component.
+
+    Ray plan — every stage an existing scale-shaped primitive:
+    (1) the integer-exact k-means codebook
+    (:func:`~llama_ray.data_ops.ann.kmeans_quantized_centroids`, so
+    assignment is layout-independent and SQL-replayable); (2) ONE
+    range sort by cluster + the shared block-local/boundary cosine
+    verify (:func:`_bucketed_cosine_pairs` — oversize clusters degrade
+    loudly into `skew_events`; at scale pick ``k ≈ n / desired
+    cluster size`` exactly as SemDeDup does); (3) distributed
+    min-label WCC over the near-dup pair graph; (4) a broadcast
+    rep-lookup joined back per batch. Returns
+    ``(vec_id, cluster_id, rep_id, keep)`` for every input vector —
+    ``keep`` marks the retained corpus."""
+    from ..graph import build_graph
+    from .ann import _as_matrix, kmeans_quantized_centroids
+
+    emb2, seed_ids, C = kmeans_quantized_centroids(
+        emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    c_ref = ray.put((seed_ids, C))
+
+    def assign_bucketize(batch: pa.Table):
+        n = batch.num_rows
+        ids = batch_to_numpy(batch, id_col).astype(np.int64)
+        if n == 0:
+            return {"bucket": ids, "id": ids, "vec": []}
+        sids, cm = ray.get(c_ref)
+        V = _as_matrix(batch, vec_col, n)
+        qv = np.floor(V * scale + 0.5).astype(np.int64)
+        cluster = sids[np.argmax(qv @ cm.T, axis=1)]
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        return {"bucket": cluster, "id": ids, "vec": [v.tobytes() for v in Vn]}
+
+    srt = (
+        emb2.map_batches(assign_bucketize, batch_format="pyarrow")
+        .sort("bucket")
+        .materialize()
+    )
+    pairs = _bucketed_cosine_pairs(
+        srt, threshold=threshold, max_bucket=max_cluster, where="semantic_dedup"
+    )
+
+    pair_edges = pairs.map_batches(
+        lambda b: {"src": batch_to_numpy(b, "a"), "dst": batch_to_numpy(b, "b")},
+        batch_format="pyarrow",
+    )
+    pair_edges = pair_edges.materialize()
+    if pair_edges.count():
+        from ..algos.components import weakly_connected_components
+
+        pg = build_graph(pair_edges)
+        wcc = weakly_connected_components(pg)
+        rep_ids_ref = ray.put((pg.ids, wcc.state["label"]))
+    else:
+        rep_ids_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def finalize(batch: pa.Table):
+        ids = batch_to_numpy(batch, "id").astype(np.int64)
+        cluster = batch_to_numpy(batch, "bucket")
+        paired_ids, labels = ray.get(rep_ids_ref)
+        rep = ids.copy()
+        if len(paired_ids):
+            pos = np.searchsorted(paired_ids, ids)
+            pos_c = np.minimum(pos, len(paired_ids) - 1)
+            hit = paired_ids[pos_c] == ids
+            rep[hit] = labels[pos_c[hit]]
+        return {
+            "vec_id": ids,
+            "cluster_id": cluster,
+            "rep_id": rep,
+            "keep": ids == rep,
+        }
+
+    return srt.map_batches(finalize, batch_format="pyarrow")
 
 
 def dedup_survivors(

@@ -1202,6 +1202,80 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, clus
 WHERE rn = 1"""
 
 
+def semantic_dedup_sql(
+    k: int = 8, threshold: float = 0.4, scale: int = 1 << 16, rounds: int = 24,
+) -> str:
+    """Mirror of data_ops.dedup.semantic_dedup (SemDeDup): the
+    kmeans_quantized_sql one-iteration assignment, exact-cosine pairs
+    within each cluster at ``threshold``, ``rounds`` min-label sweeps
+    over the undirected pair graph (idempotent past the fixpoint),
+    keep = vec_id equals its component minimum."""
+    q = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT))"
+    m = 1 << 20
+    lab_steps = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)"]
+    for r in range(rounds):
+        lab_steps.append(f"""l{r + 1} AS MATERIALIZED (
+  SELECT pv.id, LEAST(l{r}.lab, COALESCE(m{r}.mn, l{r}.lab)) AS lab
+  FROM pv JOIN l{r} ON l{r}.id = pv.id
+  LEFT JOIN (
+    SELECT pu.b AS id, MIN(l{r}.lab) AS mn
+    FROM pu JOIN l{r} ON l{r}.id = pu.a
+    GROUP BY pu.b
+  ) m{r} ON m{r}.id = pv.id)""")
+    labs = ",\n".join(lab_steps)
+    return f"""WITH s AS (
+  SELECT vec_id AS cluster_id, {q} AS qs
+  FROM embeddings ORDER BY vec_id LIMIT {k}),
+v AS MATERIALIZED (SELECT vec_id, {q} AS qv FROM embeddings),
+d0 AS (
+  SELECT v.vec_id, s.cluster_id, v.qv,
+         CAST(list_sum(list_transform(list_zip(v.qv, s.qs), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM v CROSS JOIN s),
+a0 AS MATERIALIZED (
+  SELECT vec_id, cluster_id, qv
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster_id ASC) AS rn FROM d0)
+  WHERE rn = 1),
+e AS (
+  SELECT cluster_id, unnest(qv) AS val, unnest(range(1, len(qv)+1)) AS dim
+  FROM a0),
+g AS (
+  SELECT e.cluster_id, e.dim,
+         CAST(SUM(e.val) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY e.cluster_id, e.dim),
+c1 AS (
+  SELECT cluster_id, list((sv + n*{m}) // n - {m} ORDER BY dim) AS cv
+  FROM g GROUP BY cluster_id),
+cf AS (
+  SELECT s.cluster_id, COALESCE(c1.cv, s.qs) AS cv
+  FROM s LEFT JOIN c1 USING (cluster_id)),
+d1 AS (
+  SELECT v.vec_id, cf.cluster_id,
+         CAST(list_sum(list_transform(list_zip(v.qv, cf.cv), p -> p[1] * p[2])) AS BIGINT) AS score
+  FROM v CROSS JOIN cf),
+codes AS MATERIALIZED (
+  SELECT vec_id, cluster_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cluster_id ASC) AS rn FROM d1)
+  WHERE rn = 1),
+vf AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+pr AS MATERIALIZED (
+  SELECT ca.vec_id AS a, cb.vec_id AS b
+  FROM codes ca JOIN codes cb
+    ON ca.cluster_id = cb.cluster_id AND ca.vec_id < cb.vec_id
+  JOIN vf va ON va.vec_id = ca.vec_id
+  JOIN vf vb ON vb.vec_id = cb.vec_id
+  WHERE list_cosine_similarity(va.vec, vb.vec) >= {threshold}),
+pu AS MATERIALIZED (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+pv AS MATERIALIZED (SELECT DISTINCT a AS id FROM pu),
+{labs},
+rep AS (SELECT id, lab FROM l{rounds})
+SELECT codes.vec_id, codes.cluster_id,
+       COALESCE(rep.lab, codes.vec_id) AS rep_id,
+       codes.vec_id = COALESCE(rep.lab, codes.vec_id) AS keep
+FROM codes LEFT JOIN rep ON rep.id = codes.vec_id"""
+
+
 def _pq_ctes(m: int, k: int, dim: int, scale: int) -> str:
     """Shared CTE prefix of the PQ oracles: quantize, slice into
     subspaces, one Lloyd round per (subspace, code), final codebook

@@ -3918,6 +3918,19 @@ def q_embedding_gram(sf_dir: str):
     return gram_quantized(emb, scale=1 << 16)
 
 
+def q_doc_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): integer-exact k-means clusters
+    the embedding space, exact cosine ≥ 0.4 within each cluster marks
+    semantic duplicates, min-label WCC over the pair graph picks one
+    representative per duplicate component. Returns
+    (vec_id, cluster_id, rep_id, keep) — full DuckDB hash oracle
+    (assignment integers + bounded min-label sweeps)."""
+    from ..data_ops.dedup import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, iters=1, threshold=0.4)
+
+
 def q_embedding_pca(sf_dir: str):
     """PCA projection to 8 components via the SQL-replayable
     deterministic eigensolve (``embedding_pca_exact``): exact integer

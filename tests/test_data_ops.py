@@ -1970,3 +1970,74 @@ def test_embedding_pca_exact_tdiv_matches_duckdb():
     for a in (-7, -1, 0, 1, 7, 123456789):
         for b in (-3, -2, 2, 3, 10):
             assert _tdiv(a, b) == con.execute(f"SELECT {a} // {b}").fetchone()[0], (a, b)
+
+
+def test_semantic_dedup_matches_brute_force(ray_session):
+    """r5 SemDeDup: planted near-duplicate groups are collapsed to
+    their min-id representative; the result is bit-identical across
+    block layouts and matches a dense numpy recomputation of the
+    same contract (integer k-means clusters, within-cluster cosine
+    >= tau pair graph, component minima)."""
+    from llama_ray.data_ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    dim, tau = 12, 0.9
+    base = rng.standard_normal((30, dim))
+    rows, vecs = [], []
+    for i in range(30):
+        for c in range(3 if i % 5 == 0 else 1):  # every 5th vector has 2 near-copies
+            v = base[i] + (0.01 * c) * rng.standard_normal(dim)
+            rows.append(len(rows))
+            vecs.append(v.astype(np.float32))
+    ds0 = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(rows, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    outs = []
+    for nb in (1, 4, 9):
+        out = (
+            semantic_dedup(ds0.repartition(nb), k=4, iters=1, threshold=tau)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+    out = outs[0]
+
+    # dense recomputation of the same contract
+    V = np.stack([np.asarray(v, np.float64) for v in vecs])
+    scale = 1 << 16
+    Q = np.floor(V * scale + 0.5).astype(np.int64)
+    seeds = Q[:4]
+    A = np.argmax(Q @ seeds.T, axis=1)
+    C = np.stack([
+        np.floor(Q[A == j].sum(axis=0) / max((A == j).sum(), 1)).astype(np.int64)
+        if (A == j).any() else seeds[j]
+        for j in range(4)
+    ])
+    A = np.argmax(Q @ C.T, axis=1)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    n = len(V)
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if A[i] == A[j] and Vn[i] @ Vn[j] >= tau:
+                pi, pj = find(i), find(j)
+                parent[max(pi, pj)] = min(pi, pj)
+    rep = np.array([find(i) for i in range(n)])
+    assert np.array_equal(out["cluster_id"].to_numpy(), A)  # cluster_id = seed id = index here
+    assert np.array_equal(out["rep_id"].to_numpy(), rep)
+    assert np.array_equal(out["keep"].to_numpy(), rep == np.arange(n))
+    assert (~out["keep"]).sum() == 12  # 6 planted groups x 2 extra copies
