@@ -825,3 +825,121 @@ def chunk_documents(
     return docs.select_columns([id_col, text_col]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def dsir_weights(
+    docs: rd.Dataset,
+    *,
+    ngrams: tuple[int, ...] = (1, 2),
+    buckets: int = 1024,
+    seed: int = 20260818,
+    r_scale: int = 1 << 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw-corpus document by how much its hashed n-gram
+    profile looks like a TARGET distribution, for importance
+    resampling of training data toward the target domain.
+
+    The target is the engine's standard 10% id-hash holdout (split
+    bucket ≥ 900, as in ``contamination``); features are the same
+    hashed gram space as the dedup/contamination family (lowercased
+    whitespace tokens → 32-byte polynomial hash → splitmix64 →
+    GOLD-rolled window → splitmix64; short docs one whole-doc gram),
+    distinct per (doc, n), folded into ``buckets`` hash buckets.
+
+    Per-bucket importance is the add-one-smoothed log-likelihood
+    ratio, QUANTIZED to an int64 at ``r_scale`` (one ``ln`` per
+    bucket, then floor — after which every per-document score is an
+    EXACT integer sum, so results hash-match SQL in any layout; the
+    single-ln-then-round convention is the bigram-PMI precedent).
+    A document's score is ``Σ_f r_f`` over its distinct gram buckets.
+
+    Two passes, no shuffle: (1) per-block bucket-count partials
+    (2·``buckets`` ints each) summed on the driver; (2) a broadcast
+    O(buckets) r-vector scores each block. Returns
+    ``(doc_id, n_grams, score_q, weight)`` for every SOURCE (non-
+    target) document with ≥ 1 gram; ``weight = score_q / r_scale``
+    rounded 1e-6. Resampling = rank/sample by weight downstream."""
+    from ..common import per_block_results
+    from .packing import _split_bucket
+
+    def doc_bucket_rows(batch: pa.Table):
+        """(doc_ids row-expanded, bucket ids, is_target) for every
+        distinct (doc, n)-gram of the batch."""
+        ids = batch_to_numpy(batch, id_col).astype(np.int64)
+        starts, lens, per_doc, tdata = _token_matrix(batch.column(text_col))
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        offs = np.concatenate([[0], np.cumsum(per_doc)])
+        all_doc, all_b = [], []
+        for n in ngrams:
+            g, counts = _rolled_windows(th, offs, n, _GOLD)
+            g, counts = _segment_unique(_mix64(g), counts)
+            all_doc.append(np.repeat(ids, counts))
+            all_b.append((g % np.uint64(buckets)).astype(np.int64))
+        d = np.concatenate(all_doc)
+        b = np.concatenate(all_b)
+        tgt = _split_bucket(d, seed) >= 900
+        return d, b, tgt
+
+    mat = docs.select_columns([id_col, text_col])
+    from .ann import _is_materialized
+
+    if not _is_materialized(mat):
+        mat = mat.materialize()
+
+    def count_partial(batch: pa.Table):
+        _d, b, tgt = doc_bucket_rows(batch)
+        return (
+            np.bincount(b[tgt], minlength=buckets).astype(np.int64),
+            np.bincount(b[~tgt], minlength=buckets).astype(np.int64),
+        )
+
+    t_cnt = np.zeros(buckets, np.int64)
+    s_cnt = np.zeros(buckets, np.int64)
+    for p in per_block_results(mat, count_partial):
+        if p is not None:
+            t_cnt += p[0]
+            s_cnt += p[1]
+    T = int(t_cnt.sum())
+    S = int(s_cnt.sum())
+    # exact-int ratio terms, one float division + ln + floor per bucket
+    num = np.array([float((int(t) + 1) * (S + buckets)) for t in t_cnt])
+    den = np.array([float((int(s) + 1) * (T + buckets)) for s in s_cnt])
+    r = np.floor(np.log(num / den) * r_scale + 0.5).astype(np.int64)
+    r_ref = ray.put(r)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d, b, tgt = doc_bucket_rows(batch)
+        d, b = d[~tgt], b[~tgt]
+        rv = ray.get(r_ref)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "score_q": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        order = np.argsort(d, kind="stable")
+        ds_, bs_ = d[order], b[order]
+        first = np.ones(len(ds_), bool)
+        first[1:] = ds_[1:] != ds_[:-1]
+        starts_ = np.flatnonzero(first)
+        n_g = np.diff(np.append(starts_, len(ds_)))
+        sq = np.add.reduceat(rv[bs_], starts_)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[starts_]),
+                "n_grams": pa.array(n_g),
+                "score_q": pa.array(sq),
+                "weight": pa.array(np.round(sq.astype(np.float64) / float(r_scale), 6)),
+            }
+        )
+
+    return mat.map_batches(score, batch_format="pyarrow")

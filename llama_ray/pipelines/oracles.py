@@ -3208,6 +3208,69 @@ SELECT h.doc_id, CAST(h.nh AS BIGINT) AS n_hits, CAST(z.sz AS BIGINT) AS n_ngram
 FROM hits h JOIN sizes z ON z.doc_id = h.doc_id"""
 
 
+def dsir_weights_sql(
+    buckets: int = 1024, seed: int = 20260818, r_scale: int = 1 << 20,
+) -> str:
+    """Mirror of data_ops.curation.dsir_weights (n-grams (1, 2)): the
+    contamination gram space per n, distinct per (doc, n), bucketed
+    ``h % buckets``; per-bucket add-one log-likelihood ratio floored
+    to an int64 at r_scale (single ln per bucket — the PMI
+    convention); per-source-doc exact integer score sum."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+
+    def gram_ctes(n: int, p: str) -> str:
+        return f"""win{p} AS (
+  SELECT doc_id, pos, ntok,
+         list(h) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS hl
+  FROM tm5),
+grams{p} AS (
+  SELECT doc_id, pos, list_reduce(list_prepend(CAST(0 AS HUGEINT), hl),
+         (a, v) -> (({_mulmod64('a', gold)} + v) & {_M64})) AS g
+  FROM win{p} WHERE (ntok >= {n} AND pos + {n} <= ntok) OR (ntok < {n} AND pos = 0)),
+g2{p} AS (SELECT doc_id, pos, g AS h FROM grams{p}),
+{_mix64_ctes(f'g2{p}', 'doc_id, pos', prefix=f'gm{p}')},
+ug{p} AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM gm{p}5)"""
+
+    return f"""WITH dk AS MATERIALIZED (SELECT doc_id, {key} AS h FROM documents),
+{_mix64_ctes("dk", "doc_id", prefix="sp")},
+split AS MATERIALIZED (SELECT doc_id, CAST(h % 1000 AS BIGINT) AS b FROM sp5),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tl
+  FROM documents),
+tokr AS (
+  SELECT doc_id, unnest(tl) AS tok, unnest(range(len(tl))) AS pos, len(tl) AS ntok
+  FROM toks),
+raw AS (SELECT doc_id, pos, ntok, {_TOKEN_FOLD} AS h FROM tokr),
+{_mix64_ctes('raw', 'doc_id, pos, ntok', prefix='tm')},
+{gram_ctes(1, 'a')},
+{gram_ctes(2, 'b')},
+ga AS MATERIALIZED (
+  SELECT doc_id, h % {buckets} AS f FROM uga
+  UNION ALL
+  SELECT doc_id, h % {buckets} AS f FROM ugb),
+ct AS MATERIALIZED (
+  SELECT g.f,
+         SUM(CASE WHEN s.b >= 900 THEN 1 ELSE 0 END) AS t,
+         SUM(CASE WHEN s.b < 900 THEN 1 ELSE 0 END) AS s
+  FROM ga g JOIN split s USING (doc_id) GROUP BY g.f),
+tot AS (SELECT SUM(t) AS tt, SUM(s) AS ss FROM ct),
+r AS MATERIALIZED (
+  SELECT ct.f,
+         CAST(floor(ln(
+             CAST((CAST(ct.t AS HUGEINT) + 1) * (tot.ss + {buckets}) AS DOUBLE)
+           / CAST((CAST(ct.s AS HUGEINT) + 1) * (tot.tt + {buckets}) AS DOUBLE)
+         ) * {float(r_scale)} + 0.5) AS BIGINT) AS r
+  FROM ct, tot)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(r.r) AS BIGINT) AS score_q,
+       ROUND(CAST(SUM(r.r) AS DOUBLE) / {float(r_scale)}, 6) AS weight
+FROM ga g JOIN r USING (f) JOIN split s USING (doc_id)
+WHERE s.b < 900
+GROUP BY g.doc_id"""
+
+
 def doc_repetition_sql(n: int = 2) -> str:
     """Mirror of data_ops.curation.repetition_ratio: per-doc total vs
     distinct word n-grams in the engine's hashed gram space (token

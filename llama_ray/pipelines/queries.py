@@ -3918,6 +3918,18 @@ def q_embedding_gram(sf_dir: str):
     return gram_quantized(emb, scale=1 << 16)
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed (1,2)-gram
+    log-likelihood ratios of the 10% id-hash target split vs the
+    source corpus, quantized per bucket so per-document scores are
+    exact integer sums — data-selection-by-importance-resampling with
+    a full DuckDB hash oracle."""
+    from ..data_ops.curation import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dsir_weights(docs)
+
+
 def q_doc_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): integer-exact k-means clusters
     the embedding space, exact cosine ≥ 0.4 within each cluster marks

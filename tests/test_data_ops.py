@@ -2041,3 +2041,59 @@ def test_semantic_dedup_matches_brute_force(ray_session):
     assert np.array_equal(out["rep_id"].to_numpy(), rep)
     assert np.array_equal(out["keep"].to_numpy(), rep == np.arange(n))
     assert (~out["keep"]).sum() == 12  # 6 planted groups x 2 extra copies
+
+
+def test_dsir_weights_matches_dense_numpy(ray_session):
+    """r5 DSIR: layout-independent, and equal to a dense recomputation
+    of the contract (distinct hashed (1,2)-grams per doc, bucketed,
+    add-one log-likelihood ratio quantized per bucket, integer score
+    sums over source docs)."""
+    from llama_ray.data_ops.curation import dsir_weights
+    from llama_ray.data_ops.dedup import _word_ngram_hashes
+    from llama_ray.data_ops.packing import _split_bucket
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(40)]
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=rng.integers(3, 25)))}
+        for i in range(120)
+    ]
+    B, r_scale = 64, 1 << 20
+    outs = []
+    for nb in (1, 5):
+        out = (
+            dsir_weights(rd.from_items(docs).repartition(nb), buckets=B)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+
+    ids = np.array([d["doc_id"] for d in docs], np.int64)
+    tgt = _split_bucket(ids, 20260818) >= 900
+    per_doc = []
+    for d in docs:
+        g = np.concatenate(
+            [_word_ngram_hashes(d["text"], 1), _word_ngram_hashes(d["text"], 2)]
+        )
+        per_doc.append((g % np.uint64(B)).astype(np.int64))
+    t_cnt = np.zeros(B, np.int64)
+    s_cnt = np.zeros(B, np.int64)
+    for i, bk in enumerate(per_doc):
+        (t_cnt if tgt[i] else s_cnt)[:] += np.bincount(bk, minlength=B)
+    T, S = int(t_cnt.sum()), int(s_cnt.sum())
+    num = np.array([float((int(t) + 1) * (S + B)) for t in t_cnt])
+    den = np.array([float((int(s) + 1) * (T + B)) for s in s_cnt])
+    r = np.floor(np.log(num / den) * r_scale + 0.5).astype(np.int64)
+    exp = {
+        int(ids[i]): (len(per_doc[i]), int(r[per_doc[i]].sum()))
+        for i in range(len(docs))
+        if not tgt[i] and len(per_doc[i])
+    }
+    got = {
+        int(row.doc_id): (int(row.n_grams), int(row.score_q))
+        for row in out.itertuples()
+    }
+    assert got == exp
