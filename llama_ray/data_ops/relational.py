@@ -1051,3 +1051,90 @@ def sliding_window_agg(
         for r, (cb, cts, cv), (fc, fs) in zip(srt.to_arrow_refs(), back, fwd)
     ]
     return rd.from_arrow_refs(refs)
+
+
+def grouped_ntile(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bucket",
+) -> rd.Dataset:
+    """``NTILE(k) OVER (PARTITION BY group_col ORDER BY order_cols)``
+    — the per-group quantile bucketing of CCNet-style perplexity
+    partitioning (make ``order_cols`` unique within a group so peers
+    are deterministic).
+
+    ONE range sort by (group, *order); per-block (group, run-length)
+    summaries chain into per-run in-group offsets and group totals on
+    the driver (O(blocks + groups) scalars — the grouped twin of
+    :func:`ntile`); each block then assigns buckets with the exact
+    SQL NTILE split (first ``n % k`` buckets one row larger). No row
+    ever reaches the driver."""
+    import pyarrow.compute as pc
+
+    _, ds = _as_arrow(ds)
+    schema, srt = _sorted_arrow(ds, [group_col, *order_cols])
+
+    def runs(tbl: pa.Table):
+        tbl = _coerce_block(tbl)
+        if tbl.num_rows == 0:
+            return None
+        g = tbl.column(group_col).combine_chunks()
+        new = np.concatenate(
+            [[True], ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(zero_copy_only=False)]
+        )
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        return g.take(pa.array(starts)).to_pylist(), starts, lens
+
+    parts = per_block_results(srt, runs)
+    totals: dict = {}
+    metas = []
+    for p in parts:
+        if p is None:
+            metas.append(None)
+            continue
+        gv, starts, lens = p
+        offs = []
+        for g_, l in zip(gv, lens):
+            offs.append(totals.get(g_, 0))
+            totals[g_] = offs[-1] + int(l)
+        metas.append((gv, starts, lens, offs))
+
+    out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
+
+    def fill(tbl: pa.Table, starts, lens, offs, ngs) -> pa.Table:
+        tbl = _coerce_block(tbl)
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        starts = np.asarray(starts, np.int64)
+        lens = np.asarray(lens, np.int64)
+        within = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        rank = np.repeat(np.asarray(offs, np.int64), lens) + within + 1
+        ng = np.repeat(np.asarray(ngs, np.int64), lens)
+        q = ng // k
+        r = ng % k
+        cut = r * (q + 1)
+        qs = np.maximum(q, 1)  # q == 0 branch never reads these divisions
+        bucket = np.where(
+            q == 0,
+            rank,
+            np.where(rank <= cut, -(-rank // (q + 1)), r + (-(-(rank - cut) // qs))),
+        )
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(bucket.astype(np.int64)))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill)
+    refs = []
+    for b, meta in zip(srt.to_arrow_refs(), metas):
+        if meta is None:
+            continue
+        gv, starts, lens, offs = meta
+        refs.append(task.remote(b, starts, lens, offs, [totals[g_] for g_ in gv]))
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_arrow_refs(refs)

@@ -2904,6 +2904,36 @@ FROM d JOIN sc USING (bigram)
 GROUP BY d.doc_id ORDER BY d.doc_id"""
 
 
+def ccnet_buckets_sql(k: int = 3, scale: str = "1e6") -> str:
+    """Mirror of queries.q_doc_ccnet_buckets: the doc_lm_score_sql
+    score joined to lang, NTILE(k) PARTITION BY lang ORDER BY (raw
+    lm_score, doc_id), score RAW (the doc_lm_score convention —
+    exact-ratio values can sit on rounding boundaries)."""
+    return f"""WITH tl AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM tl),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+cu AS MATERIALIZED (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+cb AS MATERIALIZED (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+sc AS MATERIALIZED (
+  SELECT cb.bigram, CAST(FLOOR({scale} * cb.c / cu.c) AS BIGINT) AS s
+  FROM cb JOIN cu ON cu.token = split_part(cb.bigram, ' ', 1)),
+d AS (SELECT doc_id, bigram, COUNT(*) AS occ FROM bg GROUP BY 1, 2),
+lm AS MATERIALIZED (
+  SELECT d.doc_id, CAST(SUM(occ * s) AS DOUBLE) / {scale} / SUM(occ) AS lm_score
+  FROM d JOIN sc USING (bigram)
+  GROUP BY d.doc_id)
+SELECT lm.doc_id, dd.lang, lm.lm_score,
+       CAST(NTILE({k}) OVER (PARTITION BY dd.lang ORDER BY lm.lm_score ASC, lm.doc_id ASC) AS BIGINT)
+         AS ppl_bucket
+FROM lm JOIN documents dd USING (doc_id)"""
+
+
 def label_centroid_norms_sql() -> str:
     """Mirror of queries.q_label_centroid_norms: per-dim double sums →
     centroid norm, rounded 6."""

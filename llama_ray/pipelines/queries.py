@@ -3918,6 +3918,35 @@ def q_embedding_gram(sf_dir: str):
     return gram_quantized(emb, scale=1 << 16)
 
 
+def q_doc_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    every document with the corpus-trained bigram LM, then bucket into
+    per-language terciles — NTILE(3) PARTITION BY lang ORDER BY
+    (lm_score, doc_id). Bucket 3 = most-predictable "head" slice.
+    One sort-merge join (score ⋈ lang) + the grouped-NTILE one-sort
+    pattern; full DuckDB hash oracle."""
+    from ..data_ops.relational import grouped_ntile, sort_merge_join
+    from ..data_ops.text import lm_score
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    scores = lm_score(docs)
+    lang = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = sort_merge_join(scores, lang, left_on="doc_id")
+    out = grouped_ntile(
+        joined.select_columns(["doc_id", "lang", "lm_score"]),
+        group_col="lang",
+        order_cols=["lm_score", "doc_id"],
+        k=3,
+        out_col="ppl_bucket",
+    )
+
+    # lm_score stays RAW (the doc_lm_score oracle convention: the
+    # two-division formula is bit-identical cross-engine, while its
+    # exact-ratio values can land exactly on 1e-6 rounding boundaries
+    # where numpy half-even and SQL half-away disagree)
+    return out.select_columns(["doc_id", "lang", "lm_score", "ppl_bucket"])
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed (1,2)-gram
     log-likelihood ratios of the 10% id-hash target split vs the

@@ -576,3 +576,43 @@ def test_sort_merge_join_hot_key_degrades_loudly_and_exactly(ray_session, monkey
     assert rec["events"] >= 1
     # the hot run (~25% of rows, both sides) dominates the collected count
     assert rec["rows"] >= int((key == 0).sum())
+
+
+def test_grouped_ntile_matches_duckdb(ray_session):
+    """r5: NTILE(k) PARTITION BY group — exact SQL split semantics,
+    including a dominant group spanning many sorted blocks and tiny
+    groups with n < k."""
+    import duckdb
+
+    from llama_ray.data_ops.relational import grouped_ntile
+
+    rng = np.random.default_rng(31)
+    n = 5_000
+    g = np.where(rng.random(n) < 0.6, "hot", rng.choice(["a", "b", "c", "tiny"], n))
+    g[:2] = "solo"  # a group with fewer rows than k
+    t = pa.table(
+        {
+            "g": pa.array(g),
+            "v": pa.array(rng.integers(0, 1_000_000, n).astype(np.int64)),
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    for k in (3, 7):
+        out = (
+            grouped_ntile(
+                rd.from_arrow(t).repartition(11),
+                group_col="g",
+                order_cols=["v", "rid"],
+                k=k,
+                out_col="b",
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            f"SELECT rid, CAST(NTILE({k}) OVER (PARTITION BY g ORDER BY v, rid) AS BIGINT) AS b "
+            "FROM t ORDER BY rid"
+        ).df()
+        assert np.array_equal(out["b"].to_numpy(), exp["b"].to_numpy()), k
