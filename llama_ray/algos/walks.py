@@ -265,3 +265,90 @@ def sample_neighbors(
     src = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     dst = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.int64)
     return pa.table({"src": graph.ids[src], "dst": graph.ids[dst]})
+
+
+def walk_context_pairs(
+    walks,
+    *,
+    window: int = 2,
+) -> "ray.data.Dataset":
+    """Skip-gram training pairs from a walk corpus — the
+    DeepWalk/node2vec sampling stage that turns walks into word2vec
+    input (Perozzi et al. 2014): every ordered (center, context)
+    vertex pair co-occurring within ``window`` steps of the same walk,
+    aggregated to exact counts.
+
+    One range sort by (walk_id, step) co-locates each walk; pairs are
+    pure row-offset arithmetic inside complete runs (walk steps are
+    consecutive, so row distance = step distance), the ≤2 boundary
+    runs per block re-pair in a bounded second pass, and the count
+    merge is the sorted run-reduce over ``(center << 32) | context``
+    keys (vertex ids must fit 31 bits — asserted). Returns
+    (center, context, cnt) — nothing walk-corpus-sized reaches the
+    driver."""
+    import ray.data as rd
+
+    from ..common import (
+        batch_to_numpy,
+        collect_boundary_runs,
+        group_sum_sorted,
+    )
+
+    if isinstance(walks, pa.Table):
+        walks = rd.from_arrow(walks)
+    srt = walks.sort(["walk_id", "step"]).materialize()
+
+    def run_pairs(wid, vert):
+        if len(wid) < 2:
+            return None
+        if vert.max(initial=0) >= 1 << 31 or vert.min(initial=0) < 0:
+            raise ValueError("walk_context_pairs: vertex ids must fit 31 bits")
+        keys = []
+        for d in range(1, window + 1):
+            same = wid[d:] == wid[:-d]
+            a = vert[:-d][same].astype(np.int64)
+            b = vert[d:][same].astype(np.int64)
+            keys.append((a << 32) | b)
+            keys.append((b << 32) | a)
+        k = np.concatenate(keys)
+        if len(k) == 0:
+            return None
+        u, c = np.unique(k, return_counts=True)
+        return {"k": u, "cnt": c.astype(np.int64)}
+
+    def interior(tbl: pa.Table):
+        empty = {"k": np.empty(0, np.int64), "cnt": np.empty(0, np.int64)}
+        wid = batch_to_numpy(tbl, "walk_id")
+        if len(wid) == 0:
+            return empty
+        inner = (wid != wid[0]) & (wid != wid[-1])
+        out = run_pairs(wid[inner], batch_to_numpy(tbl, "vertex")[inner])
+        return out if out is not None else empty
+
+    main = srt.map_batches(interior, batch_format="pyarrow", batch_size=None)
+    btbl = collect_boundary_runs(
+        srt, "walk_id", columns=["walk_id", "step", "vertex"], where="walk_context_pairs"
+    )
+    if btbl is not None:
+        # boundary rows arrive in global (walk_id, step) order
+        out = run_pairs(batch_to_numpy(btbl, "walk_id"), batch_to_numpy(btbl, "vertex"))
+        if out is not None:
+            import ray.data as rd2
+
+            main = main.union(
+                rd2.from_arrow(pa.table({k: pa.array(v) for k, v in out.items()}))
+            )
+
+    merged = group_sum_sorted(main, "k", ["cnt"])
+
+    def decode(b: pa.Table) -> pa.Table:
+        k = batch_to_numpy(b, "k")
+        return pa.table(
+            {
+                "center": pa.array(k >> 32, pa.int64()),
+                "context": pa.array(k & ((1 << 32) - 1), pa.int64()),
+                "cnt": b.column("cnt"),
+            }
+        )
+
+    return merged.map_batches(decode, batch_format="pyarrow")

@@ -2190,6 +2190,19 @@ def graph_walks_sql(steps: int = 4, seed: int = 20260818) -> str:
     return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
 
 
+def walk_skipgram_pairs_sql(window: int = 2, steps: int = 4, seed: int = 20260818) -> str:
+    """Mirror of queries.q_walk_skipgram_pairs: the replayed walk
+    table self-joined within ``window`` steps of the same walk,
+    grouped to exact pair counts."""
+    return f"""WITH wv AS MATERIALIZED (
+{graph_walks_sql(steps, seed)}
+)
+SELECT a.vertex AS center, b.vertex AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM wv a JOIN wv b
+  ON a.walk_id = b.walk_id AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+GROUP BY 1, 2"""
+
+
 def neighbor_sample_sql(k: int = 3, seed: int = 20260818) -> str:
     """Mirror of algos.walks.sample_neighbors: per src keep the k
     out-neighbors with the smallest splitmix64((src*GOLD) mod 2^64

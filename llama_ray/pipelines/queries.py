@@ -1301,6 +1301,22 @@ def q_graph_walks(sf_dir: str):
     return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
 
 
+def q_walk_skipgram_pairs(sf_dir: str, *, window: int = 2):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus — the DeepWalk → word2vec sampling stage (Perozzi et
+    al. 2014): pairs co-occurring within 2 steps of the same walk,
+    exact counts. One (walk, step) sort + run-offset pair arithmetic +
+    the sorted run-reduce merge; oracle self-joins the replayed walk
+    table."""
+    from ..algos.walks import random_walks, walk_context_pairs
+
+    g = _cached_tpch_graph(sf_dir)
+    starts = g.ids[g.ids < 10_000_000]
+    return walk_context_pairs(
+        random_walks(g, starts, num_steps=GRAPH_WALK_STEPS), window=window
+    )
+
+
 def q_graph_walks_node2vec(sf_dir: str):
     """Second-order biased walk corpus (node2vec p=4, q=2 scaled to
     integer weights (1, 4, 2)): one 4-step walk from every customer

@@ -966,3 +966,47 @@ def test_balanced_partition_matches_reference_and_balances():
         cut = sum(1 for a, b in {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
                   if lab[a] != lab[b])
         assert stats["edge_cut"] == cut
+
+
+def test_walk_context_pairs_matches_brute_force(ray_session):
+    """r5 skip-gram pairs: exact counts vs a brute-force window scan,
+    bit-identical across block layouts (walks split mid-walk)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from llama_ray.algos.walks import walk_context_pairs
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for w in range(30):
+        L = int(rng.integers(1, 6))
+        verts = rng.integers(0, 50, L)
+        for s in range(L):
+            rows.append({"walk_id": w, "step": s, "vertex": int(verts[s])})
+    window = 2
+    exp: dict = {}
+    by_walk: dict = {}
+    for r in rows:
+        by_walk.setdefault(r["walk_id"], []).append(r)
+    for w, rs in by_walk.items():
+        rs = sorted(rs, key=lambda r: r["step"])
+        for a, b in itertools.permutations(rs, 2):
+            if 0 < abs(a["step"] - b["step"]) <= window:
+                key = (a["vertex"], b["vertex"])
+                exp[key] = exp.get(key, 0) + 1
+    outs = []
+    for nb in (1, 7):
+        out = (
+            walk_context_pairs(rd.from_items(rows).repartition(nb), window=window)
+            .to_pandas()
+            .sort_values(["center", "context"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = {
+        (int(r.center), int(r.context)): int(r.cnt) for r in outs[0].itertuples()
+    }
+    assert got == exp
