@@ -352,3 +352,88 @@ def walk_context_pairs(
         )
 
     return merged.map_batches(decode, batch_format="pyarrow")
+
+
+def khop_subgraph(
+    graph: Graph,
+    seeds: np.ndarray,
+    *,
+    hops: int = 2,
+) -> "ray.data.Dataset":
+    """K-hop ego subgraph around a seed set — the GraphSAGE/GNN
+    minibatch expansion (Hamilton et al. 2017): all DISTINCT out-edges
+    reachable in ≤ ``hops`` forward steps from ``seeds``, each tagged
+    with the hop that discovers it (hop h = edges whose src entered
+    the frontier at distance h−1; frontiers are disjoint, so every
+    edge has exactly one hop).
+
+    Per hop: one broadcast of the sorted frontier ids + one vectorized
+    ``searchsorted`` membership filter over the edge blocks — no
+    shuffle, no per-row Python; the frontier/visited sets are the only
+    driver state (O(reached vertices), the BFS envelope); per-hop
+    distinctness rides ``dedup_edges``'s sort. Returns
+    (src, dst, hop) over ORIGINAL ids."""
+    import ray.data as rd
+
+    from ..common import batch_to_numpy, per_block_results
+    from ..ingest.canonicalize import dedup_edges
+
+    seeds = np.unique(np.asarray(seeds, np.int64))
+    ids_ref = graph._ids_ref if graph._ids_ref is not None else ray.put(graph.ids)
+    visited = seeds.copy()
+    frontier = seeds
+    parts: list = []
+    for h in range(1, hops + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(frontier)
+
+        def expand(batch: pa.Table, fr=f_ref) -> pa.Table:
+            ids = ray.get(ids_ref)
+            s = ids[batch_to_numpy(batch, "src")]
+            d = ids[batch_to_numpy(batch, "dst")]
+            f = ray.get(fr)
+            pos = np.searchsorted(f, s)
+            m = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)] == s) if len(f) else np.zeros(len(s), bool)
+            return pa.table(
+                {"src": pa.array(s[m].astype(np.int64)), "dst": pa.array(d[m].astype(np.int64))}
+            )
+
+        hop_edges = dedup_edges(
+            graph.edges.select_columns(["src", "dst"]).map_batches(
+                expand, batch_format="pyarrow"
+            )
+        ).materialize()
+
+        def tag(batch: pa.Table, hh=h) -> pa.Table:
+            return batch.append_column(
+                "hop", pa.array(np.full(batch.num_rows, hh, np.int64))
+            )
+
+        parts.append(hop_edges.map_batches(tag, batch_format="pyarrow"))
+        dsts = per_block_results(
+            hop_edges,
+            lambda t: np.unique(batch_to_numpy(t, "dst")) if t.num_rows else None,
+        )
+        reach = (
+            np.unique(np.concatenate([p for p in dsts if p is not None]))
+            if any(p is not None for p in dsts)
+            else np.empty(0, np.int64)
+        )
+        frontier = np.setdiff1d(reach, visited, assume_unique=True)
+        visited = np.union1d(visited, frontier)
+
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "hop": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

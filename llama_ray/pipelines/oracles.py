@@ -2190,6 +2190,28 @@ def graph_walks_sql(steps: int = 4, seed: int = 20260818) -> str:
     return f"WITH {GRAPH_CTES},\n{body}\n{sel}"
 
 
+def khop_subgraph_sql(hops: int = 2, seed_bound: int = 100) -> str:
+    """Mirror of queries.q_khop_subgraph: unrolled frontier expansion
+    — hop h edges have src in frontier h−1 (reached minus all earlier
+    frontiers), DISTINCT edge set per hop."""
+    parts = [f"f0 AS MATERIALIZED (SELECT id FROM v WHERE id < {seed_bound})"]
+    vis = "SELECT id FROM f0"
+    sels = []
+    for h in range(1, hops + 1):
+        parts.append(
+            f"""h{h} AS MATERIALIZED (
+  SELECT DISTINCT e.src, e.dst FROM e JOIN f{h - 1} f ON f.id = e.src)"""
+        )
+        parts.append(
+            f"""f{h} AS MATERIALIZED (
+  SELECT DISTINCT dst AS id FROM h{h} WHERE dst NOT IN ({vis}))"""
+        )
+        vis += f" UNION SELECT id FROM f{h}"
+        sels.append(f"SELECT src, dst, CAST({h} AS BIGINT) AS hop FROM h{h}")
+    body = ",\n".join(parts)
+    return f"WITH {GRAPH_CTES},\n{body}\n" + "\nUNION ALL ".join(sels)
+
+
 def walk_skipgram_pairs_sql(window: int = 2, steps: int = 4, seed: int = 20260818) -> str:
     """Mirror of queries.q_walk_skipgram_pairs: the replayed walk
     table self-joined within ``window`` steps of the same walk,

@@ -1301,6 +1301,18 @@ def q_graph_walks(sf_dir: str):
     return random_walks(g, starts, num_steps=GRAPH_WALK_STEPS)
 
 
+def q_khop_subgraph(sf_dir: str, *, hops: int = 2):
+    """2-hop ego subgraph union around the seed set {id < 100} — the
+    GraphSAGE minibatch expansion (Hamilton et al. 2017): distinct
+    out-edges reachable in ≤ 2 forward steps, tagged with discovery
+    hop. Per hop one broadcast frontier + vectorized membership filter
+    over the edge blocks; oracle unrolls the frontier joins."""
+    from ..algos.walks import khop_subgraph
+
+    g = _cached_tpch_graph(sf_dir)
+    return khop_subgraph(g, g.ids[g.ids < 100], hops=hops)
+
+
 def q_walk_skipgram_pairs(sf_dir: str, *, window: int = 2):
     """Skip-gram (center, context) pair counts from the deterministic
     walk corpus — the DeepWalk → word2vec sampling stage (Perozzi et

@@ -1010,3 +1010,44 @@ def test_walk_context_pairs_matches_brute_force(ray_session):
         (int(r.center), int(r.context)): int(r.cnt) for r in outs[0].itertuples()
     }
     assert got == exp
+
+
+def test_khop_subgraph_matches_brute_force(ray_session):
+    """r5 GNN expansion: hop-tagged distinct edge union equals a dense
+    BFS recomputation, layout-independent."""
+    import ray.data as rd
+
+    from llama_ray.algos.walks import khop_subgraph
+    from llama_ray.graph import build_graph
+
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 60, 400).astype(np.int64)
+    dst = rng.integers(0, 60, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    seeds = np.array([0, 1, 2, 3, 4], np.int64)
+    outs = []
+    for nb in (1, 6):
+        g = build_graph(ds.repartition(nb))
+        out = (
+            khop_subgraph(g, seeds, hops=3)
+            .to_pandas()
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+
+    edges = set(zip(src.tolist(), dst.tolist()))
+    exp = {}
+    visited = set(seeds.tolist())
+    frontier = set(seeds.tolist())
+    for h in (1, 2, 3):
+        hop_edges = {(a, b) for (a, b) in edges if a in frontier}
+        for e_ in hop_edges:
+            exp[e_] = h
+        reach = {b for (_a, b) in hop_edges}
+        frontier = reach - visited
+        visited |= frontier
+    got = {(int(r.src), int(r.dst)): int(r.hop) for r in out.itertuples()}
+    assert got == exp
