@@ -31,7 +31,7 @@ def main(argv=None) -> int:
             "bfs", "tc", "bc", "load", "walks", "sample", "mis", "anf",
             "harmonic", "support", "featprop", "matching", "diameter",
             "closeness", "pack", "contam", "contam_bloom", "repetition", "dedup_docs",
-            "gopher", "edit_pairs", "onion",
+            "gopher", "edit_pairs", "onion", "dsir", "semdedup", "ccnet",
         ],
         help="analytics task, or 'load': build a snapshot level from the input "
         "(the llama-load analogue, /root/reference/tools/llama-load.cc)",
@@ -104,8 +104,24 @@ def main(argv=None) -> int:
         )
         return 0
 
+    if args.algorithm == "semdedup":
+        if not args.docs:
+            p.error("'semdedup' requires --docs <embeddings parquet>")
+        import ray.data as rd
+
+        from .data_ops.dedup import semantic_dedup
+
+        out = semantic_dedup(rd.read_parquet(args.docs))
+        if args.output:
+            out.write_parquet(args.output)
+            rows = rd.read_parquet(args.output).count()
+        else:
+            rows = out.count()
+        print(json.dumps({"algorithm": "semdedup", "docs": args.docs, "rows": rows}))
+        return 0
+
     if args.algorithm in ("pack", "contam", "contam_bloom", "repetition", "dedup_docs",
-                          "gopher", "edit_pairs"):
+                          "gopher", "edit_pairs", "dsir", "ccnet"):
         if not args.docs:
             p.error(f"'{args.algorithm}' requires --docs <parquet>")
         import ray.data as rd
@@ -135,6 +151,24 @@ def main(argv=None) -> int:
             from .data_ops.text import edit_distance_pairs
 
             out = edit_distance_pairs(docs)
+        elif args.algorithm == "dsir":
+            from .data_ops.curation import dsir_weights
+
+            out = dsir_weights(docs)
+        elif args.algorithm == "ccnet":
+            from .data_ops.relational import grouped_ntile, sort_merge_join
+            from .data_ops.text import lm_score
+
+            joined = sort_merge_join(
+                lm_score(docs),
+                docs.select_columns(["doc_id", "lang"]),
+                left_on="doc_id",
+            )
+            out = grouped_ntile(
+                joined.select_columns(["doc_id", "lang", "lm_score"]),
+                group_col="lang", order_cols=["lm_score", "doc_id"],
+                k=3, out_col="ppl_bucket",
+            )
         else:
             from .data_ops.dedup import exact_dedup
 

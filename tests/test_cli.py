@@ -124,3 +124,25 @@ def test_cli_doc_ops_and_onion(tmp_path):
         assert out["algorithm"] == task and out["rows"] >= 0
     onion = run_cli("onion", "--input", "rmat(8,4)", "--dedup")
     assert onion["num_layers"] >= 1 and onion["max_core"] >= 1
+
+
+def test_cli_dsir_semdedup_ccnet(tmp_path, ray_session):
+    """r5 CLI tasks for the new curation operators run end-to-end."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    from llama_ray.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    for algo, src in (
+        ("dsir", f"{sf}/documents.parquet"),
+        ("ccnet", f"{sf}/documents.parquet"),
+        ("semdedup", f"{sf}/embeddings.parquet"),
+    ):
+        out_dir = str(tmp_path / algo)
+        rc = main([algo, "--docs", src, "--output", out_dir])
+        assert rc == 0
+        assert pq_.read_table(out_dir).num_rows > 0
