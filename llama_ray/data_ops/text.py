@@ -1627,3 +1627,87 @@ class InvertedIndex:
             else:
                 acc = np.union1d(acc, s)
         return acc
+
+
+def cms_heavy_hitters(
+    docs: rd.Dataset,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 20,
+    seed: int = 20260818,
+    text_col: str = "text",
+) -> pa.Table:
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    — the streaming-sketch answer to "top tokens" that a 100 TB
+    pipeline keeps instead of an exact vocabulary: a ``depth × width``
+    int64 counter grid, each token occurrence incrementing one bucket
+    per row (bucket_r = splitmix64(token_hash ⊕ (seed + r)) % width),
+    estimate = min over rows — never an undercount.
+
+    Everything is commutative integer sums, so the sketch is
+    bit-identical in every block layout and replays exactly in SQL:
+    per block one distinct-token ``value_counts`` + ``depth``
+    weighted bincounts (O(depth·width) ints per partial, summed on
+    the driver — the sketch IS the driver state, that's the point of
+    a sketch); the exact top-``k`` ride the existing sorted
+    run-reduce + partial top-k merge for comparison. Returns
+    (token, exact_cnt, cms_est) for the exact top-k by
+    (cnt desc, token asc) — ``cms_est ≥ exact_cnt`` always, equality
+    unless the token's buckets collide in all rows."""
+    from ..common import distributed_topk, group_sum_sorted, per_block_results
+    from .dedup import _mix64, _token_hashes, _token_hashes_from_matrix, _token_matrix, _tokens_string_array
+
+    mat = docs.select_columns([text_col])
+    from .ann import _is_materialized
+
+    if not _is_materialized(mat):
+        mat = mat.materialize()
+
+    def sketch_partial(batch: pa.Table):
+        starts, lens, _per_doc, tdata = _token_matrix(batch.column(text_col))
+        th = _token_hashes_from_matrix(starts, lens, tdata)
+        if len(th) == 0:
+            return None
+        u, c = np.unique(th, return_counts=True)
+        S = np.zeros((depth, width), np.int64)
+        for r in range(depth):
+            b = (_mix64(u ^ np.uint64(seed + r)) % np.uint64(width)).astype(np.int64)
+            np.add.at(S[r], b, c)
+        return S
+
+    sketch = np.zeros((depth, width), np.int64)
+    for p in per_block_results(mat, sketch_partial):
+        if p is not None:
+            sketch += p
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        starts, lens, _pd_, tdata = _token_matrix(batch.column(text_col))
+        vc = pc.value_counts(_tokens_string_array(starts, lens, tdata))
+        return pa.table(
+            {"token": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    top = distributed_topk(
+        group_sum_sorted(
+            mat.map_batches(count_partial, batch_format="pyarrow"), "token", ["cnt"]
+        ),
+        [("cnt", "descending"), ("token", "ascending")],
+        k,
+    ).to_pandas()
+
+    toks = top["token"].tolist()
+    th = _token_hashes(toks)
+    est = np.full(len(toks), np.iinfo(np.int64).max, np.int64)
+    for r in range(depth):
+        b = (_mix64(th ^ np.uint64(seed + r)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[r][b])
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "exact_cnt": pa.array(top["cnt"].to_numpy().astype(np.int64)),
+            "cms_est": pa.array(est),
+        }
+    )

@@ -3918,6 +3918,42 @@ SELECT act.day, CAST(act.n_active AS BIGINT) AS n_active,
 FROM act LEFT JOIN ret ON ret.day = act.day"""
 
 
+def cms_heavy_hitters_sql(
+    depth: int = 4, width: int = 1024, k: int = 20, seed: int = 20260818,
+) -> str:
+    """Mirror of data_ops.text.cms_heavy_hitters: distinct lowered
+    tokens hashed (token fold -> splitmix64), per sketch row r bucket
+    = splitmix64(h XOR (seed+r)) % width, bucket sums weighted by the
+    exact token counts, estimate = LEAST over rows for the exact
+    top-k tokens."""
+    parts = [f"""toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents),
+cnts AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+raw AS (SELECT tok, {{fold}} AS h FROM (SELECT tok FROM cnts)),
+{_mix64_ctes('raw', 'tok', prefix='tm')}""".replace("{fold}", _TOKEN_FOLD)]
+    for r in range(depth):
+        parts.append(
+            f"""xr{r} AS (SELECT tok, xor(h, CAST({seed + r} AS HUGEINT)) AS h FROM tm5),
+{_mix64_ctes(f'xr{r}', 'tok', prefix=f'bk{r}')},
+bb{r} AS MATERIALIZED (SELECT tok, CAST(h % {width} AS BIGINT) AS b FROM bk{r}5),
+sk{r} AS MATERIALIZED (
+  SELECT bb{r}.b, CAST(SUM(cnts.cnt) AS BIGINT) AS c
+  FROM bb{r} JOIN cnts USING (tok) GROUP BY bb{r}.b)"""
+        )
+    joins = "\n".join(
+        f"JOIN bb{r} ON bb{r}.tok = t.tok JOIN sk{r} ON sk{r}.b = bb{r}.b"
+        for r in range(depth)
+    )
+    least = ", ".join(f"sk{r}.c" for r in range(depth))
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+topk AS MATERIALIZED (SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok ASC LIMIT {k})
+SELECT t.tok AS token, t.cnt AS exact_cnt, LEAST({least}) AS cms_est
+FROM topk t
+{joins}"""
+
+
 def events_user_hll_sql(seed: int = 20260818) -> str:
     """Mirror of queries.q_events_user_hll: HLL register maxima per
     event_type over splitmix64(user_id*GOLD xor seed) (bucket = h>>58,

@@ -2321,6 +2321,18 @@ def q_link_prediction(sf_dir: str):
     return link_prediction(_cached_tpch_graph(sf_dir))
 
 
+def q_vocab_cms_topk(sf_dir: str):
+    """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a 4×1024 int64 sketch over the lowered token stream — commutative
+    integer sums, bit-identical in every layout — with the exact
+    top-20 tokens' CMS estimates beside their true counts (est ≥
+    exact always). The sketch IS the at-scale vocabulary answer; full
+    DuckDB hash oracle."""
+    from ..data_ops.text import cms_heavy_hitters
+
+    return cms_heavy_hitters(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_vocab_topk(sf_dir: str):
     """Top-100 whitespace tokens by exact corpus frequency (see
     :func:`llama_ray.data_ops.text.vocab_topk`)."""

@@ -2097,3 +2097,50 @@ def test_dsir_weights_matches_dense_numpy(ray_session):
         for row in out.itertuples()
     }
     assert got == exp
+
+
+def test_cms_heavy_hitters_properties(ray_session):
+    """r5 Count-Min Sketch: estimate never undercounts, equals exact
+    for heavy tokens at this sketch size, bit-identical across
+    layouts, and matches a dense recomputation of the sketch."""
+    from llama_ray.data_ops.dedup import _mix64, _token_hashes
+    from llama_ray.data_ops.text import cms_heavy_hitters
+
+    rng = np.random.default_rng(43)
+    vocab = [f"tok{i}" for i in range(200)]
+    weights = np.array([1.0 / (i + 1) for i in range(200)])
+    weights /= weights.sum()
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=30, p=weights))}
+        for i in range(200)
+    ]
+    outs = []
+    for nb in (1, 5):
+        t = cms_heavy_hitters(
+            rd.from_items(docs).repartition(nb), depth=4, width=512, k=15
+        ).to_pandas()
+        outs.append(t)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    assert (out["cms_est"] >= out["exact_cnt"]).all()
+    # dense sketch recomputation
+    from collections import Counter
+
+    cnt = Counter(tok for d in docs for tok in d["text"].split())
+    toks = sorted(cnt)
+    th = _token_hashes(toks)
+    S = np.zeros((4, 512), np.int64)
+    for r in range(4):
+        b = (_mix64(th ^ np.uint64(20260818 + r)) % np.uint64(512)).astype(np.int64)
+        np.add.at(S[r], b, [cnt[t] for t in toks])
+    for row in out.itertuples():
+        h = _token_hashes([row.token])
+        est = min(
+            int(S[r][int(_mix64(h ^ np.uint64(20260818 + r))[0] % np.uint64(512))])
+            for r in range(4)
+        )
+        assert est == row.cms_est
+        assert cnt[row.token] == row.exact_cnt
+    # exact top-15 ordering (cnt desc, token asc)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [t for t, _ in top] == out["token"].tolist()
