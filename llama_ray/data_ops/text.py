@@ -1404,14 +1404,14 @@ class _BPEShard:
     int64 partials) and applies one vectorized leftmost-greedy
     rewrite — no Python loop over words, no re-materialization."""
 
-    def __init__(self, refs):
+    def __init__(self, refs, keep_tokens: bool = False):
         import pyarrow as _pa
 
         from ..common import copied_strings as _cs
         from .dedup import _string_segments
 
         tables = [t if isinstance(t, _pa.Table) else ray.get(t) for t in refs]
-        syms, wid, fq = [], [], []
+        syms, wid, fq, toks = [], [], [], []
         w0 = 0
         for t in tables:
             if t.num_rows == 0:
@@ -1423,10 +1423,33 @@ class _BPEShard:
             syms.append(data[offs[0] : offs[-1]].astype(np.int64))
             wid.append(np.repeat(np.arange(w0, w0 + len(lens), dtype=np.int64), lens))
             fq.append(np.repeat(cnts.astype(np.int64), lens))
+            if keep_tokens:
+                toks.append(arr)
             w0 += len(lens)
         self.s = np.concatenate(syms) if syms else np.empty(0, np.int64)
         self.w = np.concatenate(wid) if wid else np.empty(0, np.int64)
         self.f = np.concatenate(fq) if fq else np.empty(0, np.int64)
+        import pyarrow as _pa2
+
+        self.tokens = (
+            _pa2.concat_arrays([a.combine_chunks() if isinstance(a, _pa2.ChunkedArray) else a for a in toks])
+            if toks
+            else None
+        )
+
+    def word_symbol_counts(self):
+        """(token, n_syms) of this shard's vocabulary AFTER the merges
+        applied so far — the encode output (requires keep_tokens)."""
+        import pyarrow as _pa
+
+        if self.tokens is None:
+            if len(self.w) == 0:  # shard owned only empty blocks
+                return _pa.table(
+                    {"token": _pa.array([], _pa.string()), "ns": _pa.array([], _pa.int64())}
+                )
+            raise ValueError("shard built without keep_tokens")
+        u, c = np.unique(self.w, return_counts=True)  # u is 0..W-1 complete
+        return _pa.table({"token": self.tokens, "ns": _pa.array(c.astype(np.int64))})
 
     _STRIDE = np.int64(1) << np.int64(21)  # symbol ids < 2^21 (256 + merges)
 
@@ -1466,7 +1489,7 @@ class _BPEShard:
         return True
 
 
-def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
+def _bpe_train(docs, num_merges: int, num_shards: int, keep_tokens: bool = False):
     """Byte-level BPE vocabulary induction (Sennrich et al. ACL'16)
     over the exact corpus word-frequency table.
 
@@ -1482,6 +1505,10 @@ def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
     rewrite. Returns one row per merge: ``(rank, lhs, rhs, cnt)``
     with symbols as uppercase hex byte strings (DuckDB's ``hex()``
     representation, so the SQL oracle compares byte-exactly).
+
+    Returns ``(merges table, live shard actors)`` — the caller owns
+    the shards (kill after use; :func:`bpe_encode_counts` reads their
+    post-merge word lengths first).
     """
     import pyarrow.compute as pc
 
@@ -1505,7 +1532,8 @@ def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
     refs = vocab.to_arrow_refs()
     P = max(1, min(num_shards, len(refs)))
     shards = [
-        _BPEShard.remote([refs[i] for i in range(j, len(refs), P)]) for j in range(P)
+        _BPEShard.remote([refs[i] for i in range(j, len(refs), P)], keep_tokens)
+        for j in range(P)
     ]
     table: list[bytes] = [bytes([b]) for b in range(256)]
     stride = int(_BPEShard._STRIDE)
@@ -1533,10 +1561,11 @@ def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
             table.append(table[x] + table[y])
             ray.get([sh.apply_merge.remote(x, y, z) for sh in shards])
             rows.append((r, lhs_hex, rhs_hex, int(top)))
-    finally:
+    except BaseException:
         for sh in shards:
             ray.kill(sh)
-    return pa.table(
+        raise
+    merges = pa.table(
         {
             "rank": pa.array([r[0] for r in rows], pa.int64()),
             "lhs": pa.array([r[1] for r in rows], pa.string()),
@@ -1544,6 +1573,93 @@ def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
             "cnt": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+    return merges, shards
+
+
+def bpe_merges(docs, *, num_merges: int = 3, num_shards: int = 8) -> pa.Table:
+    """Byte-level BPE vocabulary induction — see :func:`_bpe_train`
+    (the shared trainer); returns one (rank, lhs, rhs, cnt) row per
+    merge."""
+    merges, shards = _bpe_train(docs, num_merges, num_shards)
+    for sh in shards:
+        ray.kill(sh)
+    return merges
+
+
+def bpe_encode_counts(
+    docs,
+    *,
+    num_merges: int = 8,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BPE ENCODE — apply the learned merge table to the corpus: after
+    training (:func:`_bpe_train`, vocab-resident actor shards), every
+    shard reports its words' post-merge symbol counts, and each
+    document's BPE token count is the occurrence-weighted sum over its
+    words — the tokenizer-budget statistic (how many tokens will this
+    corpus cost under this vocab).
+
+    The word→length table joins to the occurrence stream with the
+    ``lm_score`` shape (distributed sort-merge join, no vocabulary
+    broadcast) and the per-doc rollup is the sorted run-reduce.
+    Returns (doc_id, n_words, n_tokens_bpe) for docs with ≥1 token;
+    encode never reads texts twice — one tokenize pass feeds both the
+    trainer's vocab and the occurrence join."""
+    import ray.data as rd
+
+    from ..common import group_sum_sorted
+    from .relational import sort_merge_join
+
+    _merges, shards = _bpe_train(docs, num_merges, num_shards, keep_tokens=True)
+    try:
+        wlen_parts = ray.get([sh.word_symbol_counts.remote() for sh in shards])
+    finally:
+        for sh in shards:
+            ray.kill(sh)
+    wlen = rd.from_arrow(pa.concat_tables(wlen_parts))
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        from .dedup import _tokens_string_array
+
+        starts, lens, per_doc, data = _tokenize_batch(batch.column(text_col), lower=False)
+        ids = batch.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, per_doc)),
+                "token": _tokens_string_array(starts, lens, data),
+            }
+        )
+
+    occ = docs.select_columns([id_col, text_col]).map_batches(
+        occurrences, batch_format="pyarrow"
+    )
+    joined = sort_merge_join(occ, wlen, left_on="token")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "ns": batch.column("ns"),
+            }
+        )
+
+    rolled = group_sum_sorted(
+        joined.map_batches(fold, batch_format="pyarrow"), "doc_id", ["one", "ns"]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": batch.column("one"),
+                "n_tokens_bpe": batch.column("ns"),
+            }
+        )
+
+    return rolled.map_batches(rename, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ inverted index

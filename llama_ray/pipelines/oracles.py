@@ -3785,14 +3785,9 @@ SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}"""
 
 
-def bpe_merges_sql(num_merges: int = 3) -> str:
-    """Mirror of data_ops.text.bpe_merges: unrolled byte-level BPE
-    rounds over the exact word-frequency table. Symbols are hex byte
-    strings (merges concatenate them — fixed-width monotone digits
-    make hex order ≡ byte order); pair counts weight by word
-    frequency with overlapping pairs included; the merge rewrite is
-    leftmost-greedy (alternating keeps within runs of position-
-    adjacent candidates)."""
+def _bpe_round_ctes(num_merges: int) -> list:
+    """Shared CTE chain of the BPE oracles (train rounds t0..tN — see
+    bpe_merges_sql for the semantics)."""
     parts = [
         """toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents)""",
         """wf AS MATERIALIZED (
@@ -3837,11 +3832,47 @@ def bpe_merges_sql(num_merges: int = 3) -> str:
     LEFT JOIN k{r} kp ON kp.w = t.w AND kp.pos = t.pos - 1
     WHERE kp.pos IS NULL))"""
         )
+    return parts
+
+
+def bpe_merges_sql(num_merges: int = 3) -> str:
+    """Mirror of data_ops.text.bpe_merges: unrolled byte-level BPE
+    rounds over the exact word-frequency table. Symbols are hex byte
+    strings (merges concatenate them — fixed-width monotone digits
+    make hex order ≡ byte order); pair counts weight by word
+    frequency with overlapping pairs included; the merge rewrite is
+    leftmost-greedy (alternating keeps within runs of position-
+    adjacent candidates)."""
+    parts = _bpe_round_ctes(num_merges)
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS rank, x AS lhs, y AS rhs, CAST(c AS BIGINT) AS cnt FROM b{r}"
         for r in range(num_merges)
     )
     return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def bpe_encode_sql(num_merges: int = 8) -> str:
+    """Mirror of data_ops.text.bpe_encode_counts: the training rounds'
+    final word table t{N} collapsed to per-word symbol counts, joined
+    back to the document token occurrences."""
+    parts = _bpe_round_ctes(num_merges)
+    parts.append(
+        f"""wlen AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ns FROM t{num_merges} GROUP BY w)"""
+    )
+    parts.append(
+        """occ AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wlen.ns) AS BIGINT) AS n_tokens_bpe
+FROM occ JOIN wlen ON wlen.w = occ.token
+GROUP BY occ.doc_id"""
+    )
 
 
 def doc_chunks_sql(size: int = 200, stride: int = 150) -> str:

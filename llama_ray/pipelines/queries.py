@@ -2321,6 +2321,19 @@ def q_link_prediction(sf_dir: str):
     return link_prediction(_cached_tpch_graph(sf_dir))
 
 
+def q_bpe_encode(sf_dir: str, *, num_merges: int = 8):
+    """BPE encode — apply the 8 learned merges to the corpus and
+    report each document's tokenizer budget (words vs BPE tokens):
+    the vocab-resident shard trainer's post-merge word lengths joined
+    to the occurrence stream (lm_score join shape) and rolled up per
+    doc. Full DuckDB hash oracle via the unrolled training rounds."""
+    from ..data_ops.text import bpe_encode_counts
+
+    return bpe_encode_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), num_merges=num_merges
+    )
+
+
 def q_vocab_cms_topk(sf_dir: str):
     """Count-Min-Sketch heavy hitters (Cormode & Muthukrishnan 2005):
     a 4×1024 int64 sketch over the lowered token stream — commutative

@@ -2144,3 +2144,64 @@ def test_cms_heavy_hitters_properties(ray_session):
     # exact top-15 ordering (cnt desc, token asc)
     top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert [t for t, _ in top] == out["token"].tolist()
+
+
+def test_bpe_encode_counts_matches_reference_bpe(ray_session):
+    """r5 BPE encode: per-doc post-merge token counts equal a
+    reference sequential BPE (train on word frequencies, apply merges
+    leftmost-greedy per word), layout-independent."""
+    from collections import Counter
+
+    from llama_ray.data_ops.text import bpe_encode_counts
+
+    docs = [
+        {"doc_id": 0, "text": "aaa aab abab banana banana"},
+        {"doc_id": 1, "text": "banana bandana aaa abab"},
+        {"doc_id": 2, "text": "cc dd cc aaa banana"},
+    ]
+    num_merges = 4
+
+    # reference: sequential BPE over the word-frequency table
+    wf = Counter(tok for d in docs for tok in d["text"].split())
+    words = {w: [bytes([b]) for b in w.encode()] for w in wf}
+    merges = []
+    for _ in range(num_merges):
+        pc_ = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wf[w]
+        if not pc_:
+            break
+        # (count desc, lhs hex, rhs hex) — the engine's tie rule
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0][0].hex(), kv[0][1].hex()))[0]
+        merges.append(best)
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    exp = {
+        d["doc_id"]: (
+            len(d["text"].split()),
+            sum(len(words[t]) for t in d["text"].split()),
+        )
+        for d in docs
+    }
+
+    for nb in (1, 3):
+        out = (
+            bpe_encode_counts(rd.from_items(docs).repartition(nb), num_merges=num_merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = {
+            int(r.doc_id): (int(r.n_words), int(r.n_tokens_bpe))
+            for r in out.itertuples()
+        }
+        assert got == exp, nb
