@@ -1614,11 +1614,14 @@ def bpe_encode_counts(
 
     _merges, shards = _bpe_train(docs, num_merges, num_shards, keep_tokens=True)
     try:
-        wlen_parts = ray.get([sh.word_symbol_counts.remote() for sh in shards])
+        # driver-owned plasma refs — the vocab-sized length table never
+        # materializes on the driver (from_arrow_refs consumes the refs)
+        wlen_refs = [sh.word_symbol_counts.remote() for sh in shards]
+        ray.wait(wlen_refs, num_returns=len(wlen_refs))
     finally:
         for sh in shards:
             ray.kill(sh)
-    wlen = rd.from_arrow(pa.concat_tables(wlen_parts))
+    wlen = rd.from_arrow_refs(wlen_refs)
 
     def occurrences(batch: pa.Table) -> pa.Table:
         from .dedup import _tokens_string_array
