@@ -1158,7 +1158,10 @@ def semantic_dedup(
     loudly into `skew_events`; at scale pick ``k ≈ n / desired
     cluster size`` exactly as SemDeDup does); (3) distributed
     min-label WCC over the near-dup pair graph; (4) a broadcast
-    rep-lookup joined back per batch. Returns
+    rep-lookup joined back per batch — O(paired vertices), bounded by
+    the duplicate mass; on a corpus where most documents have a
+    near-dup, swap stage 4 for a sort-merge join on vec_id (the
+    lm_score shape) instead of the broadcast. Returns
     ``(vec_id, cluster_id, rep_id, keep)`` for every input vector —
     ``keep`` marks the retained corpus."""
     from ..graph import build_graph
