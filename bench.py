@@ -750,6 +750,21 @@ def run_benchmark() -> dict:
     )
     timings["streaming_pagerank_incremental_converged"] = time.perf_counter() - t0
     _sh.rmtree(stream_dir, ignore_errors=True)
+    # incremental window WCC on the same stream (warm-started min-label
+    # on pure-add slides, cold own-id init right after an eviction —
+    # exact either way; pytest pins bit-equality with cold rebuilds)
+    store4 = SnapshotStore(stream_dir)
+    inc_w2 = IncrementalPageRankWindow()
+    wcc_iters: list = []
+    t0 = time.perf_counter()
+    stream_ingest(
+        store4, batches, window=window, overlap=True,
+        on_snapshot=lambda st, lvl: wcc_iters.append(
+            inc_w2.advance_wcc(st, lvl, window=window)[1].iterations
+        ),
+    )
+    timings["streaming_wcc_incremental"] = time.perf_counter() - t0
+    _sh.rmtree(stream_dir, ignore_errors=True)
 
     edges_processed = n_edges_a * 10
     cpu1, steal1 = _cpu_totals()
@@ -801,6 +816,7 @@ def run_benchmark() -> dict:
         "streaming_batches": n_batches,
         "streaming_window": window,
         "streaming_warm_iters": warm_iters,
+        "streaming_wcc_iters": wcc_iters,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "vertices": n_vertices_a,
