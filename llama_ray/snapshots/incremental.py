@@ -301,8 +301,11 @@ class IncrementalPageRankWindow:
         per-run. Returns ``(active_ids, SuperstepResult)`` with
         ``state['label'][i]`` = min original id in the component —
         exact integers, bit-equal to a cold rebuild by construction."""
-        self._evicted_since_slide = False
         self._slide(store, level, window)
+        # warm-start validity: has ANY slide evicted since the carried
+        # labels were last saved? (a same-batch advance() may already
+        # have evicted before this call — the flag is cleared only
+        # below, when fresh labels are stored)
         act = self.presence > 0
         n = int(act.sum())
         if n == 0:
@@ -340,4 +343,5 @@ class IncrementalPageRankWindow:
         prev = self.gids.copy()  # inactive vertices revert to own id
         prev[act] = lab
         self._prev_label = prev
+        self._evicted_since_slide = False  # labels fresh as of now
         return ids_act, SuperstepResult({"label": lab}, iters, converged, metrics)

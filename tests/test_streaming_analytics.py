@@ -227,8 +227,13 @@ def test_incremental_window_pagerank_and_wcc_share_one_ingest(tmp_path):
 
     st = SnapshotStore(str(tmp_path))
     inc = IncrementalPageRankWindow()
-    for i in range(3):
-        lvl = st.ingest_batch(rmat(7, 2, seed=240 + i).materialize())
+    # sparse batches + 4 rounds: evictions remove component minima, so
+    # the regression this pins is advance() evicting BEFORE a
+    # same-batch advance_wcc() — the warm-start flag must survive
+    # until fresh labels are saved (caught live by the two-raylet
+    # smoke in round 5)
+    for i in range(4):
+        lvl = st.ingest_batch(rmat(9, 2, seed=300 + i).materialize())
         st.set_window(2)
         ids_pr, pr = inc.advance(st, lvl, window=2, max_iters=3, warm=False)
         ids_cc, cc = inc.advance_wcc(st, lvl, window=2)

@@ -69,7 +69,36 @@ try:
         np.array_equal(pr_auto.state["rank"], pr_scan.state["rank"])
     )
     out["iters"] = pr_auto.iterations
-    out["ok"] = out["auto_build"] == "sort" and out["bit_equal"]
+
+    # incremental window loop across the two raylets: remap + scatter
+    # tasks schedule on both nodes; per-batch results equal cold
+    import shutil, tempfile
+    from llama_ray.algos.components import weakly_connected_components
+    from llama_ray.snapshots.incremental import IncrementalPageRankWindow
+    from llama_ray.snapshots.store import SnapshotStore
+    sroot = tempfile.mkdtemp(prefix="twonode_stream_", dir=TEMP)
+    st = SnapshotStore(sroot)
+    inc = IncrementalPageRankWindow()
+    inc_ok = True
+    for i in range(3):
+        lvl = st.ingest_batch(rmat(9, 2, seed=300 + i).materialize())
+        st.set_window(2)
+        ids_i, r_i = inc.advance(st, lvl, window=2, max_iters=4, warm=False)
+        ids_c, r_c = inc.advance_wcc(st, lvl, window=2)
+        gw = build_graph(st.edges(at_level=lvl))
+        cold_pr = pagerank(gw, max_iters=4)
+        cold_cc = weakly_connected_components(gw)
+        oi, oc = np.argsort(ids_i), np.argsort(gw.ids)
+        inc_ok = inc_ok and bool(
+            np.array_equal(np.round(r_i.state["rank"][oi], 8),
+                           np.round(cold_pr.state["rank"][oc], 8))
+            and np.array_equal(r_c.state["label"][np.argsort(ids_c)],
+                               cold_cc.state["label"][oc])
+        )
+    shutil.rmtree(sroot, ignore_errors=True)
+    out["incremental_ok"] = inc_ok
+
+    out["ok"] = out["auto_build"] == "sort" and out["bit_equal"] and inc_ok
     ray.shutdown()
 finally:
     # surgical teardown: kill only processes belonging to the private
@@ -112,4 +141,5 @@ def test_two_raylet_auto_selects_sort_build_and_matches():
     assert out.get("nodes", 0) >= 2, out
     assert out.get("auto_build") == "sort", out
     assert out.get("bit_equal") is True, out
+    assert out.get("incremental_ok") is True, out
     assert out.get("ok") is True, out
