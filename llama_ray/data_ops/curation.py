@@ -943,3 +943,105 @@ def dsir_weights(
         )
 
     return mat.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------- temperature mixing
+
+
+def source_temperature_sample(
+    docs: rd.Dataset,
+    *,
+    total: int,
+    seed: int = 20260818,
+    w_scale: int = 1 << 20,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> rd.Dataset:
+    """Temperature-τ=0.5 source mixing (the multilingual-LM sampling
+    rule, Arivazhagan et al. 2019 / XLM-R): apportion a ``total``
+    sampling budget across sources proportionally to ``√n_s`` —
+    up-weighting small sources against the head — then draw each
+    source's quota as a deterministic uniform hash sample.
+
+    Everything is integer-exact and hence layout-independent and
+    SQL-replayable: weights ``w_s = ⌊√n_s·w_scale + ½⌋`` (sqrt is
+    IEEE-correctly-rounded, n_s exact), the split is largest-remainder
+    apportionment in pure integer arithmetic (base ``(total·w_s)//W``,
+    +1 to the highest remainders, ties → source asc), and the
+    per-source draw keeps the quota's smallest
+    ``splitmix64(doc_id·GOLD ⊕ seed)`` ids via ONE (source, h, id)
+    sort + the :func:`~llama_ray.data_ops.relational.grouped_rank`
+    run-offset skeleton. A quota above ``n_s`` degrades to the whole
+    source (no redistribution — the τ<1 point is that small sources
+    saturate). Returns the selected (doc_id, source) rows."""
+    from ..common import per_block_results
+    from .dedup import _GOLD, _mix64
+    from .relational import grouped_rank
+
+    def cnt_partial(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column(group_col).combine_chunks())
+        return {
+            s: int(c)
+            for s, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        }
+
+    mat = docs.select_columns([id_col, group_col])
+    from .ann import _is_materialized
+
+    if not _is_materialized(mat):
+        mat = mat.materialize()
+    counts: dict = {}
+    for p in per_block_results(mat, cnt_partial):
+        for s, c in p.items():
+            counts[s] = counts.get(s, 0) + c
+
+    import math
+
+    srcs = sorted(counts)
+    w = {s: math.floor(math.sqrt(float(counts[s])) * w_scale + 0.5) for s in srcs}
+    W = sum(w.values())
+    base = {s: (total * w[s]) // W for s in srcs}
+    rem = {s: total * w[s] - base[s] * W for s in srcs}
+    leftover = total - sum(base.values())
+    order = sorted(srcs, key=lambda s: (-rem[s], s))
+    target = dict(base)
+    for s in order[:leftover]:
+        target[s] += 1
+    t_ref = ray.put(target)
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch_to_numpy(batch, id_col).astype(np.int64)
+        # uint64 column: SQL's HUGEINT hash order is unsigned — a
+        # signed int64 view would flip the order of hashes >= 2^63
+        h = _mix64(ids.astype(np.uint64) * _GOLD ^ np.uint64(seed))
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                group_col: batch.column(group_col),
+                "h": pa.array(h),
+            }
+        )
+
+    ranked = grouped_rank(
+        mat.map_batches(hashed, batch_format="pyarrow"),
+        group_col=group_col,
+        order_cols=["h", id_col],
+        out_col="rk",
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        tg = ray.get(t_ref)
+        g = batch.column(group_col).to_pylist()
+        rk = batch_to_numpy(batch, "rk")
+        lim = np.array([tg.get(s, 0) for s in g], np.int64)
+        m = rk <= lim
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(pa.array(m)),
+                group_col: batch.column(group_col).filter(pa.array(m)),
+            }
+        )
+
+    return ranked.map_batches(keep, batch_format="pyarrow")

@@ -1138,3 +1138,70 @@ def grouped_ntile(
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
     return rd.from_arrow_refs(refs)
+
+
+def grouped_rank(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    order_cols: list[str],
+    out_col: str = "rank",
+) -> rd.Dataset:
+    """``ROW_NUMBER() OVER (PARTITION BY group_col ORDER BY
+    order_cols)`` — the same one-sort / per-run-offset skeleton as
+    :func:`grouped_ntile`, emitting the 1-based in-group rank."""
+    import pyarrow.compute as pc
+
+    _, ds = _as_arrow(ds)
+    schema, srt = _sorted_arrow(ds, [group_col, *order_cols])
+
+    def runs(tbl: pa.Table):
+        tbl = _coerce_block(tbl)
+        if tbl.num_rows == 0:
+            return None
+        g = tbl.column(group_col).combine_chunks()
+        new = np.concatenate(
+            [[True], ~pc.equal(g.slice(1), g.slice(0, len(g) - 1)).to_numpy(zero_copy_only=False)]
+        )
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(g)))
+        return g.take(pa.array(starts)).to_pylist(), starts, lens
+
+    parts = per_block_results(srt, runs)
+    totals: dict = {}
+    metas = []
+    for p in parts:
+        if p is None:
+            metas.append(None)
+            continue
+        gv, starts, lens = p
+        offs = []
+        for g_, l in zip(gv, lens):
+            offs.append(totals.get(g_, 0))
+            totals[g_] = offs[-1] + int(l)
+        metas.append((starts, lens, offs))
+
+    out_schema = pa.schema([*schema, pa.field(out_col, pa.int64())])
+
+    def fill(tbl: pa.Table, starts, lens, offs) -> pa.Table:
+        tbl = _coerce_block(tbl)
+        m = tbl.num_rows
+        if m == 0:
+            return out_schema.empty_table()
+        starts = np.asarray(starts, np.int64)
+        lens = np.asarray(lens, np.int64)
+        within = np.arange(m, dtype=np.int64) - np.repeat(starts, lens)
+        rank = np.repeat(np.asarray(offs, np.int64), lens) + within + 1
+        cols = [tbl.column(f.name) for f in schema]
+        cols.append(pa.array(rank))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    task = ray.remote(fill)
+    refs = [
+        task.remote(b, *meta)
+        for b, meta in zip(srt.to_arrow_refs(), metas)
+        if meta is not None
+    ]
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    return rd.from_arrow_refs(refs)

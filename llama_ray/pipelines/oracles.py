@@ -3273,6 +3273,38 @@ SELECT h.doc_id, CAST(h.nh AS BIGINT) AS n_hits, CAST(z.sz AS BIGINT) AS n_ngram
 FROM hits h JOIN sizes z ON z.doc_id = h.doc_id"""
 
 
+def source_temperature_sample_sql(
+    total: int = 300, seed: int = 20260818, w_scale: int = 1 << 20,
+) -> str:
+    """Mirror of data_ops.curation.source_temperature_sample: integer
+    √n weights, largest-remainder apportionment (ties → source asc),
+    per-source smallest-hash draw."""
+    gold = 0x9E3779B97F4A7C15
+    key = f"xor({_mulmod64('CAST(doc_id AS HUGEINT)', gold)}, CAST({seed} AS HUGEINT))"
+    return f"""WITH cnt AS MATERIALIZED (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * {float(w_scale)} + 0.5) AS BIGINT) AS w
+      FROM cnt),
+tt AS (SELECT SUM(w) AS wsum FROM w),
+ap AS (SELECT source, n, ({total} * w) // tt.wsum AS base,
+              {total} * w - (({total} * w) // tt.wsum) * tt.wsum AS rem
+       FROM w, tt),
+lv AS (SELECT {total} - SUM(base) AS leftover FROM ap),
+tgt AS MATERIALIZED (
+  SELECT source, base + CASE WHEN rnk <= (SELECT leftover FROM lv) THEN 1 ELSE 0 END AS target
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rnk FROM ap)),
+dk AS MATERIALIZED (SELECT doc_id, source, {key} AS h FROM documents),
+{_mix64_ctes('dk', 'doc_id, source', prefix='ts')},
+rk AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) AS rk
+  FROM ts5)
+SELECT rk.doc_id, rk.source
+FROM rk JOIN tgt USING (source)
+WHERE rk.rk <= tgt.target"""
+
+
 def dsir_weights_sql(
     buckets: int = 1024, seed: int = 20260818, r_scale: int = 1 << 20,
 ) -> str:

@@ -4000,6 +4000,18 @@ def q_doc_ccnet_buckets(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lm_score", "ppl_bucket"])
 
 
+def q_source_temperature_sample(sf_dir: str, *, total: int = 300):
+    """Temperature-τ=0.5 source mixing (Arivazhagan et al. 2019 /
+    XLM-R): a 300-doc budget apportioned ∝ √n_source by integer
+    largest-remainder, each source's quota drawn as the smallest
+    splitmix64 ids — the multilingual rebalancing stage, fully
+    integer-exact with a DuckDB hash oracle."""
+    from ..data_ops.curation import source_temperature_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return source_temperature_sample(docs, total=total)
+
+
 def q_doc_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed (1,2)-gram
     log-likelihood ratios of the 10% id-hash target split vs the

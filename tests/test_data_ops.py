@@ -2205,3 +2205,50 @@ def test_bpe_encode_counts_matches_reference_bpe(ray_session):
             for r in out.itertuples()
         }
         assert got == exp, nb
+
+
+def test_source_temperature_sample_apportionment_and_determinism(ray_session):
+    """r5 temperature mixing: integer largest-remainder apportionment
+    of the sqrt-weighted budget, layout-independent, quotas sum to the
+    budget, small sources up-weighted, oversized quotas saturate."""
+    import math
+
+    from llama_ray.data_ops.curation import source_temperature_sample
+
+    rng = np.random.default_rng(47)
+    sizes = {"big": 900, "mid": 90, "small": 9, "tiny": 2}
+    rows = []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append({"doc_id": i, "source": s})
+            i += 1
+    total = 100
+    outs = []
+    for nb in (1, 6):
+        out = (
+            source_temperature_sample(
+                rd.from_items(rows).repartition(nb), total=total
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    got = outs[0]["source"].value_counts().to_dict()
+
+    # expected integer apportionment
+    w = {s: math.floor(math.sqrt(float(n)) * (1 << 20) + 0.5) for s, n in sizes.items()}
+    W = sum(w.values())
+    base = {s: (total * w[s]) // W for s in sizes}
+    rem = {s: total * w[s] - base[s] * W for s in sizes}
+    left = total - sum(base.values())
+    tgt = dict(base)
+    for s in sorted(sizes, key=lambda s: (-rem[s], s))[:left]:
+        tgt[s] += 1
+    exp = {s: min(t, sizes[s]) for s, t in tgt.items() if min(t, sizes[s])}
+    assert got == exp
+    assert sum(tgt.values()) == total
+    # sqrt weighting: 'small' gets far more than its 0.9% share
+    assert tgt["small"] >= 6 and tgt["big"] <= 70
