@@ -1032,10 +1032,16 @@ def source_temperature_sample(
     )
 
     def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         tg = ray.get(t_ref)
-        g = batch.column(group_col).to_pylist()
+        enc = pc.dictionary_encode(batch.column(group_col).combine_chunks())
+        # O(#sources) Python, O(rows) vectorized take
+        lim_by_code = np.array(
+            [tg.get(s, 0) for s in enc.dictionary.to_pylist()], np.int64
+        )
+        lim = lim_by_code[enc.indices.to_numpy(zero_copy_only=False)]
         rk = batch_to_numpy(batch, "rk")
-        lim = np.array([tg.get(s, 0) for s in g], np.int64)
         m = rk <= lim
         return pa.table(
             {
