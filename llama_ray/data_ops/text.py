@@ -1748,6 +1748,82 @@ class InvertedIndex:
         return acc
 
 
+def robust_group_anomaly(
+    ds: rd.Dataset,
+    *,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    threshold: float = 3.5,
+) -> rd.Dataset:
+    """Robust per-group outlier detection — median/MAD z-scores
+    (Iglewicz & Hoaglin's modified z), the anomaly filter that
+    survives the heavy tails a mean/stddev z-score drowns in.
+
+    Per group: median and MAD (median of |v − med|) are EXACT order
+    statistics via two :func:`exact_group_quantiles_sorted` passes
+    (order statistics are picks, not sums — no float-accumulation
+    drift in any layout), broadcast as O(groups) driver state; each
+    row's score is the single deterministic expression
+    ``(v − med) / (1.4826 · MAD)`` rounded 1e-6. Groups with MAD = 0
+    (constant within the window) are excluded — there is no scale to
+    score against. Returns (id, group, value, robust_z, is_outlier)
+    for rows of scoreable groups."""
+    import pyarrow.compute as pc
+
+    from ..common import batch_to_numpy
+
+    med_tbl = exact_group_quantiles_sorted(
+        ds.select_columns([group_col, val_col]), group_col, val_col, [0.5]
+    )
+    med = dict(zip(med_tbl.column(group_col).to_pylist(), med_tbl.column("value").to_pylist()))
+    med_ref = ray.put(med)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        enc = pc.dictionary_encode(batch.column(group_col).combine_chunks())
+        mv = np.array([m[s] for s in enc.dictionary.to_pylist()], np.float64)
+        v = batch_to_numpy(batch, val_col).astype(np.float64)
+        dev = np.abs(v - mv[enc.indices.to_numpy(zero_copy_only=False)])
+        return pa.table({group_col: batch.column(group_col), "dev": pa.array(dev)})
+
+    mad_tbl = exact_group_quantiles_sorted(
+        ds.select_columns([group_col, val_col]).map_batches(absdev, batch_format="pyarrow"),
+        group_col,
+        "dev",
+        [0.5],
+    )
+    mad = dict(zip(mad_tbl.column(group_col).to_pylist(), mad_tbl.column("value").to_pylist()))
+    state_ref = ray.put((med, mad))
+
+    def score(batch: pa.Table) -> pa.Table:
+        m, d = ray.get(state_ref)
+        enc = pc.dictionary_encode(batch.column(group_col).combine_chunks())
+        dv = enc.dictionary.to_pylist()
+        mv = np.array([m[s] for s in dv], np.float64)
+        dd = np.array([d[s] for s in dv], np.float64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch_to_numpy(batch, val_col).astype(np.float64)
+        madv = dd[idx]
+        keep = madv > 0
+        z = np.zeros(len(v))
+        z[keep] = np.round((v[keep] - mv[idx][keep]) / (1.4826 * madv[keep]), 6)
+        km = pa.array(keep)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(km),
+                group_col: batch.column(group_col).filter(km),
+                val_col: batch.column(val_col).filter(km),
+                "robust_z": pa.array(z[keep]),
+                "is_outlier": pa.array(np.abs(z[keep]) > threshold),
+            }
+        )
+
+    return ds.select_columns([id_col, group_col, val_col]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
 def cms_heavy_hitters(
     docs: rd.Dataset,
     *,

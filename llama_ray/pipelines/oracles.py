@@ -4573,6 +4573,25 @@ JOIN s sj ON sj.dim = g.dim_j
 ORDER BY dim_i, dim_j"""
 
 
+def events_robust_anomaly_sql(threshold: float = 3.5) -> str:
+    """Mirror of data_ops.text.robust_group_anomaly over events:
+    per-type median and MAD as quantile_disc order statistics, the
+    modified z (v − med)/(1.4826·MAD) rounded 1e-6, MAD=0 groups
+    excluded."""
+    return f"""WITH med AS MATERIALIZED (
+  SELECT event_type, quantile_disc(value, 0.5) AS med FROM events GROUP BY 1),
+mad AS MATERIALIZED (
+  SELECT e.event_type, quantile_disc(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z,
+       abs(ROUND((e.value - m.med) / (1.4826 * d.mad), 6)) > {threshold} AS is_outlier
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0"""
+
+
 def events_type_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
     """Mirror of queries.q_events_type_quantiles (quantile_disc =
     element at 1-based ceil(q·n) of the sorted group)."""

@@ -4065,6 +4065,20 @@ def q_embedding_pca(sf_dir: str):
     return out.map_batches(flat, batch_format="pyarrow")
 
 
+def q_events_robust_anomaly(sf_dir: str):
+    """Per-event-type robust outliers — median/MAD modified z-scores
+    (Iglewicz–Hoaglin), the heavy-tail-proof twin of the mean/stddev
+    hourly anomaly query: two grouped order-statistic passes (exact
+    picks, no float accumulation) + one deterministic score
+    expression. Full DuckDB hash oracle."""
+    from ..data_ops.text import robust_group_anomaly
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return robust_group_anomaly(
+        ev, group_col="event_type", val_col="value", id_col="event_id"
+    )
+
+
 def q_events_type_quantiles(sf_dir: str):
     """Per-event-type exact value quantiles (p50/p90/p99) — grouped
     order statistics over an unbounded-cardinality float column: one

@@ -2252,3 +2252,49 @@ def test_source_temperature_sample_apportionment_and_determinism(ray_session):
     assert sum(tgt.values()) == total
     # sqrt weighting: 'small' gets far more than its 0.9% share
     assert tgt["small"] >= 6 and tgt["big"] <= 70
+
+
+def test_robust_group_anomaly_matches_numpy(ray_session):
+    """r5 median/MAD modified z: exact order-statistic medians, dense
+    numpy recomputation equality, MAD=0 groups excluded, planted
+    outliers flagged, layout-independent."""
+    from llama_ray.data_ops.text import robust_group_anomaly
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for i in range(300):
+        g = "a" if i % 2 == 0 else "b"
+        v = float(np.round(rng.normal(10 if g == "a" else 50, 2), 3))
+        rows.append({"eid": i, "g": g, "v": v})
+    rows.append({"eid": 300, "g": "a", "v": 500.0})  # planted outlier
+    for i in range(5):  # constant group: MAD = 0 -> excluded
+        rows.append({"eid": 400 + i, "g": "const", "v": 7.0})
+    outs = []
+    for nb in (1, 5):
+        out = (
+            robust_group_anomaly(
+                rd.from_items(rows).repartition(nb),
+                group_col="g", val_col="v", id_col="eid",
+            )
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    out = outs[0]
+    assert set(out["g"]) == {"a", "b"}  # const group excluded
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g in ("a", "b"):
+        vals = np.sort(df[df.g == g]["v"].to_numpy())
+        n = len(vals)
+        med = vals[int(np.ceil(0.5 * n)) - 1]
+        dev = np.sort(np.abs(df[df.g == g]["v"].to_numpy() - med))
+        mad = dev[int(np.ceil(0.5 * n)) - 1]
+        sub = out[out.g == g]
+        exp = np.round((sub["v"].to_numpy() - med) / (1.4826 * mad), 6)
+        assert np.array_equal(sub["robust_z"].to_numpy(), exp)
+    assert bool(out[out.eid == 300]["is_outlier"].iloc[0])
