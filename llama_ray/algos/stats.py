@@ -294,3 +294,63 @@ def rich_club(graph) -> pa.Table:
             "phi": pa.array(phi, pa.float64()),
         }
     )
+
+
+def wl_colors(
+    graph,
+    *,
+    rounds: int = 3,
+) -> "pa.Table":
+    """Weisfeiler–Leman color refinement (1-WL, the graph-isomorphism
+    test / GNN-expressiveness yardstick and the base of WL graph
+    kernels — Shervashidze et al. 2011): every vertex starts with one
+    color and each round re-colors as a hash of (own color, the
+    MULTISET of in-neighbor colors).
+
+    The multiset hash is a commutative uint64 sum of splitmix64(color)
+    over in-edges — order-free, hence bit-identical in every block
+    layout and replayable in SQL:
+    ``color' = mix64(color·GOLD + Σ_in mix64(color_src))`` with
+    wrap-around 64-bit arithmetic. One scatter per round over the
+    edge blocks (the PageRank superstep shape); driver state is the
+    O(V) color array. Returns (vertex, color int64-view, plus the
+    per-round refinement class counts as table metadata columns
+    round, num_classes aggregated separately by the caller if
+    needed) — here simply (vertex, color)."""
+    import pyarrow as pa
+    import ray
+
+    from ..data_ops.dedup import _GOLD, _mix64
+
+    n = graph.num_vertices
+    color = np.full(n, np.uint64(1))  # uniform initial color
+    for _ in range(rounds):
+        c_ref = ray.put(color)
+
+        def scatter(batch: pa.Table):
+            if batch.num_rows == 0 or "src" not in batch.schema.names:
+                return None
+            c = ray.get(c_ref)
+            src = batch.column("src").combine_chunks().to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").combine_chunks().to_numpy(zero_copy_only=False)
+            m = _mix64(c[src])
+            u = np.unique(dst)
+            sums = np.zeros(len(u), np.uint64)
+            # wrap-around uint64 sums — commutative, layout-free
+            np.add.at(sums, np.searchsorted(u, dst), m)
+            return u.astype(np.int64), sums.view(np.int64)
+
+        # exact uint64 merge (block_scatter's generic sum reduces via
+        # float64 weights — lossy for 64-bit hash sums)
+        task = ray.remote(scatter)
+        acc = np.zeros(n, np.uint64)
+        for o in ray.get([task.remote(r) for r in graph.edge_block_refs()]):
+            if o is not None:
+                acc[o[0]] += o[1].view(np.uint64)
+        color = _mix64(color * _GOLD + acc)
+    return pa.table(
+        {
+            "vertex": pa.array(graph.ids),
+            "color": pa.array(color.view(np.int64)),
+        }
+    )

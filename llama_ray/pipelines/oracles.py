@@ -31,6 +31,37 @@ def out_degrees_sql() -> str:
     return f"WITH {GRAPH_CTES} SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src"
 
 
+def wl_colors_sql(rounds: int = 3) -> str:
+    """Mirror of algos.stats.wl_colors: per round, each vertex's new
+    color is splitmix64(color·GOLD + Σ_in splitmix64(color_src)) with
+    wrap-around 64-bit arithmetic (SQL sums exactly in HUGEINT then
+    masks — ≡ the engine's uint64 wrap mod 2^64)."""
+    gold = 0x9E3779B97F4A7C15
+    parts = ["c0 AS MATERIALIZED (SELECT id, CAST(1 AS HUGEINT) AS col FROM v)"]
+    for r in range(rounds):
+        parts.append(f"h{r}0 AS (SELECT id, col AS h FROM c{r})")
+        parts.append(_mix64_ctes(f"h{r}0", "id", prefix=f"hc{r}_"))
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(SUM(h.h) & {_M64} AS HUGEINT) AS raw
+  FROM e JOIN hc{r}_5 h ON h.id = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""m{r}0 AS (
+  SELECT c.id, ({_mulmod64('c.col', gold)} + COALESCE(s.raw, 0)) & {_M64} AS h
+  FROM c{r} c LEFT JOIN s{r} s ON s.id = c.id)"""
+        )
+        parts.append(_mix64_ctes(f"m{r}0", "id", prefix=f"nc{r}_"))
+        parts.append(f"c{r + 1} AS MATERIALIZED (SELECT id, h AS col FROM nc{r}_5)")
+    body = ",\n".join(parts)
+    return f"""WITH {GRAPH_CTES},
+{body}
+SELECT id AS vertex,
+       CAST(CASE WHEN col >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN col - {_POW64} ELSE col END AS BIGINT) AS color
+FROM c{rounds}"""
+
+
 def degree_distribution_sql() -> str:
     return f"""WITH {GRAPH_CTES}
 SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bucket,

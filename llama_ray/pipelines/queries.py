@@ -110,6 +110,17 @@ def q_out_degrees(sf_dir: str):
     )
 
 
+def q_wl_colors(sf_dir: str, *, rounds: int = 3):
+    """Weisfeiler–Leman color refinement (1-WL, 3 rounds) over the
+    link graph — the graph-kernel / GNN-expressiveness feature map:
+    commutative uint64 multiset hashing of in-neighbor colors, one
+    scatter per round (PageRank superstep shape). Full DuckDB hash
+    oracle (exact HUGEINT sums masked mod 2^64)."""
+    from ..algos.stats import wl_colors
+
+    return wl_colors(_cached_tpch_graph(sf_dir), rounds=rounds)
+
+
 def q_degree_distribution(sf_dir: str):
     return _degree_distribution(_cached_dedup_edges(sf_dir), direction="out")
 

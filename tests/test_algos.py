@@ -1275,3 +1275,39 @@ def test_label_propagation_init_labels_wrong_length_raises():
     g = build_graph(edges_ds(src, dst))
     with pytest.raises(ValueError, match="entries"):
         label_propagation(g, iterations=2, init_labels=np.array([0, 1], np.int64))
+
+
+def test_wl_colors_refinement_properties():
+    """r5 1-WL: colors refine (classes only split, never merge),
+    distinguish the triangle-vs-path classic, stay layout-independent,
+    and isomorphic placements share colors."""
+    from llama_ray.algos.stats import wl_colors
+
+    # two components: a directed 3-cycle and a directed 3-path —
+    # after 2+ rounds cycle vertices (all alike) differ from path ones
+    src = np.array([0, 1, 2, 10, 11], np.int64)
+    dst = np.array([1, 2, 0, 11, 12], np.int64)
+    outs = []
+    for nb in (1, 3):
+        g = build_graph(edges_ds(src, dst).repartition(nb))
+        t = wl_colors(g, rounds=3).to_pandas().sort_values("vertex").reset_index(drop=True)
+        outs.append(t)
+    assert outs[0].equals(outs[1])
+    col = dict(zip(outs[0]["vertex"], outs[0]["color"]))
+    # cycle vertices are mutually indistinguishable under 1-WL
+    assert col[0] == col[1] == col[2]
+    # path endpoints/middle/tail all differ from the cycle class
+    assert col[10] != col[0] and col[12] != col[0]
+    # refinement is monotone: classes never merge round over round
+    g = build_graph(edges_ds(src, dst))
+    prev = None
+    for r in (1, 2, 3):
+        t = wl_colors(g, rounds=r).to_pandas().sort_values("vertex")
+        part = {}
+        for v, c in zip(t["vertex"], t["color"]):
+            part.setdefault(c, set()).add(v)
+        classes = sorted(map(frozenset, part.values()), key=min)
+        if prev is not None:
+            for cl in classes:
+                assert any(cl <= p for p in prev), (r, cl)
+        prev = classes
